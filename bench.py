@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulsar_lunar_spark.queries import all_queries
+from pulsar_lunar_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q_window_topk_per_group",
+    "q_rollup",
+    "q_events_tumbling",
+    "q_events_session",
+    "q_events_asof",
+    "q_envelope_roundtrip",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_similarity_topk",
+    "q_knn_join",
+    "q_lang_detect",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers with the cheapest query once.
+    specs["q1_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        n = len(df.collect())  # collect, not count(): count() would let Spark prune the plan
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""Expression-level helpers: message-envelope serde, payload codecs."""
+
+from pulsar_lunar_spark.functions.envelope import (
+    ENVELOPE_SCHEMA,
+    decode_payload,
+    to_envelope,
+)
+
+__all__ = ["ENVELOPE_SCHEMA", "to_envelope", "decode_payload"]

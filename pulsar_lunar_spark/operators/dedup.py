@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale text corpora (SURVEY §2B north
+star; BASELINE.json "LLM-data-pipeline operators").
+
+Exact dedup: normalize -> hash -> groupBy. One shuffle on a 256-bit key;
+at 100 TB the shuffle carries (hash, id) pairs only, never the text.
+
+MinHash-LSH near-dedup: shingle -> n minhashes -> b bands -> bucket join.
+Shuffle is O(n_docs * bands), never O(n^2); within-bucket verification is
+exact Jaccard on shingle sets. All hashing is xxhash64 + affine rehash
+(JVM built-ins, whole-stage codegen) — no Python UDF anywhere.
+
+SimHash: per-token 64-bit hash, bitwise weighted vote -> 64-bit signature;
+near-dups = signatures within Hamming distance d (banded lookup).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: modulus for the affine minhash family.
+# 31-bit so a*h + b stays far below 2^63 (Spark runs ANSI mode — a 61-bit
+# modulus would overflow the long multiply).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: lowercase, trim, collapse internal whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct normalized text (lowest id wins).
+
+    Returns the deduplicated id set: (dup_hash, keeper_id, n_copies).
+    """
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.sha2(norm, 256).alias("dup_hash"), F.col(id_col).alias("keeper_id"))
+        .groupBy("dup_hash")
+        .agg(F.min("keeper_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized text (array<string>).
+
+    For texts shorter than k words, falls back to the whole text as a single
+    shingle so every doc has >= 1 shingle.
+    """
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    k_shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+    return F.when(n >= k, k_shingles).otherwise(F.array(normalize_text(col)))
+
+
+def _hash_coefficients(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signature(
+    shingle_col: Column, n_hashes: int = 64, seed: int = 42
+) -> Column:
+    """n-permutation MinHash signature (array<bigint>) of a shingle array.
+
+    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p with p = 2^31-1;
+    signature_i = min over shingles. Pure JVM expressions: one base-hash
+    pass + n array_min folds, all inside whole-stage codegen.
+    """
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    sig = [
+        F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_31)
+        )
+        for a, b in _hash_coefficients(n_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
+
+    rows-per-band r = n_hashes // bands; a pair with true Jaccard j collides
+    with probability 1 - (1 - j^r)^bands. Shuffle cost: n_docs * bands rows.
+    """
+    if n_hashes % bands:
+        raise ValueError("n_hashes must be divisible by bands")
+    r = n_hashes // bands
+
+    # Stage shingles and base hashes as materialized columns: Spark does NOT
+    # eliminate common subexpressions across the n_hashes signature elements,
+    # so inlining would recompute normalize+split+shingle n_hashes times per
+    # row (measured 40x slowdown at 500 docs).
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    base = sh.select(
+        "__id",
+        F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))).alias("__base"),
+    )
+    def _affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_31
+
+    sigs = base.select(
+        "__id",
+        F.array(
+            *[
+                F.array_min(F.transform("__base", _affine(a, b)))
+                for a, b in _hash_coefficients(n_hashes, seed)
+            ]
+        ).alias("__sig"),
+    )
+    banded = sigs.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws("_", F.slice("__sig", b * r + 1, r))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keep pairs >= threshold.
+
+    Joins the (small) candidate set back to shingle arrays — two broadcast-
+    able joins keyed by doc id, then a JVM array intersect/union.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dup pair detection: LSH candidates + exact verify.
+
+    Default (128 hashes, 32 bands, r=4): a pair at jaccard 0.5 is caught
+    with p = 1-(1-0.5^4)^32 ≈ 0.87; at 0.7, p ≈ 0.9998 — verification then
+    removes all false positives, so precision is exact and recall is the
+    LSH catch probability.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, shingle_k, seed)
+    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+
+
+def _simhash_from_hashes(hashes: Column) -> Column:
+    """SimHash signature from a materialized array<long> of token hashes.
+
+    Unrolled per-bit vote (shift amounts must be literals); each vote is a
+    JVM fold over the token-hash array. Feed this a COLUMN REFERENCE, not an
+    inline expression — the 64 folds would otherwise each recompute it.
+    """
+
+    def _bit_merge(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(i))
+        sig = sig + F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_signature(col: Column, seed: int = 42) -> Column:
+    """64-bit SimHash of normalized text (bigint): each token votes its
+    xxhash64 bits; the signature takes the sign of the per-bit vote sum.
+
+    NOTE: single-expression form; prefer the staged path in
+    simhash_near_pairs for bulk use (see _simhash_from_hashes)."""
+    tokens = F.split(normalize_text(col), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    return _simhash_from_hashes(hashes)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banded lookup: split the 64-bit signature into (max_hamming+1) blocks —
+    by pigeonhole, any pair within distance d agrees exactly on >= 1 block,
+    so a block-equality join finds all such pairs with O(n * blocks) shuffle.
+    """
+    n_blocks = max_hamming + 1
+    block_bits = 64 // n_blocks
+
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda t: F.xxhash64(t, F.lit(seed)),
+        ).alias("__h"),
+    )
+    sigs = hashed.select("__id", _simhash_from_hashes(F.col("__h")).alias("__sig"))
+    mask = (1 << block_bits) - 1
+    blocked = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("__sig"), b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sig", F.col("bb.block").alias("block"), F.col("bb.bucket").alias("bucket"))
+
+    left = blocked.alias("l")
+    right = blocked.alias("r")
+    pop = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
+    return (
+        left.join(
+            right,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            pop.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

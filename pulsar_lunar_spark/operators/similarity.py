@@ -1,0 +1,160 @@
+"""Embedding similarity search (SURVEY §2B north star).
+
+- Brute-force cosine top-k against ONE query vector: broadcast literal,
+  JVM zip_with dot product — a single scan, no shuffle but the final top-k.
+- ANN via random-hyperplane LSH: sign-bit bucket join — candidate set is
+  bucket-bounded, shuffle O(n * tables), never the O(n^2) cross join.
+- knn_join: top-k neighbors for EVERY query row against a big corpus, the
+  broadcast-capable path for moderate query sets.
+
+All vector math stays in whole-stage codegen (zip_with / aggregate over
+array<double>); no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (JVM fold, in-order sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k vs a single query vector.
+
+    The query is a broadcast literal array; the scan computes one fused
+    dot/norm per row and TakeOrderedAndProject keeps k rows per partition —
+    the correct baseline plan at any corpus size.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    emb = _as_double(F.col(vec_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(emb, q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id (bigint) from random hyperplane projections."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, 1 << i).otherwise(0)
+        for i, plane in enumerate(planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out + b.cast("long")
+    return out
+
+
+def ann_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: probe only rows sharing an LSH bucket with
+    the query in >= 1 of ``n_tables`` hash tables, then exact-rank those.
+
+    At 100 TB the bucketed table is precomputed and partitioned by
+    (table, bucket) so a query touches ~n_tables/2^n_planes of the data.
+    """
+    dim = len(query)
+    emb = _as_double(F.col(vec_col))
+
+    keep = F.lit(False)
+    for t in range(n_tables):
+        planes = _random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        qbits = sum(
+            (1 << i)
+            for i, plane in enumerate(planes)
+            if sum(a * b for a, b in zip(query, plane)) >= 0
+        )
+        keep = keep | (hyperplane_bucket(emb, planes) == F.lit(qbits))
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.filter(keep)
+        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k corpus neighbors for every query row (exact, broadcast form).
+
+    The query side is broadcast (valid while queries fit in memory — the
+    common "score a batch of prompts against the corpus" shape); each corpus
+    partition ranks locally and a WindowGroupLimit keeps k per query before
+    the final shuffle."""
+    qs = queries.select(F.col(query_id), _as_double(F.col(query_vec)).alias("__q"))
+    if broadcast_queries:
+        qs = F.broadcast(qs)
+    emb = _as_double(F.col(corpus_vec))
+    scored = corpus.select(F.col(corpus_id), emb.alias("__c")).join(qs).select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("__c"), F.col("__q")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

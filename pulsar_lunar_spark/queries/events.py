@@ -1,0 +1,278 @@
+"""Event-stream semantics, batch-verified (SURVEY §2B streaming row, §2C).
+
+These queries exercise the engine's stream-shaped operators (tumbling /
+sliding windows, sessionization, compacted reads, as-of enrichment,
+first/last-by-time) in batch mode so the DuckDB oracle can check them
+hash-exact. The same operators run under Structured Streaming in
+``pulsar_lunar_spark.streaming`` (tested separately — streaming output
+is checked by the streaming test suite, not the SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_lunar_spark.operators.asof import asof_join
+from pulsar_lunar_spark.operators.compaction import compacted_latest_by_key
+from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.queries.registry import register
+
+
+@register(
+    "q_events_tumbling",
+    oracle="""
+    SELECT STRFTIME(TIME_BUCKET(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "window-agg"),
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (same F.window the streaming path
+    uses with a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "q_events_sliding",
+    oracle="""
+    WITH shifted AS (
+        SELECT TIME_BUCKET(INTERVAL 30 MINUTE, ts) - (i * INTERVAL 30 MINUTE) AS win_start,
+               value
+        FROM events, (VALUES (0), (1)) t(i)
+    )
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n,
+           FLOOR((ROUND(SUM(value), 6) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_value
+    FROM shifted
+    GROUP BY 1
+    ORDER BY win_start
+    """,
+    tags=("streaming", "window-agg"),
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 30 minutes (each event lands in 2
+    windows — the oracle reproduces that by unioning two shifted buckets)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # boundary-proof portable rounding: Spark's round() goes through
+            # the shortest decimal string of the double (73.91375 -> .9138)
+            # while DuckDB rounds the binary value (73.9137499.. -> .9137);
+            # floor(x*1e4 + 0.5) is bit-identical half-up in both engines
+            (F.floor((F.round(F.sum("value"), 6) / F.count(F.lit(1))) * 10000 + 0.5) / 10000).alias(
+                "avg_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "avg_value",
+        )
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "q_events_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT) AS duration_us,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (batch gaps-and-islands
+    twin of F.session_window; one shuffle by user, in-partition sort)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = 1800 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session").over(w_cum).cast("bigint").alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q_events_compacted",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           ROUND(value, 4) AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("streaming", "compaction"),
+)
+def q_events_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted-topic view: newest message per key (Pulsar read_compacted,
+    /root/reference/src/PulsarApi.proto:325) via the compaction operator."""
+    e = load_table(spark, sf_dir, "events")
+    latest = compacted_latest_by_key(e, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.round("value", 4).alias("last_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q_events_asof",
+    oracle="""
+    SELECT p.event_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           ROUND(c.value, 4) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof"),
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's latest prior click
+    (union + carry-forward window — one shuffle, no range explosion)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", payload_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.round("value_asof", 4).alias("click_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_events_first_last",
+    oracle="""
+    SELECT user_id,
+           MIN_BY(event_type, ts) AS first_type,
+           MAX_BY(event_type, ts) AS last_type,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           COUNT(*) AS n
+    FROM events
+    WHERE user_id <= 20
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "streaming"),
+)
+def q_events_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last-by-event-time per key (min_by/max_by aggregates)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "ts").alias("first_type"),
+            F.max_by("event_type", "ts").alias("last_type"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_events_collect",
+    oracle="""
+    SELECT event_type,
+           STRING_AGG(DISTINCT CAST(user_id AS VARCHAR), ','
+                      ORDER BY CAST(user_id AS VARCHAR)) AS users_sorted,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id <= 15
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "collect"),
+)
+def q_events_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sorted string (bounded key domain, so the collected
+    set is small — unbounded collect_list at scale is forbidden, SURVEY §4)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 15)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("user_id").cast("string"))), ","
+            ).alias("users_sorted"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

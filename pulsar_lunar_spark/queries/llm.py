@@ -1,0 +1,323 @@
+"""LLM training-data pipeline queries (SURVEY §2B north star, §7.5):
+dedup (exact + MinHash-LSH + SimHash), text analysis, language ID,
+embedding similarity search.
+
+Oracle notes: everything except the LSH-bucketed ops has an exact DuckDB
+twin. LSH candidate generation depends on xxhash64/plane literals — the
+verification step makes precision exact, and the dedicated pytest suite
+checks recall against exhaustive pairs; the driver records rows-only here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import dedup as D
+from pulsar_lunar_spark.operators import similarity as S
+from pulsar_lunar_spark.operators import text as T
+from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.queries.registry import register
+
+# Shared normalization SQL fragment (DuckDB twin of dedup.normalize_text).
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH g AS (
+        SELECT {_NORM} AS norm, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    )
+    SELECT COUNT(*)                                   AS n_unique,
+           CAST(SUM(n_copies) AS BIGINT)              AS n_docs,
+           COUNT(CASE WHEN n_copies > 1 THEN 1 END)   AS n_dup_groups,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT)   AS n_removed
+    FROM g
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over normalized text (sha256 groupBy): corpus-level
+    summary of unique docs / dup groups / rows removed."""
+    d = load_table(spark, sf_dir, "documents")
+    g = D.exact_dedup(d, "text", "doc_id")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_groups"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, MD5({_NORM}) AS fingerprint
+    FROM documents
+    WHERE doc_id <= 50
+    ORDER BY doc_id
+    """,
+    tags=("llm", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint of normalized text per document."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return d.select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(STRING_SPLIT({_NORM}, ' ')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(text,
+               '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+           ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                 * 1.0 / LENGTH(text), 4) AS punct_ratio,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT({_NORM}, ' '),
+                                              w -> LENGTH(w))) AS DOUBLE)
+                 / LEN(STRING_SPLIT({_NORM}, ' ')), 4) AS mean_word_len
+    FROM documents
+    WHERE doc_id <= 100
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: chars, whitespace words, BPE-ish regex
+    tokens, punctuation ratio, mean word length — all codegen'd regex/HOFs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        T.word_count(F.col("text")).alias("n_words"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(T.mean_word_length(F.col("text")), 4).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_lang_quality",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               LEAST(LENGTH(text) / 200.0, 1.0) * 0.4
+               + CASE WHEN CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT({_NORM}, ' '),
+                                                        w -> LENGTH(w))) AS DOUBLE)
+                           / LEN(STRING_SPLIT({_NORM}, ' ')) BETWEEN 3 AND 10
+                      THEN 1.0 ELSE 0.5 END * 0.3
+               + (1.0 - LEAST((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                              * 5.0 / LENGTH(text), 1.0)) * 0.3 AS q
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(q), 4) AS avg_quality
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "quality"),
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length / word-length / punctuation heuristic),
+    aggregated per labeled language."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.quality_score(F.col("text")).alias("q"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .orderBy("lang")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    stops = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return (
+        f"LEN(LIST_FILTER(STRING_SPLIT({_NORM}, ' '), w -> LIST_CONTAINS([{stops}], w)))"
+    )
+
+
+@register(
+    "q_lang_detect",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('zh')} AS s_zh
+        FROM documents
+    ), detected AS (
+        SELECT lang,
+               CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS detected
+        FROM scored
+    )
+    SELECT lang, detected, COUNT(*) AS n
+    FROM detected GROUP BY lang, detected ORDER BY lang, detected
+    """,
+    tags=("llm", "langid"),
+)
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language ID vs the labeled lang (confusion counts).
+    Argmax tiebreak: language code ascending, 'und' when no stopword hits."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.detect_lang(F.col("text")).alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "detected")
+    )
+
+
+@register(
+    "q_similarity_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]), qv)
+                 / (SQRT(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                    * SQRT(LIST_INNER_PRODUCT(qv, qv))), 6) AS cosine_sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding: one scan with a
+    broadcast single-row query side; TakeOrderedAndProject keeps k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+        )
+    )
+    e = emb.crossJoin(qrow)
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            F.round(S.cosine(ev, F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_knn_join",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+        SELECT q_id, vec_id,
+               ROUND(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]), qv)
+                     / (SQRT(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+                        * SQRT(LIST_INNER_PRODUCT(qv, qv))), 6) AS cosine_sim
+        FROM embeddings CROSS JOIN q
+    )
+    SELECT q_id, vec_id, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cosine_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY q_id, cosine_sim DESC, vec_id
+    """,
+    tags=("llm", "similarity", "knn"),
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-5 neighbors for 5 query vectors against the corpus
+    (broadcast query side + WindowGroupLimit per-query top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.knn_join(queries, emb, k=5)
+    return out.select("q_id", "vec_id", "cosine_sim").orderBy(
+        "q_id", F.desc("cosine_sim"), "vec_id"
+    )
+
+
+@register(
+    "q_ann_topk",
+    oracle=None,  # LSH bucket membership is hash-specific; recall is tested in pytest
+    tags=("llm", "similarity", "ann"),
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine via random-hyperplane LSH (scale path: probe
+    only matching buckets). Rows-only driver check; the pytest suite measures
+    recall vs the exact top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.ann_cosine_topk(emb, "embedding", qvec, k=10)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=None,  # LSH recall is probabilistic; exactness tested in pytest vs exhaustive pairs
+    tags=("llm", "dedup", "minhash"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (128 hashes, 32 bands) verified by
+    exact shingle Jaccard >= 0.3. Shuffle O(docs*bands), never O(n^2)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based signature has no SQL twin; tested in pytest
+    tags=("llm", "dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (pigeonhole banded
+    join over 4 16-bit blocks)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(STRING_SPLIT({_NORM}, ' ')) - 2, 1) + 1),
+                   i -> ARRAY_TO_STRING(STRING_SPLIT({_NORM}, ' ')[i:i+2], ' ')
+               )) AS sh
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
+                 LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over all pairs of a bounded doc slice
+    (the verification kernel of the near-dup pipeline, oracle-checked;
+    unbounded pairwise Jaccard at scale goes through LSH, never this)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = d.select(F.col("doc_id"), D.shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,127 @@
+"""Messaging-layer queries: envelope serde round-trip, key routing,
+compacted/delayed-delivery views (SURVEY §1.4, §2C) — oracle-checked by
+computing the same answer directly from the source table (a round-trip is
+correct iff it is invisible to downstream aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from pulsar_lunar_spark.functions.envelope import decode_payload, to_envelope
+from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.queries.registry import register
+
+_EVENT_PAYLOAD = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@register(
+    "q_envelope_roundtrip",
+    oracle="""
+    SELECT 'events.' || event_type AS topic,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value,
+           COUNT(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY 1
+    ORDER BY topic
+    """,
+    tags=("messaging", "serde"),
+)
+def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed rows -> envelope (JSON payload bytes, key routing, event-time)
+    -> decode -> aggregate. Matches direct aggregation iff serde round-trips
+    losslessly (the reference's golden codec round-trip pattern,
+    /root/reference/src/message/codec.rs:254-310, lifted to the engine)."""
+    e = load_table(spark, sf_dir, "events")
+    env = to_envelope(
+        e,
+        topic=F.concat(F.lit("events."), F.col("event_type")),
+        payload_cols=["event_id", "event_type", "value", "props"],
+        key="user_id",
+        event_time="ts",
+        sequence_id="event_id",
+        publish_time="ts",
+    )
+    decoded = decode_payload(env, _EVENT_PAYLOAD)
+    return (
+        decoded.select(
+            "topic",
+            F.col("key"),
+            F.col("payload.value").alias("value"),
+        )
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+        .orderBy("topic")
+    )
+
+
+@register(
+    "q_envelope_partition_routing",
+    oracle=None,  # partition ids come from Spark's hash — no SQL twin
+    tags=("messaging", "routing"),
+)
+def q_envelope_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-hash partition routing: every key maps to exactly one of the 8
+    partitions and partitions are reasonably balanced (Pulsar partitioned-
+    topic router, /root/reference/src/entity/producer.rs:295-312). Rows-only
+    check: one row per (partition) with key counts; determinism guaranteed
+    by Spark's stable murmur3 hash."""
+    e = load_table(spark, sf_dir, "events")
+    env = to_envelope(
+        e,
+        topic="events",
+        payload_cols=["event_id"],
+        key="user_id",
+        event_time="ts",
+        sequence_id="event_id",
+        publish_time="ts",
+    )
+    return (
+        env.select(F.col("message_id.partition").alias("partition"), "key")
+        .groupBy("partition")
+        .agg(F.countDistinct("key").alias("n_keys"), F.count(F.lit(1)).alias("n_msgs"))
+        .orderBy("partition")
+    )
+
+
+@register(
+    "q_delayed_delivery",
+    oracle="""
+    SELECT event_id,
+           STRFTIME(ts + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS deliver_at
+    FROM events
+    WHERE event_type = 'error'
+      AND ts + INTERVAL 1 HOUR <= TIMESTAMP '2024-01-15 00:00:00'
+    ORDER BY event_id
+    """,
+    tags=("messaging", "delayed"),
+)
+def q_delayed_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delayed delivery (deliver_at_time, /root/reference/src/PulsarApi.proto:126):
+    messages become visible only once deliver_at <= batch time (§2C)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    deliver_at = F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    batch_time = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        e.select("event_id", deliver_at.alias("deliver_at_ts"))
+        .filter(F.col("deliver_at_ts") <= batch_time)
+        .select(
+            "event_id",
+            F.date_format("deliver_at_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("deliver_at"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,63 @@
+"""Query registry: name -> (spark callable, duckdb oracle SQL).
+
+The driver contract (``__spark_entry__.py``) exposes this registry via
+``queries()`` / ``oracle_sql()``. Column names are aliased identically on
+both sides (the driver's compare sorts columns by name before hashing).
+
+Determinism discipline (SURVEY §5/§7 "hard parts"):
+- every floating aggregate is ``round(x, 4)`` on BOTH sides, so partial-sum
+  ordering differences between Spark and DuckDB cannot flip the value hash;
+- timestamps are emitted as formatted strings (``yyyy-MM-dd`` style), never
+  raw, so session-timezone differences cannot leak in;
+- integer sums are cast to BIGINT on the DuckDB side (DuckDB widens to
+  INT128 by default);
+- any top-k has a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+# Submodules that register queries on import.
+_QUERY_MODULES = (
+    "pulsar_lunar_spark.queries.relational",
+    "pulsar_lunar_spark.queries.scalar",
+    "pulsar_lunar_spark.queries.events",
+    "pulsar_lunar_spark.queries.messaging",
+    "pulsar_lunar_spark.queries.llm",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)

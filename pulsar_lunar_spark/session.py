@@ -1,0 +1,118 @@
+"""SparkSession factory and table loaders.
+
+Scale notes (100 TB design): every conf below is chosen so that the same
+code runs unchanged on a 1000-executor cluster — AQE handles runtime
+partition coalescing and skew joins, the broadcast threshold lets small
+dimension tables (region/nation/supplier at any SF) broadcast instead of
+shuffling, and Arrow keeps any pandas-UDF path vectorized. Nothing here
+hand-schedules what Catalyst already optimizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(app_name: str = "pulsar-lunar-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    On a real cluster the master/conf comes from spark-submit; the builder
+    only *adds* analytics-friendly defaults, so it is cluster-safe.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def _configure(spark: SparkSession) -> None:
+    """Runtime-settable confs we depend on for oracle-exact semantics.
+
+    Applied even when the caller (the verification driver) owns the
+    session: UTC keeps timestamp collection deterministic vs DuckDB, and
+    nanosAsLong lets Spark read parquet TIMESTAMP(NANOS) columns (read as
+    raw nanos, re-typed in load_table the way DuckDB truncates to micros).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be static on some builds; load_table still works
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (unsupported natively by
+    Spark's vectorized reader — surfaced as long when nanosAsLong is on)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table (see TESTDATA.md / FIXTURES.md).
+
+    TIMESTAMP(NANOS) columns are converted to microsecond TimestampType by
+    integer-dividing the raw nanos — identical to DuckDB's truncation, so
+    oracle comparisons stay exact.
+    """
+    _configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register temp views (so spark.sql works too)."""
+    _configure(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

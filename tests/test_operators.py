@@ -1,0 +1,156 @@
+"""Unit tests for the operator library on hand-built inputs (known answers)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators.asof import asof_join
+from pulsar_lunar_spark.operators.compaction import compacted_latest_by_key
+from pulsar_lunar_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+    shingles,
+)
+from pulsar_lunar_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from pulsar_lunar_spark.operators.text import detect_lang, token_count
+from pulsar_lunar_spark.operators.topk import top_k_per_group
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01T10:00:00"), 1),
+         ("a", _ts("2024-01-01T10:05:00"), 2),
+         ("b", _ts("2024-01-01T10:00:00"), 3)],
+        "k string, ts timestamp, ev int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T09:59:00"), 100.0),
+         ("a", _ts("2024-01-01T10:03:00"), 200.0),
+         ("b", _ts("2024-01-01T11:00:00"), 300.0)],
+        "k string, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload_cols=["px"])
+    got = {r["ev"]: r["px_asof"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 200.0, 3: None}
+
+
+def test_asof_join_inclusive_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01T10:00:00"), 1)], "k string, ts timestamp, ev int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T10:00:00"), 7.0)], "k string, ts timestamp, px double"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload_cols=["px"])
+    assert out.collect()[0]["px_asof"] == 7.0  # equal ts matches (inclusive)
+
+    right2 = spark.createDataFrame(
+        [("a", _ts("2024-01-01T08:00:00"), 7.0)], "k string, ts timestamp, px double"
+    )
+    out2 = asof_join(
+        left, right2, on="k", left_ts="ts", right_ts="ts",
+        payload_cols=["px"], tolerance_seconds=3600,
+    )
+    assert out2.collect()[0]["px_asof"] is None  # 2h gap > 1h tolerance
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)], "g string, v int"
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v")], k=2, keep_rank=False)
+    got = sorted((r["g"], r["v"]) for r in out.collect())
+    assert got == [("g1", 8), ("g1", 9), ("g2", 1), ("g2", 2)]
+
+
+def test_compacted_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "old"), ("k1", 2, "new"), ("k2", 5, "only")], "k string, seq int, v string"
+    )
+    out = compacted_latest_by_key(df, ["k"], ["seq"])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"k1": "new", "k2": "only"}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")], "id long, text string"
+    )
+    out = exact_dedup(df, "text", "id").collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert by_keeper == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn every single day"
+    near = base.replace("quiet", "silent")  # one-word edit => high jaccard
+    far = "completely unrelated content about database query optimization and distributed shuffle execution plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn every single day"
+    near = base + " extra"
+    far = "completely unrelated content about database query optimization plans"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "two words")], "id long, text string")
+    out = df.select(shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    assert out == ["two words"]
+
+
+def test_cosine_topk_self_is_best(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = cosine_topk(emb, "embedding", q, k=5).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-6
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", q, k=10).collect()}
+    approx = {r["vec_id"] for r in ann_cosine_topk(emb, "embedding", q, k=10).collect()}
+    # LSH recall on the true top-10 should be decent at these parameters
+    assert len(exact & approx) >= 5
+
+
+def test_detect_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the garden of the house"),
+            (2, "el perro y el gato en la casa de los abuelos"),
+            (3, "der hund und die katze sind mit dem kind im haus"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", detect_lang(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world! It's 42 degrees.")], "id long, text string")
+    n = df.select(token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    # Hello , world ! It's 42 degrees . => 8 tokens
+    assert n == 8
