@@ -29,10 +29,12 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # Submodules that register queries on import.
 _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.relational",
+    "pulsar_lunar_spark.queries.relational2",
     "pulsar_lunar_spark.queries.scalar",
     "pulsar_lunar_spark.queries.events",
     "pulsar_lunar_spark.queries.messaging",
     "pulsar_lunar_spark.queries.llm",
+    "pulsar_lunar_spark.queries.udf",
 )
 
 

@@ -1,0 +1,164 @@
+"""UDF surface (SURVEY §2B UDF row): pandas scalar UDF, pandas grouped-agg
+UDF, applyInPandas grouped-map — the sanctioned Python escape hatches, all
+Arrow-batched (never row-at-a-time Python).
+
+Each query is SQL-expressible so the DuckDB oracle cross-checks the UDF
+plumbing end-to-end (values must survive the Arrow round-trip bit-exact).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.queries.registry import register
+
+
+@F.pandas_udf(DoubleType())
+def _disc_price(extended: pd.Series, discount: pd.Series) -> pd.Series:
+    """Vectorized discounted price: runs on Arrow batches, ~100x faster
+    than a row-at-a-time Python UDF (SURVEY §2B: UDFs are the slow path —
+    when unavoidable, pandas_udf)."""
+    return extended * (1.0 - discount)
+
+
+@register(
+    "q_pandas_udf_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS disc_revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("udf", "pandas"),
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas scalar UDF in the projection, aggregated after — double math
+    in numpy is IEEE-identical to the JVM, so the oracle hash-matches."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return (
+        li.select("l_returnflag", _disc_price("l_extendedprice", "l_discount").alias("dp"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("dp"), 4).alias("disc_revenue"), F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg pandas UDF: quantity-weighted mean price."""
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "q_pandas_udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("udf", "pandas", "agg"),
+)
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF equivalent): weighted average.
+
+    Scale note: grouped-agg UDFs materialize each group in one Arrow batch —
+    fine for bounded groups (6 here); unbounded groups should pre-aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(_weighted_avg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _zscore_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: per-nation balance stats via numpy."""
+    bal = pdf["c_acctbal"]
+    n = len(bal)
+    mean = float(bal.sum() / n)
+    # sample variance computed with the two-pass formula (matches VAR_SAMP)
+    var = float(((bal - mean) ** 2).sum() / (n - 1)) if n > 1 else 0.0
+    return pd.DataFrame(
+        {
+            "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+            "n_customers": [n],
+            "mean_bal": [mean],
+            "sd_bal": [var**0.5],
+        }
+    )
+
+
+@register(
+    "q_apply_in_pandas",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal) / COUNT(*), 4) AS mean_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("udf", "pandas", "grouped-map"),
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (the custom-stateful-operator escape hatch,
+    SURVEY §2B): one Arrow batch per group in, one pandas frame out."""
+    c = load_table(spark, sf_dir, "customer")
+    out = c.groupBy("c_nationkey").applyInPandas(
+        _zscore_stats,
+        schema="c_nationkey int, n_customers long, mean_bal double, sd_bal double",
+    )
+    return out.select(
+        "c_nationkey",
+        "n_customers",
+        F.round("mean_bal", 4).alias("mean_bal"),
+        F.round("sd_bal", 4).alias("sd_bal"),
+    ).orderBy("c_nationkey")
+
+
+def _tag_batches(it):
+    """mapInPandas kernel: pass-through with a derived column, iterator of
+    Arrow batches (the multimodal decode plumbing shape)."""
+    for pdf in it:
+        pdf = pdf.copy()
+        pdf["price_band"] = pd.cut(
+            pdf["p_retailprice"], bins=[0, 500, 1500, float("inf")], labels=False
+        ).astype("int64")
+        yield pdf[["p_partkey", "p_retailprice", "price_band"]]
+
+
+@register(
+    "q_map_in_pandas",
+    oracle="""
+    SELECT p_partkey, ROUND(p_retailprice, 4) AS p_retailprice,
+           CASE WHEN p_retailprice <= 500 THEN 0
+                WHEN p_retailprice <= 1500 THEN 1
+                ELSE 2 END AS price_band
+    FROM part
+    WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+    tags=("udf", "pandas", "map-in-pandas"),
+)
+def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas partition-wise transform (the pattern multimodal decode
+    UDFs use: iterator of Arrow batches in/out, no per-row Python)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    out = p.mapInPandas(
+        _tag_batches, schema="p_partkey long, p_retailprice double, price_band long"
+    )
+    return out.select(
+        "p_partkey", F.round("p_retailprice", 4).alias("p_retailprice"), "price_band"
+    ).orderBy("p_partkey")

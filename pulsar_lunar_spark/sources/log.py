@@ -1,0 +1,173 @@
+"""MessageLog: a Pulsar-style topic log on Spark (SURVEY §7.3).
+
+The reference is a client for a broker that stores partitioned, durable
+message logs (topics) and serves them to named subscriptions with replay
+(/root/reference/src/PulsarApi.proto: CommandSubscribe :297-353, Seek
+:537-543, producer :428-486). This module realizes the same data plane
+Spark-first:
+
+- a topic = a parquet directory laid out by the envelope's ``partition``
+  column (key-hash routed, SURVEY §1.4) — at scale this is the same layout
+  a 1000-executor cluster would bucket/partition a log table by;
+- produce() = typed rows -> envelope -> append (the reference's send path,
+  producer.rs:178-231);
+- subscribe() = Structured Streaming file source + a per-subscription
+  checkpoint dir (subscription == durable cursor, §2C);
+- read()/replay()/compacted() = batch views: full scan, time-range seek
+  (CommandSeek by publish time), latest-per-key (read_compacted).
+
+A real ``format("pulsar")`` connector would slot behind the same API; the
+file backing is the test/bench stand-in AND a legitimate log-table design
+(the "topic as table" pattern).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from pulsar_lunar_spark.functions.envelope import (
+    DEFAULT_NUM_PARTITIONS,
+    ENVELOPE_SCHEMA,
+    decode_payload,
+    to_envelope,
+)
+from pulsar_lunar_spark.operators.compaction import compacted_latest_by_key
+
+
+def _safe_topic(topic: str) -> str:
+    return topic.replace("/", "_").replace(":", "_")
+
+
+class MessageLog:
+    """A directory of topics; one parquet log per topic."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def topic_path(self, topic: str) -> str:
+        return os.path.join(self.root, "topics", _safe_topic(topic))
+
+    def subscription_checkpoint(self, topic: str, subscription: str) -> str:
+        """The durable cursor: one checkpoint dir per (topic, subscription) —
+        Exclusive/Failover semantics fall out (one active query per dir)."""
+        return os.path.join(self.root, "subscriptions", _safe_topic(topic), subscription)
+
+    def dlq_path(self, topic: str) -> str:
+        return self.topic_path(f"{topic}.DLQ")
+
+    # -- produce --------------------------------------------------------
+    def produce(
+        self,
+        df: DataFrame,
+        topic: str,
+        payload_cols: Sequence[str] | None = None,
+        key: str | Column | None = None,
+        event_time: str | Column | None = None,
+        sequence_id: str | Column | None = None,
+        publish_time: str | Column | None = None,
+        properties: Column | None = None,
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    ) -> None:
+        """Append typed rows to a topic as envelope rows.
+
+        Physical layout: partitioned by the envelope's key-hash ``partition``
+        (Pulsar's partitioned topic, discovery/mod.rs:71) — consumers of one
+        partition read one directory; per-key order within a partition is
+        the parquet row order, as in a Pulsar ledger.
+        """
+        env = to_envelope(
+            df,
+            topic=topic,
+            payload_cols=payload_cols,
+            key=key,
+            event_time=event_time,
+            sequence_id=sequence_id,
+            publish_time=publish_time,
+            properties=properties,
+            num_partitions=num_partitions,
+        )
+        out = env.withColumn("__partition", F.col("message_id.partition"))
+        (
+            out.repartition(num_partitions, "__partition")
+            .sortWithinPartitions("__partition", "sequence_id")
+            .write.partitionBy("__partition")
+            .mode("append")
+            .parquet(self.topic_path(topic))
+        )
+
+    def produce_stream(self, env_stream: DataFrame, topic: str, checkpoint: str, **opts):
+        """Streaming produce: writeStream of envelope rows into the topic
+        (the reference's async producer; exactly-once via the checkpoint +
+        sequence_id dedup on read, PulsarApi.proto:577-579)."""
+        return (
+            env_stream.writeStream.format("parquet")
+            .option("path", self.topic_path(topic))
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .options(**opts)
+        )
+
+    # -- consume: batch views ------------------------------------------
+    def read(self, topic: str) -> DataFrame:
+        """Full batch scan of a topic (envelope rows; message_id.partition is
+        stored inside the struct — __partition is only the directory layout)."""
+        return self.spark.read.parquet(self.topic_path(topic)).drop("__partition")
+
+    def replay(
+        self,
+        topic: str,
+        from_publish_time: str | None = None,
+        to_publish_time: str | None = None,
+    ) -> DataFrame:
+        """Seek-style batch replay by publish-time range (CommandSeek,
+        PulsarApi.proto:537-543). Partition pruning note: at scale, also
+        partitionBy date(publish_time) so seeks prune files."""
+        df = self.read(topic)
+        if from_publish_time is not None:
+            df = df.filter(F.col("publish_time") >= F.lit(from_publish_time).cast("timestamp"))
+        if to_publish_time is not None:
+            df = df.filter(F.col("publish_time") < F.lit(to_publish_time).cast("timestamp"))
+        return df
+
+    def compacted(self, topic: str) -> DataFrame:
+        """read_compacted view: newest message per key (PulsarApi.proto:325)."""
+        return compacted_latest_by_key(
+            self.read(topic).filter(F.col("key").isNotNull()),
+            ["key"],
+            ["publish_time", "sequence_id"],
+        )
+
+    # -- consume: streaming subscription -------------------------------
+    def subscribe(
+        self,
+        topic: str,
+        payload_schema: StructType | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
+        """Streaming read of a topic (envelope rows; payload decoded when a
+        schema is given — GetSchema, PulsarApi.proto:672-686).
+
+        Pair with ``subscription_checkpoint(topic, name)`` as the query's
+        checkpointLocation: the checkpoint IS the subscription cursor —
+        initialPosition=Earliest on first start, resume-from-cursor after
+        (CommandSubscribe.initialPosition, PulsarApi.proto:328-334).
+        """
+        # File sources need an explicit schema (the envelope; the __partition
+        # directory column surfaces separately and is dropped downstream).
+        reader = self.spark.readStream.schema(ENVELOPE_SCHEMA)
+        if max_files_per_trigger is not None:
+            # flow control: the credit-based permit knob (CommandFlow,
+            # PulsarApi.proto:523-529) maps to source rate limiting
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(self.topic_path(topic))
+        if payload_schema is not None:
+            stream = decode_payload(stream, payload_schema)
+        return stream

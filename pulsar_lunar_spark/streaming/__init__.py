@@ -1,0 +1,22 @@
+"""Structured Streaming surface: watermarked windows, streaming dedup,
+DLQ/redelivery, delayed delivery, Key_Shared ordering (SURVEY §2C)."""
+
+from pulsar_lunar_spark.streaming.ops import (
+    foreach_batch_with_dlq,
+    key_shared,
+    run_available_now,
+    session_aggregate,
+    streaming_dedup,
+    tumbling_counts,
+    with_deliver_at,
+)
+
+__all__ = [
+    "tumbling_counts",
+    "session_aggregate",
+    "streaming_dedup",
+    "key_shared",
+    "with_deliver_at",
+    "foreach_batch_with_dlq",
+    "run_available_now",
+]

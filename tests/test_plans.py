@@ -1,0 +1,99 @@
+"""Scale-plan audits: the physical plans of headline queries must be the
+plans we'd want on a 1000-executor cluster (pushdown, broadcast, no
+cartesian, WindowGroupLimit, Python only where declared)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pulsar_lunar_spark.plans.inspect import (
+    assert_scale_plan,
+    has_window_group_limit,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+    uses_python_eval,
+)
+from pulsar_lunar_spark.queries import all_queries
+
+SPECS = all_queries()
+
+# Queries that intentionally use Python (pandas UDF surface + LSH/driver-side
+# query-vector fetch).
+PYTHON_OK = {
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_apply_in_pandas",
+    "q_map_in_pandas",
+}
+
+# Bounded cross joins by design (5-row region table / single-row query vec).
+CARTESIAN_OK = {"q_join_cross", "q_similarity_topk", "q_knn_join", "q_ngram_jaccard"}
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    # shipdate filter must reach the parquet scan
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+    # column pruning: unused columns (l_orderkey etc.) not in ReadSchema
+    rs = " ".join(read_schemas(df))
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = SPECS["q5_local_supplier_volume"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert_scale_plan(df, require_pushdown=True, require_broadcast=True)
+
+
+def test_q3_pushdown(spark, sf_dir):
+    df = SPECS["q3_shipping_priority"].fn(spark, sf_dir)
+    assert any("BUILDING" in p for p in pushed_filters(df))
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    df = SPECS["q_window_topk_per_group"].fn(spark, sf_dir)
+    assert has_window_group_limit(df)
+
+
+def test_compacted_read_uses_window_group_limit(spark, sf_dir):
+    df = SPECS["q_events_compacted"].fn(spark, sf_dir)
+    assert has_window_group_limit(df)
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    from pulsar_lunar_spark.plans.inspect import plan_text
+
+    df = SPECS["q_sort_limit"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_text(df)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in SPECS if n not in CARTESIAN_OK)
+)
+def test_no_cartesian_products(name, spark, sf_dir):
+    assert_scale_plan(SPECS[name].fn(spark, sf_dir), forbid_cartesian=True)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in SPECS
+        if n not in PYTHON_OK and not n.startswith("q_ann")
+    ),
+)
+def test_jvm_only_queries_have_no_python_eval(name, spark, sf_dir):
+    """Every query outside the declared UDF surface stays JVM-side (UDFs are
+    the slow path; the relational/dedup/text stack is pure codegen)."""
+    assert not uses_python_eval(SPECS[name].fn(spark, sf_dir)), name
+
+
+def test_minhash_plan_is_jvm_only(spark, sf_dir):
+    from pulsar_lunar_spark.operators.dedup import minhash_lsh_candidates
+    from pulsar_lunar_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d, "doc_id", "text")
+    assert not uses_python_eval(cands)
+    assert_scale_plan(cands, forbid_cartesian=True)
