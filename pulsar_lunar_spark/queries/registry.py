@@ -30,6 +30,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.relational",
     "pulsar_lunar_spark.queries.relational2",
+    "pulsar_lunar_spark.queries.relational3",
     "pulsar_lunar_spark.queries.scalar",
     "pulsar_lunar_spark.queries.events",
     "pulsar_lunar_spark.queries.messaging",
