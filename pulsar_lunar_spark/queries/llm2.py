@@ -1,0 +1,117 @@
+"""LLM-pipeline batch 2: embedding-space dedup and IVF-style ANN, both
+oracle-checked (the LSH variants in batch 1 are rows-only because bucket
+membership is hash-specific; these two are deterministic end-to-end).
+
+Scale notes (100 TB): both queries block the O(n²) pair space by a coarse
+partition key (the `label` column here; a k-means cell id in production —
+same plan shape). The self-join/search shuffles only within blocks, so cost
+is O(sum(block²)) not O(n²), and the block key is the shuffle key — one
+exchange per side, AQE handles skewed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import similarity as S
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import load_table
+
+_COSINE_ORACLE = """
+ROUND(LIST_INNER_PRODUCT({a}, {b})
+      / (SQRT(LIST_INNER_PRODUCT({a}, {a}))
+         * SQRT(LIST_INNER_PRODUCT({b}, {b}))), 6)
+"""
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COSINE_ORACLE.format(a="a.v", b="b.v")} AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE LIST_INNER_PRODUCT(a.v, b.v)
+          / (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v)))
+          >= 0.40
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "embedding", "blocked-join"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the coarse cluster
+    key (`label`): the production shape for semantic dedup — assign each doc
+    a coarse cell (here precomputed), self-join within cells only, keep
+    pairs above the similarity threshold. Threshold 0.40 verified to sit in
+    an fp-safe gap at every SF (no pair within 1e-6)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    cos = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= 0.40)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT i FROM generate_series(1, 64) AS t(i)),
+    centroids AS (
+      SELECT label, LIST(avg_e ORDER BY i) AS cv
+      FROM (SELECT label, i, AVG(v[i]) AS avg_e FROM e CROSS JOIN dims GROUP BY label, i)
+      GROUP BY label
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    best_cell AS (
+      SELECT label FROM centroids CROSS JOIN q
+      ORDER BY LIST_INNER_PRODUCT(cv, qv)
+               / (SQRT(LIST_INNER_PRODUCT(cv, cv)) * SQRT(LIST_INNER_PRODUCT(qv, qv))) DESC,
+               label
+      LIMIT 1
+    )
+    SELECT vec_id, {_COSINE_ORACLE.format(a="v", b="qv")} AS cosine_sim
+    FROM e CROSS JOIN q
+    WHERE label = (SELECT label FROM best_cell)
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: train coarse centroids (elementwise mean per
+    cell — here the `label` partition), route the query vector to its
+    nearest centroid, and scan only that cell for the exact top-10.
+
+    Scale path: nprobe=1 over n_cells cells scans ~n/n_cells vectors — the
+    centroid table is tiny and broadcast; the cell scan is a partition-
+    pruned read when the corpus is written partitionBy(cell)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dim = 64
+    centroids = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+    )
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
+    best = (
+        centroids.join(q)
+        .select("label", S.cosine(F.col("cv"), F.col("qv")).alias("c"))
+        .orderBy(F.desc("c"), "label")
+        .limit(1)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(best), "label", "left_semi")
+        .join(q)
+        .select("vec_id", F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )

@@ -35,6 +35,8 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.events",
     "pulsar_lunar_spark.queries.messaging",
     "pulsar_lunar_spark.queries.llm",
+    "pulsar_lunar_spark.queries.llm2",
+    "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.udf",
 )
 
