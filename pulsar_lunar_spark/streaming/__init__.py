@@ -6,6 +6,9 @@ from pulsar_lunar_spark.streaming.ops import (
     key_shared,
     run_available_now,
     session_aggregate,
+    stateful_running_count,
+    stream_static_join,
+    stream_stream_join,
     streaming_dedup,
     tumbling_counts,
     with_deliver_at,
@@ -19,4 +22,7 @@ __all__ = [
     "with_deliver_at",
     "foreach_batch_with_dlq",
     "run_available_now",
+    "stream_static_join",
+    "stream_stream_join",
+    "stateful_running_count",
 ]

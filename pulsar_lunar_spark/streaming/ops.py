@@ -10,8 +10,10 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def tumbling_counts(
@@ -120,6 +122,95 @@ def foreach_batch_with_dlq(
         dlq_writer(bad)
 
     return _fn
+
+
+def stream_static_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Column | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich a message stream with a dimension table
+    (the per-message schema/metadata lookup a broker does server-side).
+    The static side is re-resolved per micro-batch and broadcast when small
+    — no state is kept, so it scales to any stream volume."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: Sequence[str],
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with watermarks on both sides and a time-bound
+    condition, so join state is evictable (bounded by watermark + interval
+    — without the bound, both sides' state would grow forever at 100 TB).
+
+    ``keys`` and ``right_ts`` name the logical columns; the right side's
+    physical columns must be pre-renamed with a ``r_`` prefix (so the join
+    output has no ambiguous names). The time bound is
+    ``r_<right_ts> ∈ [left_ts, left_ts + within]``.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(f"r_{right_ts}", watermark)
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"r_{k}")
+        cond = c if cond is None else (cond & c)
+    bound = (F.col(f"r_{right_ts}") >= F.col(left_ts)) & (
+        F.col(f"r_{right_ts}") <= F.col(left_ts) + F.expr(f"INTERVAL {within}")
+    )
+    return lw.join(rw, cond & bound, how)
+
+
+def stateful_running_count(
+    stream: DataFrame,
+    key_col: str,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-key
+    running message count maintained across micro-batches (the consumer-side
+    redelivery/progress counter the reference keeps per consumer id,
+    /root/reference/src/PulsarApi.proto:475 redelivery_count).
+
+    Emits one row per key per batch with the cumulative count — state is a
+    single long per key, so memory is O(distinct keys), and keys shard
+    across executors by groupBy hash. This is the template for any per-key
+    accumulator (dedup watermarks, rate counters, delayed-delivery queues).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("running_count", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"key": [key[0]], "running_count": [n]})
+
+    return (
+        stream.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def run_available_now(writer, checkpoint: str):

@@ -228,3 +228,104 @@ def test_compacted_view(spark, log):
     keys = log.read("events").select("key").distinct().count()
     assert comp.count() == keys
     assert comp.groupBy("key").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_stream_static_join_enriches(spark, log, sf_dir):
+    """Stream-static join: envelope stream enriched with a static dimension
+    (per-key attributes) matches the batch join row-for-row in count."""
+    from pulsar_lunar_spark.session import load_table
+    from pulsar_lunar_spark.streaming import stream_static_join
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .limit(1000)
+        .groupBy(F.col("user_id").alias("key_id"))
+        .agg(F.count(F.lit(1)).alias("user_n"))
+    )
+    stream = log.subscribe("events").select(
+        F.col("key").cast("long").alias("key_id"), "sequence_id"
+    )
+    joined = stream_static_join(stream, users, "key_id")
+    q = run_available_now(
+        joined.writeStream.format("memory").queryName("ssj").outputMode("append"),
+        log.subscription_checkpoint("events", "ssj"),
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct key_id) k from ssj").head()
+    assert got["n"] == 1000
+    assert got["k"] == users.count()
+
+
+def test_stream_stream_join_time_bounded(spark, log, tmp_path):
+    """Stream-stream inner join of two topics on user_id within a 1-hour
+    bound matches the equivalent batch join."""
+    from pulsar_lunar_spark.streaming import stream_stream_join
+
+    env = log.read("events")
+    # split one topic into two streams: clicks (even seq) and views (odd)
+    left_b = env.filter(F.col("sequence_id") % 2 == 0).select(
+        F.col("key").cast("long").alias("uid"), F.col("event_time").alias("lts"),
+        F.col("sequence_id").alias("lseq"),
+    )
+    right_b = env.filter(F.col("sequence_id") % 2 == 1).select(
+        F.col("key").cast("long").alias("r_uid"), F.col("event_time").alias("r_rts"),
+        F.col("sequence_id").alias("rseq"),
+    )
+    want = (
+        left_b.join(
+            right_b,
+            (F.col("uid") == F.col("r_uid"))
+            & (F.col("r_rts") >= F.col("lts"))
+            & (F.col("r_rts") <= F.col("lts") + F.expr("INTERVAL 1 HOUR")),
+        )
+    ).count()
+
+    stream = log.subscribe("events")
+    left = stream.filter(F.col("sequence_id") % 2 == 0).select(
+        F.col("key").cast("long").alias("uid"), F.col("event_time").alias("lts"),
+        F.col("sequence_id").alias("lseq"),
+    )
+    right = stream.filter(F.col("sequence_id") % 2 == 1).select(
+        F.col("key").cast("long").alias("r_uid"), F.col("event_time").alias("r_rts"),
+        F.col("sequence_id").alias("rseq"),
+    )
+    joined = stream_stream_join(
+        left, right, "lts", "rts", ["uid"], watermark="10 years", within="1 hour"
+    )
+    q = run_available_now(
+        joined.writeStream.format("memory").queryName("s2j").outputMode("append"),
+        log.subscription_checkpoint("events", "s2j"),
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) n from s2j").head()["n"]
+    assert got == want
+
+
+def test_stateful_running_count(spark, log, tmp_path):
+    """applyInPandasWithState: per-key running count across multiple
+    micro-batches converges to the batch groupBy count."""
+    from pulsar_lunar_spark.streaming import stateful_running_count
+
+    stream = log.subscribe("events", max_files_per_trigger=4).select(
+        F.col("key").cast("long").alias("user_id")
+    )
+    counted = stateful_running_count(stream, "user_id")
+    q = run_available_now(
+        counted.writeStream.format("memory").queryName("src").outputMode("update"),
+        log.subscription_checkpoint("events", "src"),
+    )
+    q.awaitTermination(180)
+    # update mode: take the LAST emitted count per key (max = cumulative)
+    got = {
+        r["key"]: r["mx"]
+        for r in spark.sql("select key, max(running_count) mx from src group by key").collect()
+    }
+    want = {
+        r["key"]: r["n"]
+        for r in (
+            log.read("events")
+            .groupBy(F.col("key").cast("long").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        ).collect()
+    }
+    assert got == want
