@@ -32,6 +32,13 @@ HEADLINE = [
     "q_similarity_topk",
     "q_knn_join",
     "q_lang_detect",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q_dedup_embedding",
+    "q_ivf_topk",
 ]
 
 

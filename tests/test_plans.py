@@ -25,10 +25,19 @@ PYTHON_OK = {
     "q_pandas_udf_grouped_agg",
     "q_apply_in_pandas",
     "q_map_in_pandas",
+    # vectorized GEMM per coarse-cluster block (Arrow-batched BLAS) — the
+    # declared fast path for matrix-shaped similarity work
+    "q_dedup_embedding",
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
-CARTESIAN_OK = {"q_join_cross", "q_similarity_topk", "q_knn_join", "q_ngram_jaccard"}
+CARTESIAN_OK = {
+    "q_join_cross",
+    "q_similarity_topk",
+    "q_knn_join",
+    "q_ngram_jaccard",
+    "q_ivf_topk",  # single-row query vec + single-row probed-cell id
+}
 
 
 def test_q1_pushdown_and_pruning(spark, sf_dir):
