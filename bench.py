@@ -49,8 +49,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # Warm the JVM + parquet footers with the cheapest query once.
+    # Warm the JVM + parquet footers with the cheapest query once, and the
+    # Python worker fleet (first Arrow-UDF stage pays ~32 × numpy/pandas
+    # import otherwise — session bring-up, not query cost).
     specs["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(v):
+        import numpy  # noqa: F401
+
+        return v * 1.0
+
+    spark.range(0, 10000, 1, 64).select(_warm(F.col("id").cast("double"))).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

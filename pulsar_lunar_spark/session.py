@@ -105,6 +105,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame UP to the cluster's parallelism —
+    only when it currently has fewer partitions.
+
+    CPU-bound per-row derivations (minhash/simhash signatures, language
+    scoring, shingling) otherwise inherit the scan's split count; a small
+    parquet file is one split, serializing the whole computation on one core
+    (measured: the entire sf0.1 minhash pipeline on 1 of 32 cores). The
+    shuffle moves only the raw input rows once and is skipped entirely when
+    the source already has enough splits — at 100 TB the scan has thousands
+    of splits and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table and register temp views (so spark.sql works too)."""
     _configure(spark)

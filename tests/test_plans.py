@@ -25,9 +25,10 @@ PYTHON_OK = {
     "q_pandas_udf_grouped_agg",
     "q_apply_in_pandas",
     "q_map_in_pandas",
-    # vectorized GEMM per coarse-cluster block (Arrow-batched BLAS) — the
-    # declared fast path for matrix-shaped similarity work
+    # vectorized Arrow-batched numpy paths — the declared fast lane for
+    # matrix-shaped similarity / signature math (BLAS & minimum.reduceat)
     "q_dedup_embedding",
+    "q_dedup_minhash",
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -98,11 +99,15 @@ def test_jvm_only_queries_have_no_python_eval(name, spark, sf_dir):
     assert not uses_python_eval(SPECS[name].fn(spark, sf_dir)), name
 
 
-def test_minhash_plan_is_jvm_only(spark, sf_dir):
+def test_minhash_jvm_variant_plan(spark, sf_dir):
+    """The pure-JVM fallback stays Python-free; both variants avoid
+    cartesian joins. (The vectorized default is Python-by-design.)"""
     from pulsar_lunar_spark.operators.dedup import minhash_lsh_candidates
     from pulsar_lunar_spark.session import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(d, "doc_id", "text")
-    assert not uses_python_eval(cands)
-    assert_scale_plan(cands, forbid_cartesian=True)
+    jvm = minhash_lsh_candidates(d, "doc_id", "text", vectorized=False)
+    assert not uses_python_eval(jvm)
+    assert_scale_plan(jvm, forbid_cartesian=True)
+    vec = minhash_lsh_candidates(d, "doc_id", "text", vectorized=True)
+    assert_scale_plan(vec, forbid_cartesian=True)
