@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pulsar_lunar_spark.operators import dedup as D
 from pulsar_lunar_spark.operators import similarity as S
 from pulsar_lunar_spark.operators import text as T
-from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
 from pulsar_lunar_spark.queries.registry import register
 
 # Shared normalization SQL fragment (DuckDB twin of dedup.normalize_text).
@@ -124,7 +124,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length / word-length / punctuation heuristic),
     aggregated per labeled language."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         d.select("lang", T.quality_score(F.col("text")).alias("q"))
         .groupBy("lang")
@@ -169,7 +169,7 @@ def _lang_score_sql(lang: str) -> str:
 def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-scoring language ID vs the labeled lang (confusion counts).
     Argmax tiebreak: language code ascending, 'und' when no stopword hits."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         d.select("lang", T.detect_lang(F.col("text")).alias("detected"))
         .groupBy("lang", "detected")
