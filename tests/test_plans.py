@@ -29,6 +29,10 @@ PYTHON_OK = {
     # matrix-shaped similarity / signature math (BLAS & minimum.reduceat)
     "q_dedup_embedding",
     "q_dedup_minhash",
+    # mapInPandas decode stubs — Python is the declared decode path
+    "q_media_image_features",
+    "q_media_audio_features",
+    "q_media_frame_sample",
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
