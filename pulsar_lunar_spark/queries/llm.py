@@ -124,7 +124,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length / word-length / punctuation heuristic),
     aggregated per labeled language."""
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # NOT scaled out via repartition: AVG over doubles is partial-sum-order
+    # sensitive, and round-robin repartition changed a 4th decimal at
+    # sf0.001 vs the sequential DuckDB sum. The scan's natural split order
+    # matches the oracle; scoring is cheap relative to lang_detect.
+    d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", T.quality_score(F.col("text")).alias("q"))
         .groupBy("lang")
