@@ -125,3 +125,61 @@ def q_delayed_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_chunked_reassembly",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS total_len,
+           CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM events
+    """,
+    tags=("messaging", "chunking"),
+)
+def q_chunked_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-message reassembly (PulsarApi.proto:143-145 uuid/chunk_id/
+    num_chunks): each payload is split into 3 chunks, shipped as separate
+    rows, then reassembled by (uuid) with sort_array(collect_list(...)).
+    n_exact == n_messages proves reassembly is byte-identical. Scale:
+    collect_list is bounded by num_chunks per key — state is per-message,
+    never per-topic."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("uuid"), F.col("props").alias("payload")
+    )
+
+    def _chunk(i: int):
+        return F.expr(
+            f"substring(payload, cast({i} * ceil(length(payload)/3) as int) + 1, "
+            f"cast(ceil(length(payload)/3) as int))"
+        )
+
+    chunks = e.select(
+        "uuid",
+        "payload",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk_id"), _chunk(i).alias("chunk"))
+                    for i in range(3)
+                ]
+            )
+        ).alias("c"),
+    ).select("uuid", "payload", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    reassembled = (
+        chunks.groupBy("uuid", "payload")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("reassembled")
+        )
+    )
+    return reassembled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+        F.sum(F.length("reassembled")).cast("bigint").alias("total_len"),
+        F.count(F.when(F.col("reassembled") == F.col("payload"), 1)).cast("bigint").alias("n_exact"),
+    )

@@ -12,7 +12,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StringType
 
 from pulsar_lunar_spark.session import load_table
 from pulsar_lunar_spark.queries.registry import register
@@ -162,3 +162,28 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p_partkey", F.round("p_retailprice", 4).alias("p_retailprice"), "price_band"
     ).orderBy("p_partkey")
+
+
+@register(
+    "q_python_udf",
+    oracle="""
+    SELECT n_name, REVERSE(n_name) AS reversed,
+           CAST(LENGTH(n_name) AS INT) AS name_len
+    FROM nation
+    ORDER BY n_name
+    """,
+    tags=("udf", "python-row"),
+)
+def q_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the declared slow path — documented as
+    10-100x slower than pandas_udf; kept on a 25-row dimension table where
+    the interpreter roundtrip cannot matter)."""
+    rev = F.udf(lambda s: s[::-1] if s is not None else None, StringType())
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_name",
+            rev("n_name").alias("reversed"),
+            F.length("n_name").cast("int").alias("name_len"),
+        ).orderBy("n_name")
+    )

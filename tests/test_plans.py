@@ -21,6 +21,7 @@ SPECS = all_queries()
 # Queries that intentionally use Python (pandas UDF surface + LSH/driver-side
 # query-vector fetch).
 PYTHON_OK = {
+    "q_python_udf",  # the declared row-at-a-time UDF surface itself
     "q_pandas_udf_scalar",
     "q_pandas_udf_grouped_agg",
     "q_apply_in_pandas",

@@ -329,3 +329,41 @@ def test_stateful_running_count(spark, log, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """Built-in rate streaming source drives the envelope pipeline: a few
+    micro-batches of synthetic (timestamp, value) rows flow through a
+    projection into a memory sink."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select(
+            F.col("value").alias("sequence_id"),
+            F.col("timestamp").alias("publish_time"),
+            (F.col("value") % 8).cast("int").alias("partition"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ratesrc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rate_ck"))
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        n = 0
+        while _t.time() < deadline:
+            n = spark.sql("select count(*) n from ratesrc").head()["n"]
+            if n >= 100:
+                break
+            _t.sleep(1)
+        assert n >= 100
+        parts = spark.sql("select count(distinct partition) p from ratesrc").head()["p"]
+        assert parts >= 2
+    finally:
+        q.stop()
