@@ -1,0 +1,95 @@
+"""Partitioning strategies for 100 TB joins: bucketed (shuffle-free) joins
+and salted (skew-proof) joins.
+
+The reference's data plane shards by key hash at produce time
+(/root/reference/src/entity/producer.rs:295-312 partition routing;
+src/PulsarApi.proto:286-295 Key_Shared hash ranges). These helpers apply
+the same idea to the analytic layer:
+
+- **Bucketing** = hash-sharding persisted at write time. Two tables
+  bucketed by the same key/count join with ZERO exchanges — at 100 TB that
+  deletes the dominant cost of every fact-fact join that repeats per day.
+- **Salting** = splitting a hot key into N synthetic sub-keys so one
+  reducer doesn't receive the whole key's data. AQE's skew-join handles
+  sort-merge skew automatically; explicit salting is the portable fallback
+  (e.g. for aggregations, or broadcast-ineligible hot keys).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by join key.
+
+    Spark records bucketing in the catalog; a later equi-join between two
+    tables bucketed by the same columns into the same bucket count is
+    planned WITHOUT an Exchange on either side (SortMergeJoin reads
+    co-located buckets). At 100 TB, bucket so each bucket is ~128-512 MB.
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables — plans with no shuffle.
+
+    Verify with .explain(): no Exchange above either scan (asserted in
+    tests/test_partitioning.py).
+    """
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: split every key of the big side into n_salts
+    sub-keys; replicate the small side n_salts times so every sub-key finds
+    its match. The hot key's rows spread over n_salts reducers instead
+    of one.
+
+    Cost model: small side shuffles n_salts×(its size) — use only when the
+    small side is modest but above the broadcast threshold, or when a hot
+    key would otherwise dominate a reducer (the #1 practical cause of
+    10×-slower-than-expected joins at scale). For dimension-sized small
+    sides prefer F.broadcast; for SMJ skew AQE's skewJoin handles it.
+    """
+    b = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = b.join(s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def repartition_by_key_range(
+    df: DataFrame, cols: Sequence[str | Column], num_partitions: int
+) -> DataFrame:
+    """Range partitioning (repartitionByRange): totally-ordered partitions
+    for window-heavy or sorted-output workloads — the sort inside each
+    partition is then local, no global sort exchange."""
+    return df.repartitionByRange(num_partitions, *cols)
