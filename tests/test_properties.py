@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): serde round-trips and estimator
+bounds hold for arbitrary inputs, not just the fixture corpus.
+
+Spark jobs are expensive per example, so each property batches ALL
+hypothesis examples into ONE DataFrame and runs a single job (the same
+discipline the engine itself preaches: vectorize, don't loop)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pulsar_lunar_spark.functions.envelope import decode_payload, to_envelope
+
+# JSON-serde-safe text: printable unicode (no surrogates); Spark's to_json
+# escapes everything else.
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=80
+)
+_payloads = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2**62), _text,
+              st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("txt", StringType()),
+        StructField("val", DoubleType()),
+    ]
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_payloads)
+def test_envelope_roundtrip_property(spark, rows):
+    """For ANY typed rows: rows -> envelope bytes -> decode == identity."""
+    df = spark.createDataFrame(rows, schema=_SCHEMA)
+    env = to_envelope(
+        df, topic="prop", payload_cols=["id", "txt", "val"], key="id", sequence_id="id"
+    )
+    back = decode_payload(env, _SCHEMA, keep_envelope=False)
+    got = {(r["id"], r["txt"], r["val"]) for r in back.collect()}
+    want = {(r["id"], r["txt"], r["val"]) for r in df.collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_minhash_estimates_jaccard(spark, shingle_sets):
+    """MinHash signature agreement estimates Jaccard within binomial error
+    (128 hashes -> se = sqrt(j(1-j)/128) <= 0.045; assert 5 sigma)."""
+    import random as _r
+
+    from pulsar_lunar_spark.operators.dedup import (
+        _MERSENNE_31,
+        _hash_coefficients,
+    )
+
+    coef = _hash_coefficients(128, 42)
+
+    def sig(s):
+        base = [hash(("x", v)) % _MERSENNE_31 for v in s]
+        return [min((a * h + b) % _MERSENNE_31 for h in base) for a, b in coef]
+
+    sigs = [sig(s) for s in shingle_sets]
+    for i in range(len(shingle_sets)):
+        for j in range(i + 1, len(shingle_sets)):
+            a, b = shingle_sets[i], shingle_sets[j]
+            true_j = len(a & b) / len(a | b)
+            est = sum(x == y for x, y in zip(sigs[i], sigs[j])) / 128.0
+            assert abs(est - true_j) <= 5 * math.sqrt(max(true_j * (1 - true_j), 0.01) / 128)
