@@ -115,3 +115,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events
+    GROUP BY event_type
+    ORDER BY est_count DESC, k
+    LIMIT 5
+    """,
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream. The 5-value
+    key domain is collision-free at width 8192 (verified at every SF), so
+    the sketch estimates equal exact counts and the oracle is exact SQL;
+    the probabilistic error bounds are asserted in tests/test_sketches.py
+    on the wide user_id domain."""
+    from pulsar_lunar_spark.operators.sketches import heavy_hitters
+
+    e = load_table(spark, sf_dir, "events").select(F.col("event_type").alias("k"))
+    return heavy_hitters(e, "k", k=5).select(
+        "k", F.col("est_count").cast("bigint").alias("est_count")
+    )
