@@ -562,3 +562,39 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_sql_interface",
+    oracle="""
+    WITH r AS (
+      SELECT n_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, ROUND(SUM(c_acctbal), 4) AS top3_bal
+    FROM r WHERE rn <= 3
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("sql", "cte", "window"),
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: tables registered as temp views, the
+    query text handed to spark.sql verbatim (CTE + window + join + agg) —
+    Catalyst plans SQL and DataFrame identically."""
+    from pulsar_lunar_spark.session import tables
+
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT n_name, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, ROUND(SUM(c_acctbal), 4) AS top3_bal
+        FROM r WHERE rn <= 3
+        GROUP BY n_name ORDER BY n_name
+        """
+    )
