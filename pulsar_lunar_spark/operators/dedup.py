@@ -148,6 +148,21 @@ def _minhash_sig_udf(n_hashes: int, seed: int, bands: int | None = None):
     return bucketed
 
 
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """Materialized (\_\_id, \_\_sh) shingle table, persisted and eagerly
+    computed ONCE — both the LSH pipeline and the verify joins probe it, so
+    sharing it removes three recomputations of the normalize+shingle
+    expression (and its codegen compile). At 100 TB this is a written-once
+    derived table."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
+    ).persist()
+    sh.count()
+    return sh
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -157,6 +172,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     seed: int = 42,
     vectorized: bool = True,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
 
@@ -174,10 +190,7 @@ def minhash_lsh_candidates(
     # eliminate common subexpressions across the n_hashes signature elements,
     # so inlining would recompute normalize+split+shingle n_hashes times per
     # row (measured 40x slowdown at 500 docs).
-    df = ensure_parallelism(df)  # signature math is CPU-bound per row
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
-    )
+    sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, shingle_k)
     base = sh.select(
         "__id",
         F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))).alias("__base"),
@@ -246,16 +259,14 @@ def jaccard_verify(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs; keep pairs >= threshold.
 
     Joins the (small) candidate set back to shingle arrays — two broadcast-
     able joins keyed by doc id, then a JVM array intersect/union.
     """
-    # Persisted: the candidate join probes this table twice (a and b sides).
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
-    ).persist()
+    sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, shingle_k)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -289,8 +300,13 @@ def minhash_dedup_pairs(
     removes all false positives, so precision is exact and recall is the
     LSH catch probability.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, shingle_k, seed)
-    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+    sh = shingle_table(df, id_col, text_col, shingle_k)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes, bands, shingle_k, seed, shingles_df=sh
+    )
+    return jaccard_verify(
+        cands, df, id_col, text_col, shingle_k, threshold, shingles_df=sh
+    )
 
 
 def _simhash_from_hashes(hashes: Column) -> Column:
