@@ -75,6 +75,7 @@ class MessageLog:
         publish_time: str | Column | None = None,
         properties: Column | None = None,
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        time_partition: bool = False,
     ) -> None:
         """Append typed rows to a topic as envelope rows.
 
@@ -82,6 +83,12 @@ class MessageLog:
         (Pulsar's partitioned topic, discovery/mod.rs:71) — consumers of one
         partition read one directory; per-key order within a partition is
         the parquet row order, as in a Pulsar ledger.
+
+        ``time_partition=True`` additionally lays the log out by
+        ``__pdate = date(publish_time)`` so time-range seeks
+        (``replay(from, to)``) prune whole directories instead of scanning
+        the full log — the layout a 100 TB topic needs (a seek over 1 day
+        of a 3-year log reads ~0.1% of the files).
         """
         env = to_envelope(
             df,
@@ -95,10 +102,14 @@ class MessageLog:
             num_partitions=num_partitions,
         )
         out = env.withColumn("__partition", F.col("message_id.partition"))
+        layout = ["__partition"]
+        if time_partition:
+            out = out.withColumn("__pdate", F.to_date("publish_time"))
+            layout.append("__pdate")
         (
             out.repartition(num_partitions, "__partition")
-            .sortWithinPartitions("__partition", "sequence_id")
-            .write.partitionBy("__partition")
+            .sortWithinPartitions(*layout, "sequence_id")
+            .write.partitionBy(*layout)
             .mode("append")
             .parquet(self.topic_path(topic))
         )
@@ -119,7 +130,10 @@ class MessageLog:
     def read(self, topic: str) -> DataFrame:
         """Full batch scan of a topic (envelope rows; message_id.partition is
         stored inside the struct — __partition is only the directory layout)."""
-        return self.spark.read.parquet(self.topic_path(topic)).drop("__partition")
+        return self.spark.read.parquet(self.topic_path(topic)).drop("__partition", "__pdate")
+
+    def _raw(self, topic: str) -> DataFrame:
+        return self.spark.read.parquet(self.topic_path(topic))
 
     def replay(
         self,
@@ -128,14 +142,22 @@ class MessageLog:
         to_publish_time: str | None = None,
     ) -> DataFrame:
         """Seek-style batch replay by publish-time range (CommandSeek,
-        PulsarApi.proto:537-543). Partition pruning note: at scale, also
-        partitionBy date(publish_time) so seeks prune files."""
-        df = self.read(topic)
+        PulsarApi.proto:537-543).
+
+        On a ``time_partition=True`` topic, the equivalent ``__pdate``
+        range predicate is added so the scan PRUNES partitions (visible as
+        PartitionFilters in .explain — asserted in tests)."""
+        df = self._raw(topic)
+        pruned = "__pdate" in df.columns
         if from_publish_time is not None:
             df = df.filter(F.col("publish_time") >= F.lit(from_publish_time).cast("timestamp"))
+            if pruned:
+                df = df.filter(F.col("__pdate") >= F.to_date(F.lit(from_publish_time)))
         if to_publish_time is not None:
             df = df.filter(F.col("publish_time") < F.lit(to_publish_time).cast("timestamp"))
-        return df
+            if pruned:
+                df = df.filter(F.col("__pdate") <= F.to_date(F.lit(to_publish_time)))
+        return df.drop("__partition", "__pdate")
 
     def compacted(self, topic: str) -> DataFrame:
         """read_compacted view: newest message per key (PulsarApi.proto:325)."""
