@@ -23,6 +23,7 @@ file backing is the test/bench stand-in AND a legitimate log-table design
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 
@@ -41,6 +42,12 @@ from pulsar_lunar_spark.operators.compaction import compacted_latest_by_key
 
 def _safe_topic(topic: str) -> str:
     return topic.replace("/", "_").replace(":", "_")
+
+
+class IncompatibleSchema(ValueError):
+    """Producing a payload shape that conflicts with the topic's registered
+    schema (the broker's IncompatibleSchema error,
+    /root/reference/src/PulsarApi.proto:194)."""
 
 
 class MessageLog:
@@ -62,6 +69,40 @@ class MessageLog:
 
     def dlq_path(self, topic: str) -> str:
         return self.topic_path(f"{topic}.DLQ")
+
+    def schema_path(self, topic: str) -> str:
+        return os.path.join(self.root, "schemas", _safe_topic(topic) + ".json")
+
+    # -- schema registry (GetOrCreateSchema / GetSchema,
+    #    /root/reference/src/PulsarApi.proto:672-700) ---------------------
+    def register_schema(self, topic: str, payload_df: DataFrame) -> None:
+        """Register (or validate against) the topic's payload schema.
+
+        First produce registers; later produces must match field names and
+        types exactly or raise IncompatibleSchema — the broker-side schema
+        validation the reference delegates to (PulsarApi.proto:688-700).
+        """
+        new = json.loads(payload_df.schema.json())
+        path = self.schema_path(topic)
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = json.load(f)
+            if cur != new:
+                raise IncompatibleSchema(
+                    f"topic '{topic}': payload schema {new} != registered {cur}"
+                )
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(new, f)
+
+    def get_schema(self, topic: str) -> StructType | None:
+        """Fetch the topic's registered payload schema (GetSchema)."""
+        path = self.schema_path(topic)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return StructType.fromJson(json.load(f))
 
     # -- produce --------------------------------------------------------
     def produce(
@@ -90,6 +131,7 @@ class MessageLog:
         the full log — the layout a 100 TB topic needs (a seek over 1 day
         of a 3-year log reads ~0.1% of the files).
         """
+        self.register_schema(topic, df.select(*(payload_cols or df.columns)))
         env = to_envelope(
             df,
             topic=topic,
@@ -181,7 +223,12 @@ class MessageLog:
         checkpointLocation: the checkpoint IS the subscription cursor —
         initialPosition=Earliest on first start, resume-from-cursor after
         (CommandSubscribe.initialPosition, PulsarApi.proto:328-334).
+
+        When ``payload_schema`` is omitted, the topic's registered schema
+        is fetched (GetSchema) and used automatically.
         """
+        if payload_schema is None:
+            payload_schema = self.get_schema(topic)
         # File sources need an explicit schema (the envelope; the __partition
         # directory column surfaces separately and is dropped downstream).
         reader = self.spark.readStream.schema(ENVELOPE_SCHEMA)

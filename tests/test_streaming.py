@@ -401,3 +401,34 @@ def test_time_partitioned_replay_prunes(spark, sf_dir, tmp_path):
     got = {r["sequence_id"] for r in win.select("sequence_id").collect()}
     want = {r["sequence_id"] for r in full.select("sequence_id").collect()}
     assert got == want
+
+
+def test_schema_registry_get_and_reject(spark, sf_dir, tmp_path):
+    """First produce registers the payload schema; subscribe() fetches it
+    automatically (GetSchema); an incompatible produce raises."""
+    import pytest as _pt
+
+    from pulsar_lunar_spark.session import load_table
+    from pulsar_lunar_spark.sources.log import IncompatibleSchema
+
+    ml = MessageLog(spark, str(tmp_path / "slog"))
+    e = load_table(spark, sf_dir, "events").limit(100)
+    ml.produce(e, topic="s", payload_cols=["event_id", "value"], key="user_id",
+               sequence_id="event_id", publish_time="ts")
+    reg = ml.get_schema("s")
+    assert [f.name for f in reg.fields] == ["event_id", "value"]
+
+    # auto-decode via registry
+    stream = ml.subscribe("s")
+    assert "payload" in stream.columns
+    q = run_available_now(
+        stream.select("payload.event_id", "payload.value")
+        .writeStream.format("memory").queryName("sreg").outputMode("append"),
+        ml.subscription_checkpoint("s", "sreg"),
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) n from sreg").head()["n"] == 100
+
+    with _pt.raises(IncompatibleSchema):
+        ml.produce(e, topic="s", payload_cols=["event_id", "event_type"],
+                   key="user_id", sequence_id="event_id", publish_time="ts")
