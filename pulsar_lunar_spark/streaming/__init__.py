@@ -3,6 +3,7 @@ DLQ/redelivery, delayed delivery, Key_Shared ordering (SURVEY §2C)."""
 
 from pulsar_lunar_spark.streaming.ops import (
     foreach_batch_with_dlq,
+    idempotent_foreach_batch,
     key_shared,
     run_available_now,
     session_aggregate,
@@ -21,6 +22,7 @@ __all__ = [
     "key_shared",
     "with_deliver_at",
     "foreach_batch_with_dlq",
+    "idempotent_foreach_batch",
     "run_available_now",
     "stream_static_join",
     "stream_stream_join",

@@ -213,6 +213,36 @@ def stateful_running_count(
     )
 
 
+def idempotent_foreach_batch(write_fn: Callable[[DataFrame], None], ledger_dir: str):
+    """Exactly-once sink wrapper: a foreachBatch function that skips batches
+    whose batch_id is already in the commit ledger.
+
+    Structured Streaming replays the in-flight batch after a failure
+    (at-least-once delivery to the sink); recording committed batch ids
+    makes any write_fn effectively transactional — the engine-side twin of
+    the broker's sequence-id dedup (last_sequence_id,
+    /root/reference/src/PulsarApi.proto:577-579) and of Pulsar's txn
+    command set (proto:703-802).
+
+    The ledger is one empty marker file per batch id — O(batches) tiny
+    files, atomically created; at scale use a transactional table instead
+    (same contract).
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.committed")
+        if os.path.exists(marker):
+            return  # replayed batch: already committed, skip
+        write_fn(batch_df)
+        with open(marker, "w") as f:
+            f.write("1")
+
+    return _fn
+
+
 def run_available_now(writer, checkpoint: str):
     """Start a bounded run (end-of-topic semantics, PulsarApi.proto:548-550):
     trigger(availableNow) drains everything currently in the log and stops."""

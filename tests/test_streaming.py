@@ -432,3 +432,23 @@ def test_schema_registry_get_and_reject(spark, sf_dir, tmp_path):
     with _pt.raises(IncompatibleSchema):
         ml.produce(e, topic="s", payload_cols=["event_id", "event_type"],
                    key="user_id", sequence_id="event_id", publish_time="ts")
+
+
+def test_idempotent_sink_skips_replayed_batches(spark, log, tmp_path):
+    """Replaying a committed batch (post-failure at-least-once delivery)
+    must not duplicate sink rows."""
+    from pulsar_lunar_spark.streaming import idempotent_foreach_batch
+
+    out_dir = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+
+    def write(df):
+        df.write.mode("append").parquet(out_dir)
+
+    fn = idempotent_foreach_batch(write, ledger)
+    batch = log.read("events").select("sequence_id").limit(50)
+    fn(batch, 0)
+    fn(batch, 0)  # replay of the same batch id: must be a no-op
+    fn(batch, 1)  # a new batch id: appends
+    n = spark.read.parquet(out_dir).count()
+    assert n == 100  # 50 (batch 0, once) + 50 (batch 1)
