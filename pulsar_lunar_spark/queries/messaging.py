@@ -183,3 +183,48 @@ def q_chunked_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("reassembled")).cast("bigint").alias("total_len"),
         F.count(F.when(F.col("reassembled") == F.col("payload"), 1)).cast("bigint").alias("n_exact"),
     )
+
+
+@register(
+    "q_custom_source",
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             CASE CAST(i % 4 AS INT) WHEN 0 THEN 'green' WHEN 1 THEN 'blue'
+                  WHEN 2 THEN 'red' ELSE 'yellow' END AS color,
+             'user-' || CAST(i % 16 AS INT) AS key,
+             '{"name":"koo-' || i || '","color":"' ||
+             CASE CAST(i % 4 AS INT) WHEN 0 THEN 'green' WHEN 1 THEN 'blue'
+                  WHEN 2 THEN 'red' ELSE 'yellow' END || '"}' AS value
+      FROM RANGE(0, 2000) t(i)
+    )
+    SELECT color, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+           CAST(SUM(OCTET_LENGTH(ENCODE(value))) AS BIGINT) AS total_bytes,
+           CAST(MAX(i) AS BIGINT) AS max_seq
+    FROM m GROUP BY color ORDER BY color
+    """,
+    tags=("messaging", "custom-source", "datasource-v2"),
+)
+def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (format('pulsar_lunar'), Spark 4 Python
+    Data Source API): 2000 deterministic envelope messages generated across
+    4 input partitions, payloads decoded and aggregated per color. The
+    DuckDB oracle reconstructs the exact same messages from RANGE() —
+    hash-matching proves the source's content contract end-to-end."""
+    from pulsar_lunar_spark.sources.datasource import register as register_ds
+
+    register_ds(spark)
+    df = spark.read.format("pulsar_lunar").option("rows", 2000).load()
+    color = F.get_json_object(F.col("value").cast("string"), "$.color").alias("color")
+    return (
+        df.select(color, "key", "value", "sequence_id")
+        .groupBy("color")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("key").cast("bigint").alias("n_keys"),
+            F.sum(F.length("value")).cast("bigint").alias("total_bytes"),
+            F.max("sequence_id").cast("bigint").alias("max_seq"),
+        )
+        .orderBy("color")
+    )
