@@ -116,3 +116,11 @@ def test_minhash_jvm_variant_plan(spark, sf_dir):
     assert_scale_plan(jvm, forbid_cartesian=True)
     vec = minhash_lsh_candidates(d, "doc_id", "text", vectorized=True)
     assert_scale_plan(vec, forbid_cartesian=True)
+
+
+@pytest.mark.parametrize("name", ["q7_volume_shipping", "q8_market_share", "q9_product_profit", "q14_promo_share"])
+def test_tpch_join_chains_broadcast_dimensions(name, spark, sf_dir):
+    """The multi-way TPC-H shapes must broadcast their dimension sides —
+    at 100 TB a shuffled nation/part/supplier join would be a plan bug."""
+    df = SPECS[name].fn(spark, sf_dir)
+    assert uses_broadcast_join(df), name
