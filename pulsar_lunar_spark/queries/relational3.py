@@ -598,3 +598,82 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name ORDER BY n_name
         """
     )
+
+
+@register(
+    "q16_excluded_suppliers",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'ECONOMY'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 40
+    """,
+    tags=("null-aware-anti-join", "distinct-agg", "not-in"),
+)
+def q16_excluded_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part group, excluding
+    a supplier denylist via NOT IN (subquery) — NULL-aware anti-join
+    semantics (the whole result empties if the subquery yields a NULL;
+    Catalyst simplifies to a plain anti-join here after proving the key
+    non-null). Expressed through spark.sql because the DataFrame API has
+    no null-aware anti operator."""
+    from pulsar_lunar_spark.session import tables
+
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'ECONOMY'
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 40
+        """
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS orders_last_90d
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, how many
+    orders fell in the trailing 90 days of each order — rangeBetween over
+    epoch seconds. ROWS frames are covered by q_window_running; RANGE
+    differs whenever order dates tie."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("orders_last_90d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
