@@ -140,3 +140,73 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(spark.table("q_stream_dedup_sink").count(), raw)], "n_unique long, n_raw long"
     )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "stateful"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows: F.session_window with a 30-minute
+    gap over the replayed event stream (stateful session merging across
+    micro-batches), availableNow → memory sink (complete mode). Oracle is
+    the gaps-and-islands twin with the matching >= gap boundary
+    (session_window closes when the next event is AT OR PAST start+gap;
+    the batch q_events_session covers the strict-> variant)."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log, root = _fresh_log(spark, sf_dir, "session")
+    payload = StructType([StructField("value", DoubleType())])
+    stream = decode_payload(log.subscribe("events"), payload).select(
+        F.col("event_time").alias("ts"),
+        F.col("key").cast("long").alias("user_id"),
+        F.col("payload.value").alias("value"),
+    )
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("s.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("s.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = run_available_now(
+        sessions.writeStream.format("memory")
+        .queryName("q_stream_session_sink")
+        .outputMode("complete"),
+        os.path.join(root, "ck"),
+    )
+    q.awaitTermination(300)
+    return spark.table("q_stream_session_sink").orderBy("user_id", "session_start")
