@@ -7,6 +7,7 @@ from pulsar_lunar_spark.streaming.ops import (
     key_shared,
     run_available_now,
     session_aggregate,
+    stateful_high_watermark,
     stateful_running_count,
     stream_static_join,
     stream_stream_join,
@@ -27,4 +28,5 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "stateful_running_count",
+    "stateful_high_watermark",
 ]

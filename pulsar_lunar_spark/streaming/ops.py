@@ -213,6 +213,65 @@ def stateful_running_count(
     )
 
 
+def stateful_high_watermark(stream: DataFrame, key_col: str, seq_col: str) -> DataFrame:
+    """Per-key sequence high-watermark via transformWithStateInPandas (the
+    Spark 4 stateful API; requires the RocksDB state store provider).
+
+    Tracks max(sequence_id) per key across micro-batches — the broker's
+    ``last_sequence_id`` register that powers producer dedup
+    (/root/reference/src/PulsarApi.proto:577-579). Emits one row per key
+    per batch with the running high-watermark; state is a single long per
+    key in RocksDB (spillable, snapshotted into the checkpoint).
+
+    Environment note: transformWithState's state-server protocol requires
+    the ``protobuf`` Python package at runtime (gated below; this
+    container lacks it — ``stateful_running_count`` over
+    applyInPandasWithState is the dependency-free equivalent).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(state-server protocol); use stateful_running_count instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [StructField("key", LongType()), StructField("high_watermark", LongType())]
+    )
+
+    class HighWatermark(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._hw = handle.getValueState("hw", "hw long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._hw.get()[0] if self._hw.exists() else -1
+            for pdf in rows:
+                m = int(pdf[seq_col].max())
+                if m > cur:
+                    cur = m
+            self._hw.update((cur,))
+            yield pd.DataFrame({"key": [key[0]], "high_watermark": [cur]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            HighWatermark(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def idempotent_foreach_batch(write_fn: Callable[[DataFrame], None], ledger_dir: str):
     """Exactly-once sink wrapper: a foreachBatch function that skips batches
     whose batch_id is already in the commit ledger.

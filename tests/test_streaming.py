@@ -452,3 +452,47 @@ def test_idempotent_sink_skips_replayed_batches(spark, log, tmp_path):
     fn(batch, 1)  # a new batch id: appends
     n = spark.read.parquet(out_dir).count()
     assert n == 100  # 50 (batch 0, once) + 50 (batch 1)
+
+
+def test_transform_with_state_high_watermark(spark, log, tmp_path):
+    """transformWithStateInPandas (RocksDB state store): per-key sequence
+    high-watermark across micro-batches equals the batch max."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs the protobuf package (state-server protocol)",
+    )
+    from pulsar_lunar_spark.streaming import stateful_high_watermark
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = log.subscribe("events", max_files_per_trigger=4).select(
+            F.col("key").cast("long").alias("user_id"), "sequence_id"
+        )
+        hw = stateful_high_watermark(stream, "user_id", "sequence_id")
+        q = run_available_now(
+            hw.writeStream.format("memory").queryName("hwm").outputMode("update"),
+            log.subscription_checkpoint("events", "hwm"),
+        )
+        q.awaitTermination(180)
+        got = {
+            r["key"]: r["mx"]
+            for r in spark.sql("select key, max(high_watermark) mx from hwm group by key").collect()
+        }
+        want = {
+            r["key"]: r["mx"]
+            for r in (
+                log.read("events")
+                .groupBy(F.col("key").cast("long").alias("key"))
+                .agg(F.max("sequence_id").alias("mx"))
+            ).collect()
+        }
+        assert got == want
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
