@@ -117,6 +117,7 @@ class MessageLog:
         properties: Column | None = None,
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
         time_partition: bool = False,
+        compression: str | None = None,
     ) -> None:
         """Append typed rows to a topic as envelope rows.
 
@@ -130,6 +131,11 @@ class MessageLog:
         (``replay(from, to)``) prune whole directories instead of scanning
         the full log — the layout a 100 TB topic needs (a seek over 1 day
         of a 3-year log reads ~0.1% of the files).
+
+        ``compression`` selects the log codec (zstd/snappy/lz4/gzip/none —
+        the reference's producer compression surface,
+        /root/reference/src/message/producer.rs:52-131, applied to the
+        whole columnar log instead of per-payload).
         """
         self.register_schema(topic, df.select(*(payload_cols or df.columns)))
         env = to_envelope(
@@ -148,13 +154,15 @@ class MessageLog:
         if time_partition:
             out = out.withColumn("__pdate", F.to_date("publish_time"))
             layout.append("__pdate")
-        (
+        writer = (
             out.repartition(num_partitions, "__partition")
             .sortWithinPartitions(*layout, "sequence_id")
             .write.partitionBy(*layout)
             .mode("append")
-            .parquet(self.topic_path(topic))
         )
+        if compression is not None:
+            writer = writer.option("compression", compression)
+        writer.parquet(self.topic_path(topic))
 
     def produce_stream(self, env_stream: DataFrame, topic: str, checkpoint: str, **opts):
         """Streaming produce: writeStream of envelope rows into the topic
