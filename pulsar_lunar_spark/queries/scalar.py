@@ -288,3 +288,29 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_str"
         ),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q_json_tuple",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_val,
+           '{"event_id":' || event_id || '}' AS as_json
+    FROM events
+    WHERE event_id <= 100
+    ORDER BY event_id
+    """,
+    tags=("function", "json", "generator"),
+)
+def q_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple (generator-style multi-field extraction) + to_json
+    (struct -> JSON text, the envelope's serialize direction)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 100)
+    return (
+        e.select(
+            "event_id",
+            F.json_tuple(F.col("props"), "k").alias("k_val"),
+            F.to_json(F.struct("event_id")).alias("as_json"),
+        )
+        .orderBy("event_id")
+    )
