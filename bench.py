@@ -39,6 +39,10 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "q_dedup_embedding",
     "q_ivf_topk",
+    "q_quality_gopher",
+    "q_tfidf_terms",
+    "q_contamination",
+    "q_bm25_search",
 ]
 
 

@@ -1,0 +1,261 @@
+"""Corpus-level training-data pipeline operators (SURVEY §2B north star):
+Gopher-style repetition/quality stats, near-dup clustering (connected
+components -> canonical doc selection), deterministic stratified sampling,
+TF-IDF term weighting, BM25 retrieval scoring, benchmark-contamination
+n-gram checks.
+
+These complete the dedup story of `operators/dedup.py`: pair detection
+(MinHash-LSH / SimHash) emits edges; `connected_components` turns edges
+into dup clusters; `canonical_ids` picks one keeper per cluster.
+
+Scale notes (100 TB): everything here is exploded-token / edge-list
+relational work — shuffles are O(tokens) or O(edges * log n), never
+O(n^2). Repetition stats are per-row JVM HOF expressions (no shuffle at
+all). No Python UDF anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators.dedup import normalize_text
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats (quality pre-filters)
+# ---------------------------------------------------------------------------
+
+def repetition_counts(col: Column) -> dict[str, Column]:
+    """Integer repetition counters for one document (all JVM HOFs).
+
+    Returned counters are INTEGERS so callers can aggregate them as sums
+    and take ratios-of-sums afterwards — order-independent, so corpus
+    aggregates hash-match a sequential oracle exactly (doubles averaged
+    across partitions would not).
+
+    - total_words / distinct_words: duplicate-word mass = 1 - distinct/total
+    - top_word_count: occurrences of the single most frequent word
+      (Gopher's "top word share" numerator)
+    - total_2grams / distinct_2grams: duplicate-2gram mass
+    """
+    words = F.split(normalize_text(col), " ")
+    total = F.size(words)
+    uniq = F.array_distinct(words)
+    top = F.array_max(
+        F.transform(uniq, lambda w: F.size(F.filter(words, lambda x: x == w)))
+    )
+    grams2 = F.transform(
+        F.sequence(F.lit(0), total - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    grams2 = F.when(total >= 2, grams2).otherwise(F.array().cast("array<string>"))
+    return {
+        "total_words": total,
+        "distinct_words": F.size(uniq),
+        "top_word_count": top,
+        "total_2grams": F.size(grams2),
+        "distinct_2grams": F.size(F.array_distinct(grams2)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pair edges
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Label every node with the MIN node id reachable from it (its
+    connected component) via iterative min-label propagation.
+
+    nodes: one column ``node`` (bigint). edges: columns ``src``/``dst``
+    (either direction; symmetrized here). Returns (node, component).
+
+    Scale: each iteration is one shuffle join keyed by node id; labels
+    converge in O(diameter) iterations (near-dup clusters are shallow —
+    star-shaped around a popular doc — so typically 2-4). Each iteration's
+    result is ``localCheckpoint``-ed: persist() alone is NOT enough for an
+    iterative join — it caches the physical result but the LOGICAL plan
+    still doubles every iteration (the update joins two trees derived from
+    the previous labels), so analysis/canonicalization cost grows 2^i
+    (measured: a 12-hop chain took minutes in the analyzer). Checkpointing
+    truncates lineage, keeping every iteration's plan constant-size. On a
+    real cluster use reliable `checkpoint()` to survive executor loss; for
+    adversarially long chains swap the step for large-star/small-star,
+    same driver loop.
+    """
+    sym = edges.select(
+        F.col("src").cast("long").alias("s"), F.col("dst").cast("long").alias("d")
+    )
+    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = nodes.select(
+        F.col("node").cast("long").alias("node"), F.col("node").cast("long").alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # min over (own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if n_changed == 0:
+            break
+    return labels
+
+
+def canonical_ids(components: DataFrame) -> DataFrame:
+    """One keeper per dup cluster: the component id itself (MIN doc id in
+    the cluster, by construction of `connected_components`)."""
+    return components.select(F.col("component").alias("keeper_id")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def sample_flag(id_col: Column, rate_hex2: str) -> Column:
+    """Deterministic sampling predicate: keep rows whose md5(id) 2-hex-char
+    prefix sorts below ``rate_hex2`` (e.g. '29' ≈ 16%). Engine-portable —
+    md5 + string compare give identical keep-sets in Spark and any SQL
+    oracle, unlike rand(seed)/TABLESAMPLE whose streams differ per engine.
+    Per-stratum rates = different thresholds per stratum."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 2) < F.lit(rate_hex2)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and BM25 over exploded tokens
+# ---------------------------------------------------------------------------
+
+def word_table(df: DataFrame, id_col: str, text_col: str, min_len: int = 0) -> DataFrame:
+    """(id, word) exploded token table (normalized whitespace words)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    out = df.select(F.col(id_col).alias("__id"), F.explode(words).alias("word"))
+    if min_len:
+        out = out.filter(F.length("word") >= min_len)
+    return out
+
+
+def tfidf_terms(
+    df: DataFrame, id_col: str, text_col: str, group_col: str, min_len: int = 3
+) -> DataFrame:
+    """Per-(group, term) TF-IDF: tf = term count within group,
+    idf = ln((N+1)/(df+1)) with N = total docs, df = docs containing term.
+
+    One explode + two hash aggregations + a broadcast of the (tiny) df/N
+    side — O(tokens) shuffle, no window until the caller's top-k.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.col(group_col).alias("grp"), F.explode(words).alias("term")
+    ).filter(F.length("term") >= min_len)
+    tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.select("__id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "grp",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document scores for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Per-doc tf for each query term is a JVM filter-count over the token
+    array (no explode of the corpus); df/N/avgdl are one tiny aggregate
+    broadcast to the scan. avgdl is a ratio of integer sums — deterministic
+    across partition orders.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    docs = df.select(F.col(id_col).alias("__id"), words.alias("__w"), F.size(words).alias("dl"))
+    per_term = docs.select(
+        "__id",
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.size(F.filter("__w", lambda w: w == F.lit(t))).alias("tf"),
+                    )
+                    for t in query_terms
+                ]
+            )
+        ).alias("tt"),
+    ).select("__id", "dl", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
+    matches = per_term.filter(F.col("tf") > 0)
+    dfreq = matches.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        matches.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(F.sum(term_score).alias("bm25"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+def contamination_hits(
+    corpus_shingles: DataFrame, bench_shingles: DataFrame
+) -> DataFrame:
+    """(bench_id, corpus_id) pairs sharing >= 1 shingle — the inverted-index
+    join used for benchmark-decontamination. Inputs are (id, shingle-array)
+    tables; both are exploded and joined on the shingle value, so the
+    shuffle is O(total shingles), never pairwise."""
+    c = corpus_shingles.select(
+        F.col("__id").alias("corpus_id"), F.explode("__sh").alias("sh")
+    )
+    s = bench_shingles.select(
+        F.col("__id").alias("bench_id"), F.explode("__sh").alias("sh")
+    )
+    return c.join(s, "sh").select("bench_id", "corpus_id").distinct()

@@ -151,7 +151,7 @@ def _minhash_sig_udf(n_hashes: int, seed: int, bands: int | None = None):
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
 ) -> DataFrame:
-    """Materialized (\_\_id, \_\_sh) shingle table, persisted and eagerly
+    """Materialized (__id, __sh) shingle table, persisted and eagerly
     computed ONCE — both the LSH pipeline and the verify joins probe it, so
     sharing it removes three recomputations of the normalize+shingle
     expression (and its codegen compile). At 100 TB this is a written-once

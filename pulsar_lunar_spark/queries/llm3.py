@@ -1,0 +1,296 @@
+"""Corpus-pipeline queries (SURVEY §2B north star, continued): Gopher-style
+repetition quality stats, near-dup clustering (connected components),
+deterministic stratified sampling, TF-IDF, BM25 retrieval, benchmark
+contamination. All oracle-checked except where noted.
+
+Determinism discipline: corpus aggregates are ratios of INTEGER sums
+(order-independent); every ranking has a total tiebreak; sampling is
+md5-prefix based (engine-portable), never rand(seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import corpus as C
+from pulsar_lunar_spark.operators import dedup as D
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
+
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+_WORDS = f"STRING_SPLIT({_NORM}, ' ')"
+
+# DuckDB twin of dedup.shingles(k=3) incl. the short-doc fallback.
+_SHINGLES3 = f"""
+    CASE WHEN LEN({_WORDS}) >= 3
+         THEN LIST_DISTINCT(LIST_TRANSFORM(
+                  RANGE(1, LEN({_WORDS}) - 2 + 1),
+                  i -> ARRAY_TO_STRING({_WORDS}[i:i+2], ' ')))
+         ELSE [{_NORM}] END
+"""
+
+
+@register(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang, {_WORDS} AS words FROM documents
+    ), c AS (
+        SELECT lang,
+               LEN(words) AS total_words,
+               LEN(LIST_DISTINCT(words)) AS distinct_words,
+               LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(words),
+                        u -> LEN(LIST_FILTER(words, x -> x = u)))) AS top_word_count,
+               CASE WHEN LEN(words) >= 2
+                    THEN LEN(words) - 1 ELSE 0 END AS total_2grams,
+               CASE WHEN LEN(words) >= 2
+                    THEN LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                             RANGE(1, LEN(words) - 1 + 1),
+                             i -> ARRAY_TO_STRING(words[i:i+1], ' '))))
+                    ELSE 0 END AS distinct_2grams
+        FROM w
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(1.0 - CAST(SUM(distinct_words) AS DOUBLE) / SUM(total_words), 4)
+               AS dup_word_frac,
+           ROUND(CAST(SUM(top_word_count) AS DOUBLE) / SUM(total_words), 4)
+               AS top_word_share,
+           ROUND(1.0 - CAST(SUM(distinct_2grams) AS DOUBLE) / SUM(total_2grams), 4)
+               AS dup_2gram_frac
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "quality", "gopher"),
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters aggregated per language: duplicate-word
+    mass, top-word share, duplicate-2gram mass. Per-doc counters are integer
+    JVM HOFs; corpus metrics are ratios of integer sums (order-independent),
+    so the scan can be scaled out freely."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cnt = C.repetition_counts(F.col("text"))
+    per_doc = d.select(
+        "lang", *[v.alias(k) for k, v in cnt.items()]
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                1.0 - F.sum("distinct_words").cast("double") / F.sum("total_words"), 4
+            ).alias("dup_word_frac"),
+            F.round(
+                F.sum("top_word_count").cast("double") / F.sum("total_words"), 4
+            ).alias("top_word_share"),
+            F.round(
+                1.0 - F.sum("distinct_2grams").cast("double") / F.sum("total_2grams"), 4
+            ).alias("dup_2gram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {_SHINGLES3} AS sh FROM documents WHERE doc_id < 80
+    ), pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
+              LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3
+    ), edges AS (
+        SELECT ia AS s, ib AS d FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ), reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT component, COUNT(*) AS n_members
+    FROM (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    GROUP BY component ORDER BY component
+    """,
+    tags=("llm", "dedup", "cluster"),
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard pair edges (bounded doc slice) →
+    connected components (iterative min-label propagation) → cluster sizes.
+    At scale the edge list comes from MinHash-LSH, not the pairwise join;
+    the CC loop is the same either way (oracle: recursive CTE)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    sh = d.select(F.col("doc_id"), D.shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    edges = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .filter(jac >= 0.3)
+        .select("src", "dst")
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    comp = C.connected_components(nodes, edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("component")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+                      THEN 1 END) AS n_sampled,
+           ROUND(COUNT(CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+                            THEN 1 END) * 1.0 / COUNT(*), 4) AS rate
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling audit: md5-prefix keep-flag (~16%)
+    counted per language stratum. Engine-portable (hash-based, no rand
+    stream), repeatable, and pushdown-friendly — the flag is a scan-level
+    predicate, no shuffle beyond the final tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = C.sample_flag(F.col("doc_id"), "29")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(keep, 1)).alias("n_sampled"),
+            F.round(F.count(F.when(keep, 1)) * 1.0 / F.count(F.lit(1)), 4).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST({_WORDS}) AS term FROM documents
+    ), tok3 AS (
+        SELECT * FROM tok WHERE LENGTH(term) >= 3
+    ), tf AS (
+        SELECT lang, term, COUNT(*) AS tf FROM tok3 GROUP BY lang, term
+    ), dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok3 GROUP BY term
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT lang, term, tf, df,
+               tf * LN((n_docs + 1.0) / (df + 1.0)) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tf, CAST(df AS BIGINT) AS df, ROUND(tfidf, 4) AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY tfidf DESC, tf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY lang, tfidf DESC, tf DESC, term
+    """,
+    tags=("llm", "tfidf"),
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language: one token explode, two hash aggs,
+    broadcast df/N side, WindowGroupLimit top-k. O(tokens) shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = C.tfidf_terms(d, "doc_id", "text", "lang", min_len=3)
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.desc("tf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("grp").alias("lang"),
+            "term",
+            "tf",
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+        )
+        .orderBy("lang", F.desc("tfidf"), F.desc("tf"), "term")
+    )
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_WORDS} AS w, LEN({_WORDS}) AS dl FROM documents
+    ), per_term AS (
+        SELECT doc_id, dl, t.term,
+               LEN(LIST_FILTER(w, x -> x = t.term)) AS tf
+        FROM docs CROSS JOIN (SELECT UNNEST(['spark', 'query', 'join']) AS term) t
+    ), matches AS (
+        SELECT * FROM per_term WHERE tf > 0
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM matches GROUP BY term
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM docs
+    ), scored AS (
+        SELECT doc_id,
+               SUM(LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))))
+                   AS bm25,
+               COUNT(*) AS n_terms_hit
+        FROM matches JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(bm25, 4) AS bm25, n_terms_hit
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+    tags=("llm", "bm25", "search"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 documents for query terms (spark, query, join):
+    per-doc tf is a JVM filter-count (no corpus explode), df/N/avgdl one
+    broadcast aggregate; TakeOrderedAndProject keeps k rows."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = C.bm25_scores(d, "doc_id", "text", ["spark", "query", "join"])
+    return (
+        scores.select(
+            F.col("__id").alias("doc_id"),
+            F.round("bm25", 4).alias("bm25"),
+            "n_terms_hit",
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+    ), bench AS (
+        SELECT doc_id AS bench_id, UNNEST(sh) AS s FROM sh WHERE doc_id < 10
+    ), corp AS (
+        SELECT doc_id AS corpus_id, UNNEST(sh) AS s FROM sh WHERE doc_id >= 10
+    ), hits AS (
+        SELECT DISTINCT bench_id, corpus_id FROM bench JOIN corp USING (s)
+    )
+    SELECT bench_id, COUNT(*) AS n_contaminated
+    FROM hits GROUP BY bench_id ORDER BY bench_id
+    """,
+    tags=("llm", "contamination"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per benchmark doc (doc_id < 10), how many
+    corpus docs share >= 1 word-3-gram. Inverted-index join on the shingle
+    value — O(total shingles) shuffle, never pairwise."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = d.select(F.col("doc_id").alias("__id"), D.shingles(F.col("text"), 3).alias("__sh"))
+    bench = sh.filter(F.col("__id") < 10)
+    corp = sh.filter(F.col("__id") >= 10)
+    hits = C.contamination_hits(corp, bench)
+    return (
+        hits.groupBy("bench_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("bench_id")
+    )

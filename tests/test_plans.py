@@ -43,6 +43,9 @@ CARTESIAN_OK = {
     "q_knn_join",
     "q_ngram_jaccard",
     "q_ivf_topk",  # single-row query vec + single-row probed-cell id
+    "q_dedup_cluster",  # bounded 80-doc slice pairwise verify (scale path: LSH edges)
+    "q_tfidf_terms",  # single-row broadcast N-docs side
+    "q_bm25_search",  # single-row broadcast corpus-stats side
 }
 
 
