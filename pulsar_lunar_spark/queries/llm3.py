@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators import corpus as C
 from pulsar_lunar_spark.operators import dedup as D
+from pulsar_lunar_spark.operators import ml as M
 from pulsar_lunar_spark.queries.registry import register
 from pulsar_lunar_spark.session import ensure_parallelism, load_table
 
@@ -293,4 +294,89 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("bench_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
         .orderBy("bench_id")
+    )
+
+
+# Deterministic 64 -> 8 Rademacher projection, shared literal-for-literal
+# by the Spark expression and the DuckDB oracle below.
+_PROJ = M.projection_matrix(in_dim=64, out_dim=8, seed=42)
+
+
+def _proj_sql(row: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in row) + "]"
+
+
+@register(
+    "q_embed_project",
+    oracle="SELECT vec_id, "
+    + ", ".join(
+        f"ROUND(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]), {_proj_sql(row)}), 6) AS p{j}"
+        for j, row in enumerate(_PROJ)
+    )
+    + " FROM embeddings WHERE vec_id < 30 ORDER BY vec_id",
+    tags=("llm", "embedding", "projection"),
+)
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection 64d -> 8d (JL-style, seeded Rademacher literals):
+    the dimensionality-reduction front end of the ANN path, computed as
+    per-row JVM expressions inside the scan (no shuffle, no Python)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    proj = M.random_project(ev, _PROJ)
+    return emb.select(
+        "vec_id",
+        *[F.round(proj[j], 6).alias(f"p{j}") for j in range(len(_PROJ))],
+    ).orderBy("vec_id")
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)
+    ), s1 AS (
+        SELECT e.vec_id, e.v, c0.cid,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1),
+                        i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))) AS dist
+        FROM e CROSS JOIN c0
+    ), a1 AS (
+        SELECT vec_id, v, cid AS cluster
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn FROM s1)
+        WHERE rn = 1
+    ), m1 AS (
+        SELECT cluster, dim, AVG(val) AS m
+        FROM (SELECT cluster, UNNEST(v) AS val,
+                     GENERATE_SUBSCRIPTS(v, 1) AS dim FROM a1)
+        GROUP BY cluster, dim
+    ), c1 AS (
+        SELECT cluster AS cid, ARRAY_AGG(m ORDER BY dim) AS cv FROM m1 GROUP BY cluster
+    ), s2 AS (
+        SELECT e.vec_id, c1.cid,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1),
+                        i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i]))) AS dist
+        FROM e CROSS JOIN c1
+    ), a2 AS (
+        SELECT vec_id, cid AS cluster
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn FROM s2)
+        WHERE rn = 1
+    )
+    SELECT cluster, COUNT(*) AS n_members FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+    tags=("llm", "embedding", "kmeans"),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (K=4, 2 Lloyd iterations, deterministic init = vectors
+    0..3) over the embedding corpus — the IVF centroid-training step as
+    pure DataFrame ops. Output is integer cluster sizes, immune to
+    partial-sum rounding; the oracle unrolls the same two passes in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = M.kmeans_fit(emb, "vec_id", "embedding", init_ids=[0, 1, 2, 3], iterations=2)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
     )

@@ -46,6 +46,7 @@ CARTESIAN_OK = {
     "q_dedup_cluster",  # bounded 80-doc slice pairwise verify (scale path: LSH edges)
     "q_tfidf_terms",  # single-row broadcast N-docs side
     "q_bm25_search",  # single-row broadcast corpus-stats side
+    "q_kmeans_clusters",  # K-row broadcast centroid side (K=4)
 }
 
 
