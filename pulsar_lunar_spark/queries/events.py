@@ -249,6 +249,45 @@ def q_events_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_ffill",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS last_purchase_value
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "timeseries", "ffill"),
+)
+def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (time-series gap fill): carry the last purchase value
+    forward across each user's event stream — `last(ignorenulls)` over a
+    running frame, the standard interpolation primitive. At scale the
+    window shuffles once on user_id; no state beyond one value per row."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.last(sparse, ignorenulls=True).over(w), 4).alias(
+                "last_purchase_value"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
     "q_events_collect",
     oracle="""
     SELECT event_type,

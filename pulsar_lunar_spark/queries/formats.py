@@ -80,3 +80,26 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → ORC → read → join/agg (typed columnar alternative path)."""
     return _nation_roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "q_text_roundtrip",
+    oracle="""
+    SELECT text AS value, LENGTH(text) AS n_chars
+    FROM documents WHERE doc_id < 50
+    ORDER BY value, n_chars
+    """,
+    tags=("format", "text", "sink", "source"),
+)
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → line-delimited text files → read back → per-line
+    stats. The untyped single-column format is the reference's raw
+    String/None schema type (/root/reference/src/PulsarApi.proto:26-43):
+    payload bytes with no structure, schema applied by the consumer."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    path = _roundtrip_dir(sf_dir, "text")
+    docs.select(F.col("text").alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.select(
+        "value", F.length("value").alias("n_chars")
+    ).orderBy("value", "n_chars")
