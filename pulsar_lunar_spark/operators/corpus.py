@@ -279,3 +279,24 @@ def contamination_hits(
         F.col("__id").alias("bench_id"), F.explode("__sh").alias("sh")
     )
     return c.join(s, "sh").select("bench_id", "corpus_id").distinct()
+
+
+def contamination_counts(
+    corpus_shingles: DataFrame, bench_shingles: DataFrame
+) -> DataFrame:
+    """Per-benchmark-doc count of distinct contaminated corpus docs —
+    same semantics as COUNT(DISTINCT) over `contamination_hits`, but as a
+    single shuffle: the shingle join feeds a countDistinct aggregate whose
+    map-side partial dedups (bench_id, corpus_id) before the exchange,
+    instead of a full distinct() shuffle followed by a count shuffle."""
+    c = corpus_shingles.select(
+        F.col("__id").alias("corpus_id"), F.explode("__sh").alias("sh")
+    )
+    s = bench_shingles.select(
+        F.col("__id").alias("bench_id"), F.explode("__sh").alias("sh")
+    )
+    return (
+        c.join(s, "sh")
+        .groupBy("bench_id")
+        .agg(F.countDistinct("corpus_id").alias("n_contaminated"))
+    )

@@ -249,6 +249,71 @@ def q_events_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_islands",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id <= 30
+    ), islands AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_no) AS BIGINT) AS n_sessions,
+           CAST(MAX(cnt) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, session_no, COUNT(*) AS cnt
+          FROM islands GROUP BY user_id, session_no)
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "sessionization", "gaps-islands"),
+)
+def q_events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (the relational equivalent of
+    F.session_window, q_events_session): lag-gap flag -> running sum =
+    session number -> per-session counts. Two windows over one user_id
+    shuffle; at scale this is the batch-replay twin of the streaming
+    session operator."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_order)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 30 * 60, 1).otherwise(0).alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", F.sum("new_session").over(w_run).alias("session_no")
+    )
+    per_session = islands.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_no").cast("bigint").alias("n_sessions"),
+            F.max("cnt").cast("bigint").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q_events_ffill",
     oracle="""
     SELECT event_id, user_id,

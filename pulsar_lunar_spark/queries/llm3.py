@@ -289,12 +289,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(F.col("doc_id").alias("__id"), D.shingles(F.col("text"), 3).alias("__sh"))
     bench = sh.filter(F.col("__id") < 10)
     corp = sh.filter(F.col("__id") >= 10)
-    hits = C.contamination_hits(corp, bench)
-    return (
-        hits.groupBy("bench_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-        .orderBy("bench_id")
-    )
+    return C.contamination_counts(corp, bench).orderBy("bench_id")
 
 
 # Deterministic 64 -> 8 Rademacher projection, shared literal-for-literal

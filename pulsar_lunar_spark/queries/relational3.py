@@ -677,3 +677,39 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join (operators/partitioning.py): the fact
+    side gets a random salt, the other side is replicated across all
+    salts, and the join key becomes (key, salt) — a hot orderkey spreads
+    over 8 reducers instead of one. The salt only routes rows, so the
+    aggregate is value-identical to the plain join (which is exactly what
+    the oracle checks)."""
+    from pulsar_lunar_spark.operators.partitioning import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", n_salts=8
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
