@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -208,6 +209,37 @@ class MessageLog:
             if pruned:
                 df = df.filter(F.col("__pdate") <= F.to_date(F.lit(to_publish_time)))
         return df.drop("__partition", "__pdate")
+
+    def topics(self, pattern: str | None = None) -> list[str]:
+        """List topics in this log, optionally filtered by a regex —
+        GetTopicsOfNamespace (/root/reference/src/PulsarApi.proto:656-678;
+        demux key src/netflow/models.rs:23-58). Names are the sanitized
+        directory names (one directory per topic)."""
+        base = os.path.join(self.root, "topics")
+        if not os.path.isdir(base):
+            return []
+        names = sorted(
+            d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d))
+        )
+        if pattern is not None:
+            rx = re.compile(pattern)
+            names = [n for n in names if rx.search(n)]
+        return names
+
+    def last_message_id(self, topic: str):
+        """Newest message position on the topic — GetLastMessageId
+        (/root/reference/src/PulsarApi.proto:646-654). Returns the
+        message_id struct of the max (publish_time, sequence_id) row as a
+        Row, or None for an empty topic. One aggregate over the log
+        (max_by keeps a single struct per partition, then one reduce)."""
+        df = self.read(topic)
+        row = df.agg(
+            F.max_by(
+                F.struct("message_id", "publish_time", "sequence_id"),
+                F.struct("publish_time", "sequence_id"),
+            ).alias("last")
+        ).head()
+        return None if row is None or row["last"] is None else row["last"]["message_id"]
 
     def compacted(self, topic: str) -> DataFrame:
         """read_compacted view: newest message per key (PulsarApi.proto:325)."""

@@ -518,3 +518,33 @@ def test_compressed_topic_roundtrip(spark, sf_dir, tmp_path):
         files = _glob.glob(str(tmp_path / "clog" / "topics" / f"c_{codec}" / "**" / "*.parquet"),
                            recursive=True)
         assert files and all(f".{codec}." in f or codec in f for f in files)
+
+
+def test_topics_listing_and_pattern(spark, log, sf_dir):
+    """GetTopicsOfNamespace analog: list topics, optionally regex-filtered
+    (/root/reference/src/PulsarApi.proto:656-678)."""
+    from pulsar_lunar_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").limit(10)
+    log.produce(e, topic="events.audit", payload_cols=["event_id"], key="user_id")
+    names = log.topics()
+    assert "events" in names and any("audit" in n for n in names)
+    only_audit = log.topics(pattern="audit")
+    assert only_audit and all("audit" in n for n in only_audit)
+    assert names == sorted(names)
+
+
+def test_last_message_id(spark, log):
+    """GetLastMessageId analog: the max (publish_time, sequence_id) row's
+    message_id (/root/reference/src/PulsarApi.proto:646-654)."""
+    mid = log.last_message_id("events")
+    assert mid is not None
+    # sequence ids come from event_id; the newest publish_time==ts row must
+    # carry the max (ts, event_id) pair observed directly on the log
+    direct = (
+        log.read("events")
+        .orderBy(F.desc("publish_time"), F.desc("sequence_id"))
+        .head()
+    )
+    assert mid["ledger_id"] == direct["message_id"]["ledger_id"]
+    assert mid["entry_id"] == direct["message_id"]["entry_id"]
