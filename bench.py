@@ -43,6 +43,7 @@ HEADLINE = [
     "q_tfidf_terms",
     "q_contamination",
     "q_bm25_search",
+    "q_kmeans_clusters",
 ]
 
 
