@@ -300,3 +300,70 @@ def contamination_counts(
         .groupBy("bench_id")
         .agg(F.countDistinct("corpus_id").alias("n_contaminated"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (context-window packing / passage dedup)
+# ---------------------------------------------------------------------------
+
+def chunk_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Explode each document into token-window chunks of `window` whitespace
+    words every `stride` words (overlap = window - stride). Returns
+    (__id, chunk_idx, start, n_tokens, chunk_hash, chunk_text).
+
+    This is the standard context-window packing / passage-extraction step of
+    a pre-training pipeline. All JVM expressions (split + sequence + slice +
+    md5) — scan-speed, no Python, no shuffle; output is O(tokens/stride)
+    rows. chunk_idx = start / stride, so the layout is reproducible without
+    a window function.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__words") - 1, F.lit(0)), F.lit(stride)
+    )
+    toks = F.slice(F.col("__words"), F.col("start") + 1, window)
+    return (
+        df.select(F.col(id_col).alias("__id"), words.alias("__words"))
+        .select("__id", "__words", F.explode(starts).alias("start"))
+        .select(
+            "__id",
+            (F.col("start") / stride).cast("int").alias("chunk_idx"),
+            "start",
+            F.size(toks).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", toks)).alias("chunk_hash"),
+            F.concat_ws(" ", toks).alias("chunk_text"),
+        )
+    )
+
+
+def passage_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, group_col: str, window: int = 8
+) -> DataFrame:
+    """Per-group exact passage-duplication profile: chunk every doc into
+    non-overlapping `window`-token passages, hash them, and count how many
+    distinct passages occur in more than one document.
+
+    The scalable exact-substring-dedup primitive (suffix-array-free):
+    one explode + one (hash, doc) distinct + integer-sum aggregate —
+    O(tokens) shuffle, order-independent integer outputs.
+    """
+    chunks = chunk_table(df, id_col, text_col, window=window, stride=window)
+    grp = df.select(F.col(id_col).alias("__id"), F.col(group_col).alias("grp"))
+    per_hash = (
+        chunks.join(grp, "__id")
+        .select("grp", "chunk_hash", "__id")
+        .distinct()
+        .groupBy("grp", "chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return per_hash.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("distinct_passages"),
+        F.count(F.when(F.col("n_docs") > 1, 1)).alias("dup_passages"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs"))).alias("docs_sharing"),
+    )

@@ -93,3 +93,37 @@ def repartition_by_key_range(
     for window-heavy or sorted-output workloads — the sort inside each
     partition is then local, no global sort exchange."""
     return df.repartitionByRange(num_partitions, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-column data-skipping layout)
+# ---------------------------------------------------------------------------
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of the low `bits` bits of two non-negative
+    integer keys -> one BIGINT clustering key.
+
+    Writing a table sorted by this key co-locates rows that are close in
+    EITHER dimension, so parquet row-group min/max stats prune scans
+    filtered on x OR y — the standard multi-column data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER BY). Pure bit arithmetic, codegen'd in
+    the scan projection; the only cost at write time is the global sort.
+    Disjoint bit positions mean `+` == `|`, which keeps the same expression
+    valid SQL in any oracle dialect (see zorder_sql).
+    """
+    xl, yl = x.cast("long"), y.cast("long")
+    term = F.lit(0).cast("long")
+    for i in range(bits):
+        term = term + F.shiftleft(F.shiftright(xl, i).bitwiseAND(1), 2 * i)
+        term = term + F.shiftleft(F.shiftright(yl, i).bitwiseAND(1), 2 * i + 1)
+    return term
+
+
+def zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """ANSI-ish SQL twin of zorder_key (DuckDB / any dialect with >> & <<):
+    the identical unrolled bit-interleave expression, for oracle checks."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -105,6 +105,35 @@ def detect_lang(col: Column, default: str = "und") -> Column:
     return F.when(max_score > 0, first_best).otherwise(F.lit(default))
 
 
+#: PII patterns, written in the common subset of Java regex (Spark) and
+#: RE2 (DuckDB): no lookaround, no \d shorthand, explicit classes only —
+#: so the DuckDB oracle can run the byte-identical pattern.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+#: Redaction order matters (email first: its local/domain parts contain
+#: digit runs an IP pass could nibble). Keep in sync with the SQL twin.
+PII_PATTERNS = (PII_EMAIL, PII_PHONE, PII_IPV4)
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Number of matches of one PII pattern (codegen regexp, no UDF)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(col: Column, token: str = "[PII]") -> Column:
+    """Replace every email / phone / IPv4 match with `token`.
+
+    Pure regexp_replace chain — whole-stage codegen, scan-speed; the
+    standard pre-training scrub pass before tokenization.
+    """
+    out = col
+    for pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of normalized text (exact-dup
     key; the rolling/shingle variant is minhash_signature in dedup.py)."""

@@ -1,0 +1,333 @@
+"""Training-data pipeline queries, batch 4 (SURVEY §2B north star):
+PII scrubbing, context-window chunking, exact passage dedup, URL/domain
+profiling, and the Z-order clustering key for multi-column data skipping.
+
+The synthetic `documents` text is digit/URL-free word soup, so the PII and
+URL queries append a DETERMINISTIC fixture suffix derived from (doc_id,
+source) — built with identical string expressions on both the Spark and
+DuckDB sides — before running the real operator (regex extraction /
+redaction). The operator under test is the regex pipeline, not the
+fixture.
+
+Determinism discipline (registry docstring): integer sums only, md5-based
+hashes, total orderings with tiebreaks, byte-identical regex patterns in
+the Java-regex/RE2 common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import corpus as C
+from pulsar_lunar_spark.operators import text as T
+from pulsar_lunar_spark.operators.partitioning import zorder_key, zorder_sql
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
+
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+_WORDS = f"STRING_SPLIT({_NORM}, ' ')"
+
+# DuckDB twin of the deterministic PII fixture suffix (see module docstring).
+_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.77'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+
+def _augmented_text() -> F.Column:
+    """Spark twin of _AUG_SQL: the deterministic PII/URL fixture suffix."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" host 10."), (did % 256).cast("string"), F.lit(".0.77")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_ORACLE = (
+    """
+    WITH aug AS (
+        SELECT lang, ("""
+    + _AUG_SQL
+    + """) AS t FROM documents
+    ), scrub AS (
+        SELECT lang, t,
+               LEN(REGEXP_EXTRACT_ALL(t, '"""
+    + T.PII_EMAIL
+    + """')) AS n_emails,
+               LEN(REGEXP_EXTRACT_ALL(t, '"""
+    + T.PII_PHONE
+    + """')) AS n_phones,
+               LEN(REGEXP_EXTRACT_ALL(t, '"""
+    + T.PII_IPV4
+    + """')) AS n_ips,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+                   '"""
+    + T.PII_EMAIL
+    + """', '[PII]', 'g'),
+                   '"""
+    + T.PII_PHONE
+    + """', '[PII]', 'g'),
+                   '"""
+    + T.PII_IPV4
+    + """', '[PII]', 'g') AS red
+        FROM aug
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 END)
+               AS docs_with_pii,
+           SUM(n_emails) AS n_emails,
+           SUM(n_phones) AS n_phones,
+           SUM(n_ips) AS n_ips,
+           SUM(LEN(t) - LEN(red)) AS chars_redacted
+    FROM scrub GROUP BY lang ORDER BY lang
+    """
+)
+
+
+@register("q_pii_redact", oracle=_PII_ORACLE, tags=("llm", "pii"))
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit per language: count + redact emails / phones / IPv4
+    with byte-identical Java-regex/RE2 patterns (operators/text.py). Pure
+    regexp codegen in the scan projection + one tiny integer aggregate —
+    at 100 TB this is scan-bound with zero shuffle beyond 5 groups.
+
+    Reference analog: none (the reference moves opaque payloads,
+    /root/reference/src/message/producer.rs:11-24); scrubbing is the
+    payload-level transform a training pipeline bolts on top.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = _augmented_text()
+    scrub = d.select(
+        "lang",
+        t.alias("t"),
+        T.pii_count(t, T.PII_EMAIL).alias("n_emails"),
+        T.pii_count(t, T.PII_PHONE).alias("n_phones"),
+        T.pii_count(t, T.PII_IPV4).alias("n_ips"),
+        T.redact_pii(t).alias("red"),
+    )
+    return (
+        scrub.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0, 1)
+            ).alias("docs_with_pii"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_phones").alias("n_phones"),
+            F.sum("n_ips").alias("n_ips"),
+            F.sum(F.length("t") - F.length("red")).alias("chars_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ), s AS (
+        SELECT doc_id, words,
+               UNNEST(RANGE(0, GREATEST(LEN(words), 1), 24)) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start,
+           CAST(LEAST(32, LEN(words) - start) AS INT) AS n_tokens,
+           MD5(ARRAY_TO_STRING(words[start + 1 : start + 32], ' ')) AS chunk_hash
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "chunking"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: every document exploded into 32-token chunks
+    with stride 24 (8-token overlap) — the pre-tokenizer sharding step of a
+    pre-training pipeline. split + sequence + slice + md5, all codegen;
+    O(tokens/stride) output rows and no shuffle (the ORDER BY is only the
+    driver-compare canonicalization)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        C.chunk_table(d, "doc_id", "text", window=32, stride=24)
+        .select(
+            F.col("__id").alias("doc_id"),
+            "chunk_idx",
+            "start",
+            "n_tokens",
+            "chunk_hash",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "q_passage_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS} AS words FROM documents
+    ), s AS (
+        SELECT doc_id, lang, words,
+               UNNEST(RANGE(0, GREATEST(LEN(words), 1), 8)) AS start
+        FROM w
+    ), per_hash AS (
+        SELECT lang, chunk_hash, COUNT(*) AS n_docs FROM (
+            SELECT DISTINCT lang,
+                   MD5(ARRAY_TO_STRING(words[start + 1 : start + 8], ' '))
+                       AS chunk_hash,
+                   doc_id
+            FROM s
+        ) GROUP BY lang, chunk_hash
+    )
+    SELECT lang,
+           COUNT(*) AS distinct_passages,
+           COUNT(CASE WHEN n_docs > 1 THEN 1 END) AS dup_passages,
+           SUM(CASE WHEN n_docs > 1 THEN n_docs END) AS docs_sharing
+    FROM per_hash GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "dedup"),
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact passage-level dedup profile per language: non-overlapping
+    8-token passages hashed and counted across documents — the scalable
+    exact-substring-dedup primitive (no suffix array needed). One explode,
+    one map-side-dedup'd distinct, integer sums; O(tokens) shuffle."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return C.passage_dup_stats(d, "doc_id", "text", "lang", window=8).select(
+        F.col("grp").alias("lang"),
+        "distinct_passages",
+        "dup_passages",
+        "docs_sharing",
+    ).orderBy("lang")
+
+
+_URL_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+_URL_ORACLE = (
+    """
+    WITH aug AS (
+        SELECT doc_id, source, (
+            text
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' see https://' || source || '.example.org/p/'
+                         || CAST(doc_id AS VARCHAR)
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' img http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.example.net/x.png'
+                    ELSE '' END
+        ) AS t FROM documents
+    ), u AS (
+        SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(t, '"""
+    + _URL_PATTERN
+    + """', 1)) AS domain FROM aug
+    )
+    SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY domain ORDER BY n_urls DESC, domain
+    """
+)
+
+
+@register("q_url_domains", oracle=_URL_ORACLE, tags=("llm", "url"))
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain profile of the corpus (the crawl-side quality signal:
+    which hosts dominate). Deterministic URL fixture suffix (module
+    docstring), then regexp_extract_all(group 1) + explode + count/
+    countDistinct. O(urls) shuffle; countDistinct partials dedup map-side.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" see https://"),
+                F.col("source"),
+                F.lit(".example.org/p/"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" img http://cdn"),
+                (did % 5).cast("string"),
+                F.lit(".example.net/x.png"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    u = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit(_URL_PATTERN), F.lit(1))).alias("domain"),
+    )
+    return (
+        u.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+    )
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+        SELECT {zorder_sql('l_partkey', 'l_suppkey', 16)} AS zkey,
+               l_partkey, l_suppkey
+        FROM lineitem
+    )
+    SELECT zkey >> 12 AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+    tags=("scale", "layout"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering-key layout audit over lineitem (l_partkey,
+    l_suppkey): per 4096-key z-bucket, row count and the min/max of BOTH
+    dimensions. Sorting the table by zkey before writing bounds both ranges
+    per file, so parquet min/max stats prune scans filtered on EITHER key —
+    the OPTIMIZE ZORDER BY primitive, as pure bit-arithmetic codegen
+    (operators/partitioning.py::zorder_key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey"), 16).alias("zkey"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 12).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("zbucket")
+    )

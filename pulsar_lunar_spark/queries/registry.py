@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm",
     "pulsar_lunar_spark.queries.llm2",
     "pulsar_lunar_spark.queries.llm3",
+    "pulsar_lunar_spark.queries.llm4",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.modern",
     "pulsar_lunar_spark.queries.media",
