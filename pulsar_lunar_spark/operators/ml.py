@@ -77,7 +77,12 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         scored.groupBy("__id")
         .agg(F.min("dc").alias("best"), F.first("__v").alias("__v"))
-        .select("__id", "__v", F.col("best.cid").alias("cluster"))
+        .select(
+            "__id",
+            "__v",
+            F.col("best.cid").alias("cluster"),
+            F.col("best.dist").alias("dist"),
+        )
     )
 
 
@@ -105,10 +110,12 @@ def kmeans_fit(
     vec_col: str,
     init_ids: list[int],
     iterations: int = 2,
+    keep_dist: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means with deterministic init (centroids = the vectors of
     ``init_ids``), run for a fixed number of iterations. Returns the final
-    (__id, cluster) assignment.
+    (__id, cluster) assignment — plus the squared distance to the assigned
+    centroid when ``keep_dist`` (the outlier-filtering signal).
 
     Fixed-iteration + fixed-init keeps the whole computation reproducible
     and SQL-expressible (the oracle unrolls the same two passes). Each
@@ -130,4 +137,5 @@ def kmeans_fit(
         if it < iterations - 1:
             assigned = assigned.localCheckpoint(eager=True)
             centroids = kmeans_update(assigned).localCheckpoint(eager=True)
-    return assigned.select("__id", "cluster")
+    cols = ["__id", "cluster", "dist"] if keep_dist else ["__id", "cluster"]
+    return assigned.select(*cols)

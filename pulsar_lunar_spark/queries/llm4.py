@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators import corpus as C
+from pulsar_lunar_spark.operators import ml as M
 from pulsar_lunar_spark.operators import text as T
 from pulsar_lunar_spark.operators.partitioning import zorder_key, zorder_sql
 from pulsar_lunar_spark.queries.registry import register
@@ -330,4 +331,160 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
         .orderBy("zbucket")
+    )
+
+
+# Shared prefix: the q_kmeans_clusters two-pass Lloyd unroll (llm3.py),
+# extended to keep the final squared distance per vector.
+_KMEANS_DIST_CTE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)
+    ), s1 AS (
+        SELECT e.vec_id, e.v, c0.cid,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1),
+                        i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))) AS dist
+        FROM e CROSS JOIN c0
+    ), a1 AS (
+        SELECT vec_id, v, cid AS cluster
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn FROM s1)
+        WHERE rn = 1
+    ), m1 AS (
+        SELECT cluster, dim, AVG(val) AS m
+        FROM (SELECT cluster, UNNEST(v) AS val,
+                     GENERATE_SUBSCRIPTS(v, 1) AS dim FROM a1)
+        GROUP BY cluster, dim
+    ), c1 AS (
+        SELECT cluster AS cid, ARRAY_AGG(m ORDER BY dim) AS cv FROM m1 GROUP BY cluster
+    ), s2 AS (
+        SELECT e.vec_id, c1.cid,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1),
+                        i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i]))) AS dist
+        FROM e CROSS JOIN c1
+    ), a2 AS (
+        SELECT vec_id, cluster, d4 FROM (
+            SELECT vec_id, cid AS cluster,
+                   FLOOR(dist * 10000 + 0.5) / 10000 AS d4,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM s2)
+        WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "q_embed_outliers",
+    oracle=_KMEANS_DIST_CTE
+    + """
+    SELECT cluster, COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN vec_id END) AS far_vec_id,
+           MAX(CASE WHEN rn = 1 THEN d4 END) AS far_dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                       ORDER BY d4 DESC, vec_id DESC) AS rn
+          FROM a2)
+    GROUP BY cluster ORDER BY cluster
+    """,
+    tags=("llm", "embedding", "outliers"),
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier audit: after the deterministic k-means fit
+    (K=4, 2 Lloyd passes — same config as q_kmeans_clusters), report each
+    cluster's size and its farthest member — the embedding-space outlier-
+    filtering signal of a curation pipeline. The argmax compares the
+    4dp-FLOOR-rounded distance (cross-engine-stable) with vec_id tiebreak;
+    cluster sizes stay integer. Same broadcast-assign plan as the fit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = M.kmeans_fit(
+        emb, "vec_id", "embedding", init_ids=[0, 1, 2, 3], iterations=2, keep_dist=True
+    )
+    d4 = (F.floor(F.col("dist") * 10000 + 0.5) / 10000).alias("d4")
+    far = F.max(F.struct(F.col("d4"), F.col("__id"))).alias("far")
+    return (
+        a.select("__id", "cluster", d4)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), far)
+        .select(
+            "cluster",
+            "n_members",
+            F.col("far.__id").alias("far_vec_id"),
+            F.col("far.d4").alias("far_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST({_WORDS}) AS word FROM documents
+    ), freq AS (
+        SELECT word, COUNT(*) AS tf FROM tok GROUP BY word
+    ), tot AS (
+        SELECT COUNT(*) AS n_tok FROM tok
+    ), wm AS (
+        SELECT t.doc_id, t.lang,
+               CAST(FLOOR(-LN(f.tf * 1.0 / n_tok) * 1000000 + 0.5) AS BIGINT)
+                   AS wmic
+        FROM tok t JOIN freq f USING (word) CROSS JOIN tot
+    ), per_doc AS (
+        SELECT doc_id, lang, SUM(wmic) AS s, COUNT(*) AS n
+        FROM wm GROUP BY doc_id, lang
+    )
+    SELECT lang, doc_id, n AS n_tokens,
+           FLOOR(s * 1.0 / n / 100 + 0.5) / 10000 AS surprisal
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY s * 1.0 / n DESC, doc_id) AS rn
+          FROM per_doc)
+    WHERE rn <= 3 ORDER BY lang, doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal quality signal (the cheap perplexity proxy): build
+    the corpus unigram model, score every token with -ln p(word), and
+    surface the 3 most-surprising documents per language.
+
+    Determinism: per-token surprisal is quantized to integer micro-nats
+    BEFORE any aggregation, so every downstream sum/mean is exact integer
+    arithmetic (no partial-sum-order hazard); the display value divides two
+    integers. Scale: one O(tokens) explode, a broadcast vocabulary join
+    (map-side), integer aggregates — no Python, no second shuffle of text.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col("text")), " ")
+    tok = d.select("doc_id", "lang", F.explode(words).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.select(F.count(F.lit(1)).alias("n_tok"))
+    wmic = F.floor(
+        -F.log(F.col("tf").cast("double") / F.col("n_tok")) * 1000000 + 0.5
+    ).cast("bigint")
+    per_doc = (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", wmic.alias("wmic"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("wmic").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(F.col("s") * 1.0 / F.col("n")), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            (F.floor(F.col("s") * 1.0 / F.col("n") / 100 + 0.5) / 10000).alias(
+                "surprisal"
+            ),
+        )
+        .orderBy("lang", "doc_id")
     )

@@ -102,3 +102,31 @@ def test_zorder_locality_bounds_both_dims(spark):
         .collect()
     )
     assert agg and all(r.dx <= 31 and r.dy <= 31 for r in agg)
+
+
+def test_kmeans_keep_dist_zero_for_centroid_seed(spark):
+    # 4 well-separated points, each its own init centroid -> every vector
+    # is its own cluster center, distance exactly 0 after any #iterations.
+    rows = [(i, [float(10 * i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pulsar_lunar_spark.operators.ml import kmeans_fit
+
+    out = kmeans_fit(df, "vec_id", "embedding", init_ids=[0, 1, 2, 3],
+                     iterations=2, keep_dist=True).collect()
+    assert {r.cluster for r in out} == {0, 1, 2, 3}
+    assert all(r.dist == 0.0 for r in out)
+
+
+def test_unigram_surprisal_micronat_quantization(spark):
+    # The per-token micro-nat expression must match python math.log exactly
+    # after FLOOR quantization, and a rare word must outscore a common one.
+    import math
+
+    df = spark.createDataFrame([(3, 4), (1, 4)], "tf long, n_tok long")
+    wmic = F.floor(
+        -F.log(F.col("tf").cast("double") / F.col("n_tok")) * 1000000 + 0.5
+    ).cast("bigint")
+    got = {r.tf: r.w for r in df.select("tf", wmic.alias("w")).collect()}
+    want = {tf: math.floor(-math.log(tf / 4) * 1000000 + 0.5) for tf in (3, 1)}
+    assert got == want
+    assert got[1] > got[3]

@@ -48,6 +48,8 @@ CARTESIAN_OK = {
     "q_tfidf_terms",  # single-row broadcast N-docs side
     "q_bm25_search",  # single-row broadcast corpus-stats side
     "q_kmeans_clusters",  # K-row broadcast centroid side (K=4)
+    "q_embed_outliers",  # same K-row broadcast centroid side as the fit
+    "q_unigram_surprisal",  # single-row broadcast total-token side
 }
 
 
