@@ -70,13 +70,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # one untimed warmup: codegen compile + Python worker priming are
-        # per-session bring-up, not per-query cost (steady-state metric)
+        # one untimed warmup (codegen compile + Python worker priming are
+        # per-session bring-up), then best-of-2 timed reps: C2 JIT of
+        # interpreted HOF paths only stabilizes after a few invocations,
+        # and single-rep numbers swing ±2x on sub-second queries
         specs[name].fn(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        n = len(df.collect())  # collect, not count(): count() would let Spark prune the plan
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            # collect, not count(): count() would let Spark prune the plan
+            n = len(df.collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
