@@ -243,13 +243,15 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "knn"),
 )
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN join: top-5 neighbors for 5 query vectors against the corpus
-    (broadcast query side + WindowGroupLimit per-query top-k)."""
+    """k-NN join: top-5 neighbors for 5 query vectors against the corpus.
+    GEMM path (Arrow-batched BLAS with per-partition local top-k — the
+    shuffle carries O(partitions·|Q|·k) rows, never the 5·n score table);
+    value-identity with the JVM knn_join twin is pytest-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = S.knn_join(queries, emb, k=5)
+    out = S.knn_join_gemm(queries, emb, k=5)
     return out.select("q_id", "vec_id", "cosine_sim").orderBy(
         "q_id", F.desc("cosine_sim"), "vec_id"
     )

@@ -154,3 +154,22 @@ def test_token_count(spark):
     n = df.select(token_count(F.col("text")).alias("n")).collect()[0]["n"]
     # Hello , world ! It's 42 degrees . => 8 tokens
     assert n == 8
+
+
+def test_knn_join_gemm_matches_jvm_twin(spark, sf_dir):
+    """The BLAS knn path must be value-identical (at the rounded 6dp the
+    query emits) to the pure-JVM fold — same guarantee blocked_cosine_pairs
+    gives for the dedup path."""
+    from pyspark.sql import functions as F
+    from pulsar_lunar_spark.operators import similarity as S
+    from pulsar_lunar_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cols = ["q_id", "vec_id", "cosine_sim"]
+    jvm = S.knn_join(queries, emb, k=4).select(*cols)
+    gemm = S.knn_join_gemm(queries, emb, k=4).select(*cols)
+    assert jvm.exceptAll(gemm).count() == 0
+    assert gemm.exceptAll(jvm).count() == 0

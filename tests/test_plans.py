@@ -31,6 +31,7 @@ PYTHON_OK = {
     # matrix-shaped similarity / signature math (BLAS & minimum.reduceat)
     "q_dedup_embedding",
     "q_dedup_minhash",
+    "q_knn_join",  # GEMM path: BLAS scores + per-partition local top-k
     # mapInPandas decode stubs — Python is the declared decode path
     "q_media_image_features",
     "q_media_audio_features",
