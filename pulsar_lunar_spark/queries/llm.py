@@ -204,16 +204,20 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast single-row query side; TakeOrderedAndProject keeps k rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(
-            F.transform("embedding", lambda x: x.cast("double")).alias("qv")
-        )
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+        # query norm computed once on the 1-row broadcast side, not per
+        # corpus row (the broadcast exchange materializes it)
+        .select("qv", S.l2_norm(F.col("qv")).alias("qn"))
     )
     e = emb.crossJoin(qrow)
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return (
         e.select(
             "vec_id",
-            F.round(S.cosine(ev, F.col("qv")), 6).alias("cosine_sim"),
+            F.round(
+                S.dot(ev, F.col("qv")) / (S.l2_norm(ev) * F.col("qn")), 6
+            ).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)

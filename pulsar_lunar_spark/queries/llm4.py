@@ -488,3 +488,103 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "q_source_mixture",
+    oracle="""
+    WITH thr AS (
+        SELECT * FROM (VALUES ('src0', '14'), ('src1', '29'), ('src2', '52'),
+                              ('src3', '7f'), ('src4', 'cc')) t(source, thr)
+    ), flagged AS (
+        SELECT d.source,
+               CASE WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 2) < thr.thr
+                    THEN 1 ELSE 0 END AS keep,
+               d.n_chars
+        FROM documents d JOIN thr ON d.source = thr.source
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           SUM(keep) AS n_kept,
+           SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS chars_kept
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture re-weighting: each source is down-sampled at its own
+    deterministic md5-threshold rate (src0 ~8% ... src4 ~80%) — the
+    per-domain mixture-weighting step that turns a raw crawl into a
+    training mix. The 5-row weight table broadcasts; the keep flag is a
+    scan-level predicate (pushdown-friendly), outputs are integer sums.
+    """
+    weights = [("src0", "14"), ("src1", "29"), ("src2", "52"), ("src3", "7f"), ("src4", "cc")]
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.broadcast(
+        spark.createDataFrame(weights, "source string, thr string")
+    )
+    # per-source threshold variant of corpus.sample_flag (same md5-prefix key)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    flagged = d.join(thr, "source").select(
+        "source",
+        F.when(prefix < F.col("thr"), 1).otherwise(0).alias("keep"),
+        "n_chars",
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_token_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, LEN({_WORDS}) AS n_tokens FROM documents
+    ), packed AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT)
+                   AS shard_id
+        FROM toks
+    )
+    SELECT lang, shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    FROM packed GROUP BY lang, shard_id ORDER BY lang, shard_id
+    """,
+    tags=("llm", "packing"),
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order,
+    per language) to fixed 2048-token training shards by running token
+    count — shard_id = floor(preceding-sum / budget). The window is
+    partitioned by lang so no single global sort bottlenecks at scale
+    (shard keys are what a writer would partitionBy); integer sums only.
+    """
+    from pyspark.sql import Window
+
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(normalize_text(F.col("text")), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    packed = toks.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint"),
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("lang", "shard_id")
+    )
