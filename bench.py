@@ -44,6 +44,9 @@ HEADLINE = [
     "q_contamination",
     "q_bm25_search",
     "q_kmeans_clusters",
+    "q_pii_redact",
+    "q_chunk_documents",
+    "q_unigram_surprisal",
 ]
 
 
