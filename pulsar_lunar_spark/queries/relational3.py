@@ -16,7 +16,7 @@ flip between engines due to partial-sum ordering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.queries.registry import register
@@ -490,29 +490,47 @@ def q20_part_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (shipdate>orderdate+90d stands in for the missing
     receipt/commit dates): the sole late supplier in multi-supplier
-    finished orders. EXISTS → left-semi, NOT EXISTS → left-anti; the l2/l3
-    probe sides are projected to (orderkey, suppkey) before shuffling."""
+    finished orders.
+
+    Single-shuffle form: EXISTS/NOT-EXISTS over the order's other
+    lineitems are per-order facts, so instead of semi+anti joins that
+    re-shuffle lineitem three times, join li⋈orders once on l_orderkey and
+    compute both facts with collect_set windows OVER THE SAME KEY — the
+    window reuses the join's hash partitioning, adding zero exchanges
+    (verified: one Exchange per side in the plan). waiting ⇔ row is late,
+    order is 'F', the order has ≥2 distinct suppliers, and exactly one
+    distinct supplier is late (this row's)."""
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
     late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
 
-    l1 = (
-        li.join(o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
-        .filter(late)
-        .select("l_orderkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        "o_orderstatus",
+        late.alias("is_late"),
     )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(late)
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    flagged = base.select(
+        "l_orderkey",
+        "l_suppkey",
+        "o_orderstatus",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
-    waiting = (
-        l1.join(l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-                "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
-              "left_anti")
+    waiting = flagged.filter(
+        F.col("is_late")
+        & (F.col("o_orderstatus") == "F")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     return (
         waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
