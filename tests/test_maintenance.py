@@ -1,0 +1,76 @@
+"""Tests for storage maintenance: small-file compaction and MERGE upsert."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pulsar_lunar_spark.operators.maintenance import (
+    compact_files,
+    merge_upsert,
+    plan_compaction,
+)
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(20).write.parquet(path)
+    assert len(_parquet_files(path)) == 20
+    n_now, n_target = plan_compaction(spark, path, target_bytes=10 * 1024 * 1024)
+    assert n_now == 20 and n_target == 1
+    n_new = compact_files(spark, path, target_bytes=10 * 1024 * 1024)
+    assert n_new == 1 == len(_parquet_files(path))
+    # no rows lost, values intact
+    assert spark.read.parquet(path).count() == 10000
+    assert spark.read.parquet(path).agg({"id": "sum"}).collect()[0][0] == sum(range(10000))
+
+
+def test_compaction_noop_when_already_compact(spark, tmp_path):
+    path = str(tmp_path / "ok")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    assert compact_files(spark, path, target_bytes=128 * 1024 * 1024) == 1
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, name string, val long"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], "k long, name string, val long"
+    )
+    merge_upsert(spark, path, updates, key_cols=["k"])
+    got = {r.k: (r.name, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30)}
+
+
+def test_merge_upsert_version_wins_over_side(spark, tmp_path):
+    # a replayed (older) update must NOT clobber a newer target row
+    path = str(tmp_path / "v")
+    spark.createDataFrame(
+        [(1, 5, "newer"), (2, 1, "old")], "k long, ver long, s string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(1, 3, "stale-replay"), (2, 2, "fresh")], "k long, ver long, s string"
+    )
+    merge_upsert(spark, path, updates, key_cols=["k"], version_col="ver")
+    got = {r.k: (r.ver, r.s) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (5, "newer"), 2: (2, "fresh")}
+
+
+def test_merge_upsert_schema_mismatch_rejected(spark, tmp_path):
+    path = str(tmp_path / "m")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    bad = spark.createDataFrame([(1, 2.0)], "k long, other double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, path, bad, key_cols=["k"])
