@@ -367,3 +367,48 @@ def passage_dup_stats(
         F.count(F.when(F.col("n_docs") > 1, 1)).alias("dup_passages"),
         F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs"))).alias("docs_sharing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable md5 integer hashing + bloom-filter membership
+# ---------------------------------------------------------------------------
+
+def md5_int(col: Column, hex_chars: int = 6, salt: str = "") -> Column:
+    """Deterministic non-negative integer hash of a string column: the
+    first `hex_chars` hex digits of md5(salt || col) parsed base-16.
+    Engine-portable twin: CAST('0x' || SUBSTR(MD5(...), 1, n) AS BIGINT).
+    6 hex chars -> [0, 2^24); 8 -> [0, 2^32). JVM-side (md5 + conv), no
+    Python, evaluates inside the scan's codegen stage."""
+    h = F.md5(F.concat(F.lit(salt), col)) if salt else F.md5(col)
+    return F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("long")
+
+
+def bloom_positions(
+    text: Column, n_hashes: int = 3, n_bits: int = 1 << 20
+) -> Column:
+    """The k bloom-filter bit positions of a (pre-normalized) text value:
+    pos_j = md5_int(j || ':' || text, 8 hex) % n_bits, j = 0..k-1.
+
+    The filter over a corpus is the DISTINCT set of positions of its
+    members; a probe is a (possible) member iff ALL k of its positions are
+    in that set — exactly bloom semantics (false positives = full k-way
+    collisions, never false negatives), but represented relationally so
+    the check is a positions semi-join instead of a bitmap probe, and a
+    SQL oracle can verify it.
+
+    Scale notes (100 TB): the positions table is at most n_bits rows after
+    DISTINCT (bounded by filter size, not corpus size) — broadcast it to
+    probe batches. Materializing the literal bitmap instead (partition-wise
+    bitwise-OR treeAggregate, ~n_bits/8 bytes broadcast) is the constant-
+    factor upgrade; the plan shape (build once, stream probes against it)
+    is identical.
+    """
+    return F.array(
+        *[
+            F.pmod(
+                md5_int(F.concat(F.lit(f"{j}:"), text), hex_chars=8),
+                F.lit(n_bits),
+            )
+            for j in range(n_hashes)
+        ]
+    )

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm2",
     "pulsar_lunar_spark.queries.llm3",
     "pulsar_lunar_spark.queries.llm4",
+    "pulsar_lunar_spark.queries.llm5",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.modern",
     "pulsar_lunar_spark.queries.media",

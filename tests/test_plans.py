@@ -32,6 +32,7 @@ PYTHON_OK = {
     "q_dedup_embedding",
     "q_dedup_minhash",
     "q_knn_join",  # GEMM path: BLAS scores + per-partition local top-k
+    "q_semdedup",  # per-cell GEMM pair stage (same fast lane as q_dedup_embedding)
     # mapInPandas decode stubs — Python is the declared decode path
     "q_media_image_features",
     "q_media_audio_features",
@@ -51,6 +52,7 @@ CARTESIAN_OK = {
     "q_kmeans_clusters",  # K-row broadcast centroid side (K=4)
     "q_embed_outliers",  # same K-row broadcast centroid side as the fit
     "q_unigram_surprisal",  # single-row broadcast total-token side
+    "q_semdedup",  # K-row broadcast centroid side of the kmeans cell assign
 }
 
 
