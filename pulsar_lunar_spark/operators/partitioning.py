@@ -127,3 +127,56 @@ def zorder_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def stable_row_ids(df: DataFrame, order_col: str, n_ranges: int = 8) -> DataFrame:
+    """Globally contiguous, deterministic row ids 0..n-1 in `order_col`
+    order — WITHOUT a single-node global sort.
+
+    Plan: range-repartition on the order column (sampled boundaries →
+    n_ranges roughly equal shards), sort within each partition, count rows
+    per partition (tiny driver collect, O(n_ranges)), then enumerate each
+    partition locally adding its exclusive-prefix-sum offset. This is the
+    zipWithIndex pattern expressed on DataFrames: total shuffle is one
+    range exchange; nothing ever funnels through one task, so it holds at
+    100 TB where ROW_NUMBER() OVER (ORDER BY ...) (one giant partition)
+    does not. The partitioned/sorted stage is localCheckpoint-ed so the
+    count pass and the enumerate pass see the SAME materialized partitions
+    (range boundaries are sampled — never recompute them twice).
+
+    Returns df's columns plus `row_id BIGINT`.
+    """
+    import pandas as pd
+
+    part = (
+        df.repartitionByRange(n_ranges, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields if f.name != "__pid"
+    ) + ", row_id long"
+
+    def enumerate_part(batches):
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            off = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns=["__pid"])
+            out["row_id"] = range(off + seen, off + seen + len(pdf))
+            seen += len(pdf)
+            yield out
+
+    return part.mapInPandas(enumerate_part, out_schema)

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm4",
     "pulsar_lunar_spark.queries.llm5",
     "pulsar_lunar_spark.queries.formats",
+    "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
     "pulsar_lunar_spark.queries.media",
     "pulsar_lunar_spark.queries.streaming_q",

@@ -199,3 +199,80 @@ def q_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("n_name").cast("int").alias("name_len"),
         ).orderBy("n_name")
     )
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_total
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("udf", "arrow"),
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch transform surface — each input
+    RecordBatch is processed with pyarrow.compute kernels (no pandas
+    conversion at all), here computing per-doc char counts that the JVM
+    then aggregates. Integer outputs -> exact oracle match."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lens(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("source")),
+                    pc.cast(
+                        pc.utf8_length(b.column(b.schema.get_field_index("text"))),
+                        pa.int64(),
+                    ),
+                ],
+                names=["source", "text_len"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_doc = d.mapInArrow(lens, "source string, text_len long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_len").alias("chars_total"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("udf", "arrow"),
+)
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow grouped-map: each group arrives as one pyarrow.Table;
+    the reducer sums integral quantities with pyarrow.compute — the
+    grouped-UDF surface without pandas materialization. Integer sums ->
+    exact oracle match."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(table: "pa.Table") -> "pa.Table":
+        qty = pc.cast(table.column("l_quantity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n": [table.num_rows],
+                "qty_total": [pc.sum(qty).as_py()],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(agg, "l_returnflag string, n long, qty_total long")
+        .orderBy("l_returnflag")
+    )

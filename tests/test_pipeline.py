@@ -1,0 +1,53 @@
+"""Batch-6 pipeline/storage semantics: stable row-id contiguity and
+window-equivalence, partition pruning in the physical plan, and Arrow
+UDF surfaces (value checks ride the DuckDB oracle; these tests cover the
+properties the oracle can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators.partitioning import stable_row_ids
+from pulsar_lunar_spark.plans.inspect import plan_text
+from pulsar_lunar_spark.queries import all_queries
+from pulsar_lunar_spark.session import load_table
+
+SPECS = all_queries()
+
+
+def test_stable_row_ids_match_window_enumeration(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    got = stable_row_ids(d, order_col="doc_id", n_ranges=8)
+    want = d.select(
+        "doc_id", (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("row_id")
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_stable_row_ids_contiguous_on_skewed_input(spark):
+    # Heavy duplication in the order column: ties must still enumerate
+    # contiguously (ties split arbitrarily but ids stay a permutation).
+    rows = [Row(k=1)] * 50 + [Row(k=2)] * 3 + [Row(k=9)] * 47
+    df = spark.createDataFrame(rows)
+    ids = sorted(r.row_id for r in stable_row_ids(df, "k", n_ranges=4).collect())
+    assert ids == list(range(100))
+
+
+def test_partitioned_prune_plan_prunes(spark, sf_dir):
+    df = SPECS["q_partitioned_prune"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "PartitionFilters" in txt and "lang" in txt.split("PartitionFilters", 1)[1][:200]
+
+
+def test_apply_in_arrow_single_group_batch(spark):
+    # Each group must arrive as ONE pyarrow table (contract of the API).
+    import pyarrow as pa
+
+    df = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], ["k", "v"])
+
+    def agg(t: "pa.Table") -> "pa.Table":
+        return pa.table({"k": [t.column("k")[0].as_py()], "s": [sum(t.column("v").to_pylist())]})
+
+    got = {r.k: r.s for r in df.groupBy("k").applyInArrow(agg, "k long, s long").collect()}
+    assert got == {1: 30, 2: 5}

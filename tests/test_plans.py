@@ -37,6 +37,10 @@ PYTHON_OK = {
     "q_media_image_features",
     "q_media_audio_features",
     "q_media_frame_sample",
+    # batch-6 declared Python/Arrow surfaces
+    "q_map_in_arrow",
+    "q_apply_in_arrow",
+    "q_row_ids",  # mapInPandas partition-offset enumeration (zipWithIndex pattern)
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
