@@ -47,6 +47,11 @@ HEADLINE = [
     "q_pii_redact",
     "q_chunk_documents",
     "q_unigram_surprisal",
+    "q_semdedup",
+    "q_dedup_bloom",
+    "q_quality_classifier",
+    "q_pagerank_trade",
+    "q_row_ids",
 ]
 
 

@@ -412,3 +412,92 @@ def bloom_positions(
             for j in range(n_hashes)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer-fitting step of a data pipeline)
+# ---------------------------------------------------------------------------
+
+def _merge_adjacent(arr: Column, a: str, b: str) -> Column:
+    """Replace adjacent symbol pairs (a, b) with a+b, left-to-right
+    non-overlapping (standard BPE merge), as a JVM fold over the symbol
+    array: if the accumulator's last element is `a` (and not itself just
+    produced by this merge — impossible, since a+b != a) and the incoming
+    symbol is `b`, the last element becomes a+b; else append."""
+    lit_a, lit_b, lit_ab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lit_a) & (s == lit_b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(lit_a, lit_b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+    top_words: int = 300,
+) -> list[tuple[int, str, str, int]]:
+    """Learn the first `n_merges` BPE merges from a corpus: build the
+    (word, freq) vocabulary (top `top_words` by freq, word tiebreak),
+    split words into character symbols, then iteratively (1) count
+    adjacent symbol pairs weighted by word freq, (2) pick the max-count
+    pair (count desc, pair asc tiebreak — fully deterministic), (3) merge
+    it in every word. Returns [(rank, left, right, weighted_count)].
+
+    Scale notes (100 TB): the pair-count pass is one explode + integer-sum
+    aggregate over the VOCABULARY (O(distinct words), not O(corpus) —
+    the corpus is touched once to build freqs); the argmax is a 1-row
+    driver collect; the merge rewrite is a scan-local JVM fold. The
+    vocab table is localCheckpoint-ed per round (iterative-plan rule).
+    """
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    vocab = (
+        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(top_words)
+    )
+    syms = vocab.select(
+        "freq",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
+                # 1-symbol word must short-circuit to an empty pair list
+                F.expr(
+                    "CASE WHEN size(syms) < 2 "
+                    "THEN cast(array() AS array<struct<a: string, b: string>>) "
+                    "ELSE transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["n"]
+        merges.append((rank, a, b, int(n)))
+        syms = syms.select(
+            "freq", _merge_adjacent(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges

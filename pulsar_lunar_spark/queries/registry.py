@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm3",
     "pulsar_lunar_spark.queries.llm4",
     "pulsar_lunar_spark.queries.llm5",
+    "pulsar_lunar_spark.queries.llm6",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",

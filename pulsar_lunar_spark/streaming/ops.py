@@ -310,3 +310,26 @@ def run_available_now(writer, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def observe_stats(df: DataFrame, name: str, **metrics: Column) -> DataFrame:
+    """Attach named observed metrics to a (batch or streaming) DataFrame —
+    the engine's ConsumerStats surface (reference protocol command
+    CommandConsumerStats, /root/reference/src/PulsarApi.proto:479-802):
+    aggregates computed ON the flowing data with zero extra passes.
+    Batch: read via pyspark Observation / listener. Streaming: every
+    micro-batch's values arrive in query.lastProgress["observedMetrics"]
+    [name] — per-batch consumer stats for free."""
+    return df.observe(name, *[c.alias(k) for k, c in metrics.items()])
+
+
+def last_observed(query, name: str) -> dict | None:
+    """Observed metrics of the most recent micro-batch (ConsumerStats
+    poll): None until the first batch completes."""
+    p = query.lastProgress
+    if not p:
+        return None
+    m = p.get("observedMetrics", {}).get(name)
+    if m is None:
+        return None
+    return m.asDict() if hasattr(m, "asDict") else dict(m)

@@ -1,0 +1,86 @@
+"""Batch-7 semantics: BPE merge sequence pinned against an exact Python
+replication, and HLL sketch accuracy bound against exact distinct counts."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import corpus as C
+from pulsar_lunar_spark.queries import all_queries
+from pulsar_lunar_spark.session import load_table
+
+SPECS = all_queries()
+
+
+def _bpe_reference(texts, n_merges=8, top_words=300):
+    freq = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if w:
+                freq[w] += 1
+    vocab = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+    syms = [(list(w), f) for w, f in vocab]
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for s, f in syms:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        new_syms = []
+        for s, f in syms:
+            out = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            new_syms.append((out, f))
+        syms = new_syms
+    return merges
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    texts = [r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    want = _bpe_reference(texts, n_merges=8, top_words=300)
+    got = C.bpe_train(
+        load_table(spark, sf_dir, "documents"), "text", n_merges=8, top_words=300
+    )
+    assert got == want
+
+
+def test_bpe_merge_adjacent_nonoverlapping(spark):
+    # "aaaa" under merge (a,a) -> [aa, aa]; "aaa" -> [aa, a] (left-to-right)
+    df = spark.createDataFrame([(["a", "a", "a", "a"],), (["a", "a", "a"],)], ["syms"])
+    got = [r.m for r in df.select(C._merge_adjacent(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert got == [["aa", "aa"], ["aa", "a"]]
+
+
+def test_bpe_single_char_words_no_pairs(spark):
+    df = spark.createDataFrame([("x x y",)], ["text"])
+    # vocabulary = {x, y}, all 1-char: no adjacent pairs, no merges
+    assert C.bpe_train(df, "text", n_merges=4) == []
+
+
+def test_hll_estimate_within_bound(spark, sf_dir):
+    rows = SPECS["q_hll_distinct"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.lang: r.n
+        for r in d.select(
+            "lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("w").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.approx_distinct - exact[r.lang]) <= max(2, 0.05 * exact[r.lang])
+        # the union estimate can never exceed the sum of per-cell exacts
+        assert r.approx_distinct <= r.sum_cell_exact * 1.05

@@ -548,3 +548,49 @@ def test_last_message_id(spark, log):
     )
     assert mid["ledger_id"] == direct["message_id"]["ledger_id"]
     assert mid["entry_id"] == direct["message_id"]["entry_id"]
+
+
+def test_observe_stats_batch(spark, sf_dir):
+    """Batch Observation: metrics computed on the flowing data equal a
+    direct aggregation (the ConsumerStats surface, zero extra passes)."""
+    from pyspark.sql import Observation
+
+    from pulsar_lunar_spark.session import load_table
+    from pulsar_lunar_spark.streaming.ops import observe_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    obs = Observation("doc_stats")
+    observed = d.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    observed.agg(F.max("doc_id")).collect()  # any action materializes metrics
+    want = d.agg(F.count(F.lit(1)), F.sum("n_chars")).first()
+    assert obs.get["n"] == want[0] and obs.get["chars"] == want[1]
+
+
+def test_observe_stats_streaming(spark, log):
+    """Streaming observe: per-micro-batch metrics land in
+    query.lastProgress['observedMetrics'] (ConsumerStats poll)."""
+    from pulsar_lunar_spark.streaming.ops import (
+        last_observed,
+        observe_stats,
+        run_available_now,
+    )
+
+    stream = observe_stats(
+        log.subscribe("events"),
+        "consumer_stats",
+        n_msgs=F.count(F.lit(1)),
+        max_seq=F.max("sequence_id"),
+    )
+    q = run_available_now(
+        stream.writeStream.format("memory").queryName("obs_sink").outputMode("append"),
+        log.subscription_checkpoint("events", "obs"),
+    )
+    q.awaitTermination(180)
+    q.processAllAvailable()
+    got = last_observed(q, "consumer_stats")
+    q.stop()
+    assert got is not None
+    n_total = log.read("events").count()
+    assert 0 < got["n_msgs"] <= n_total and got["max_seq"] is not None
