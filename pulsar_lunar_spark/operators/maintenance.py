@@ -109,3 +109,59 @@ def merge_upsert(
     os.rename(target_path, old)
     os.rename(tmp, target_path)
     shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning: time travel + vacuum over plain parquet
+# ---------------------------------------------------------------------------
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed snapshot versions under `path` (dirs named v=<n> that
+    contain a _SUCCESS marker — a crashed write never becomes visible)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v=") and os.path.exists(
+            os.path.join(path, name, "_SUCCESS")
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append a new immutable snapshot (version = max committed + 1) and
+    return its number. Readers of older versions are never disturbed —
+    the multi-version storage model (time travel) that table formats
+    provide, built on directory-per-version parquet: the commit point is
+    the atomic appearance of _SUCCESS, so concurrent readers either see
+    the version fully or not at all."""
+    vs = snapshot_versions(path)
+    v = (vs[-1] + 1) if vs else 0
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={v}"))
+    return v
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a table AS OF a snapshot version (time travel); latest when
+    version is None."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Delete all but the newest `keep_last` snapshots (retention GC);
+    returns the versions removed. Refuses keep_last < 1 — the latest
+    snapshot is never vacuumable."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = snapshot_versions(path)
+    doomed = vs[:-keep_last] if keep_last < len(vs) else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"v={v}"))
+    return doomed

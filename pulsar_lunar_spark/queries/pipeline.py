@@ -116,3 +116,59 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_events_densify",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS day_value
+        FROM events WHERE user_id <= 20
+        GROUP BY user_id, CAST(ts AS DATE)
+    ), span AS (
+        SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id
+    ), cal AS (
+        SELECT user_id, CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM span
+    )
+    SELECT c.user_id, STRFTIME(c.d, '%Y-%m-%d') AS day,
+           COALESCE(daily.n_events, 0) AS n_events,
+           LAST_VALUE(daily.day_value IGNORE NULLS)
+               OVER (PARTITION BY c.user_id ORDER BY c.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM cal c LEFT JOIN daily ON c.user_id = daily.user_id AND c.d = daily.d
+    ORDER BY c.user_id, c.d
+    """,
+    tags=("pipeline", "timeseries", "densify"),
+)
+def q_events_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill: per-user daily rollup, the
+    missing days generated with sequence(min_day, max_day) (no calendar
+    table needed), outer-joined back and gap-filled with last(ignorenulls)
+    — the time-series regularization step before any windowed feature
+    computation. One shuffle on user_id for the rollup, one for the
+    window; the calendar explode is O(span), scan-local."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.floor(F.sum("value") * 10000 + 0.5) / 10000).alias("day_value"),
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    dense = cal.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    ).orderBy("user_id", "day")

@@ -210,3 +210,62 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table("q_stream_session_sink").orderBy("user_id", "session_start")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "watermark"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join: clicks and purchases (two watermarked
+    subscriptions of the replayed topic) joined on user within a 30-minute
+    event-time bound — the attribution-join shape. The time constraint
+    lets Spark evict state on both sides (bounded at any scale); the
+    materialized pair sink is then batch-aggregated and hash-checked
+    against the batch self-join."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    log, root = _fresh_log(spark, sf_dir, "ssjoin")
+    payload = StructType([StructField("event_type", StringType())])
+
+    def typed(etype: str, alias: str) -> DataFrame:
+        s = decode_payload(log.subscribe("events"), payload).select(
+            F.col("key").cast("long").alias(f"{alias}_user"),
+            F.col("event_time").alias(f"{alias}_ts"),
+            F.col("payload.event_type").alias(f"{alias}_type"),
+        )
+        return s.filter(F.col(f"{alias}_type") == etype).withWatermark(
+            f"{alias}_ts", "2 hours"
+        )
+
+    clicks = typed("click", "c")
+    purchases = typed("purchase", "p")
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    ).select("c_user", "c_ts", "p_ts")
+    q = run_available_now(
+        pairs.writeStream.format("memory")
+        .queryName("q_stream_ssjoin_sink")
+        .outputMode("append"),
+        os.path.join(root, "ck"),
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("q_stream_ssjoin_sink")
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -74,3 +74,33 @@ def test_merge_upsert_schema_mismatch_rejected(spark, tmp_path):
     bad = spark.createDataFrame([(1, 2.0)], "k long, other double")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(spark, path, bad, key_cols=["k"])
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    from pulsar_lunar_spark.operators.maintenance import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "versioned")
+    assert write_snapshot(spark.range(10), path) == 0
+    assert write_snapshot(spark.range(20), path) == 1
+    assert write_snapshot(spark.range(30), path) == 2
+    assert snapshot_versions(path) == [0, 1, 2]
+    # time travel: old versions stay intact after new writes
+    assert read_snapshot(spark, path, version=0).count() == 10
+    assert read_snapshot(spark, path).count() == 30
+    # vacuum retention
+    assert vacuum_snapshots(path, keep_last=2) == [0]
+    assert snapshot_versions(path) == [1, 2]
+    assert read_snapshot(spark, path, version=2).count() == 30
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        read_snapshot(spark, path, version=0)
+    with _pt.raises(ValueError):
+        vacuum_snapshots(path, keep_last=0)
+    # vacuum never removes the only remaining snapshots below keep_last
+    assert vacuum_snapshots(path, keep_last=5) == []
