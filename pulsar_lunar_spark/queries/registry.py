@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.media",
     "pulsar_lunar_spark.queries.streaming_q",
     "pulsar_lunar_spark.queries.udf",
+    "pulsar_lunar_spark.queries.analytics",
 )
 
 

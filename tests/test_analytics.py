@@ -1,0 +1,121 @@
+"""Semantic pins for the batch-8 analytics queries beyond the oracle
+hash-match: delete-neighborhood candidate completeness, binned-interval-
+join equivalence to the theta spec inside Spark itself, and funnel /
+normalization invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.queries import all_queries
+
+SPECS = all_queries()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_delete_neighborhood_finds_all_lev1_pairs(spark):
+    """The variant equi-join must produce EXACTLY the lev<=1 pairs of a
+    crafted vocabulary (insert / delete / substitute / transpose cases)."""
+    names = [
+        "alpha", "alpah",  # transposition: lev 2, must NOT match
+        "beta", "betta",   # insertion: lev 1
+        "gamma", "gamm",   # deletion: lev 1
+        "delta", "delza",  # substitution: lev 1
+        "epsilon",         # isolated
+    ]
+    rows = [(i + 1, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    variants = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, length(c_name)), i -> "
+            "IF(i = 0, c_name, "
+            "concat(substring(c_name, 1, i-1), substring(c_name, i+1))))"
+        )
+    )
+    ex = df.select("c_custkey", "c_name", F.explode(variants).alias("v"))
+    got = {
+        (r.na, r.nb)
+        for r in ex.alias("a")
+        .join(ex.alias("b"), "v")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(F.col("a.c_name").alias("na"), F.col("b.c_name").alias("nb"))
+        .distinct()
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .collect()
+    }
+    want = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _lev(a, b) <= 1
+    }
+    assert got == want
+    assert ("beta", "betta") in got and ("gamma", "gamm") in got
+    assert ("alpha", "alpah") not in got  # transpose is lev 2
+
+
+def test_interval_binned_equals_theta_join(spark, sf_dir):
+    """The bucketed equi-join rewrite must be row-identical to the naive
+    theta self-join computed by Spark itself (not just the DuckDB twin)."""
+    from pulsar_lunar_spark.session import load_table
+
+    binned = SPECS["q_interval_pairs_binned"].fn(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    a = e.select(
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+    )
+    b = e.select(
+        F.col("user_id"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    theta = (
+        a.join(b, "user_id")
+        .filter(
+            (
+                (F.col("ts_b") > F.col("ts_a"))
+                | ((F.col("ts_b") == F.col("ts_a")) & (F.col("id_b") > F.col("id_a")))
+            )
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("interval 300 seconds"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    assert binned.exceptAll(theta).isEmpty()
+    assert theta.exceptAll(binned).isEmpty()
+
+
+def test_funnel_stage_counts_are_monotone(spark, sf_dir):
+    rows = {r.stage: r.n_users for r in SPECS["q_funnel"].fn(spark, sf_dir).collect()}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+    assert rows["1_view"] > 0
+
+
+def test_percentrank_norm_bounds(spark, sf_dir):
+    out = SPECS["q_percentrank_norm"].fn(spark, sf_dir)
+    bad = out.filter((F.col("qnorm") < 0) | (F.col("qnorm") > 1)).count()
+    assert bad == 0
+
+
+def test_cohort_offsets_start_at_zero(spark, sf_dir):
+    out = SPECS["q_cohort_retention"].fn(spark, sf_dir)
+    assert out.filter(F.col("week_offset") < 0).isEmpty()
+    # every cohort has an offset-0 row (the week the user first appeared)
+    cohorts = out.select("cohort_week").distinct().count()
+    zero = out.filter(F.col("week_offset") == 0).count()
+    assert zero == cohorts

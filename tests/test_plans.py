@@ -57,6 +57,7 @@ CARTESIAN_OK = {
     "q_embed_outliers",  # same K-row broadcast centroid side as the fit
     "q_unigram_surprisal",  # single-row broadcast total-token side
     "q_semdedup",  # K-row broadcast centroid side of the kmeans cell assign
+    "q_pmi_collocations",  # single-row broadcast total-token side
 }
 
 
