@@ -52,6 +52,11 @@ HEADLINE = [
     "q_quality_classifier",
     "q_pagerank_trade",
     "q_row_ids",
+    "q_funnel",
+    "q_fuzzy_neighbors",
+    "q_interval_pairs_binned",
+    "q_rolling_7d",
+    "q_ohlc_bars",
 ]
 
 

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.streaming_q",
     "pulsar_lunar_spark.queries.udf",
     "pulsar_lunar_spark.queries.analytics",
+    "pulsar_lunar_spark.queries.analytics2",
 )
 
 

@@ -269,3 +269,70 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "stream-static-join", "enrichment"),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment: the replayed purchase stream joins a
+    broadcast static customer dimension per micro-batch (the dimension is
+    re-resolvable every batch — the streaming-side pattern for slowly
+    changing lookups), lands enriched rows in the sink, then a batch
+    aggregate rolls them up per market segment. Stateless on the stream
+    side: no watermark state, the join is map-side against the broadcast
+    dim at any scale."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    log, root = _fresh_log(spark, sf_dir, "enrich")
+    payload = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user"), "c_mktsegment"
+    )
+    stream = (
+        decode_payload(log.subscribe("events"), payload)
+        .select(
+            F.col("key").cast("long").alias("user"),
+            F.col("payload.event_type").alias("event_type"),
+            F.col("payload.value").alias("value"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user")
+        .select(
+            "user",
+            F.col("c_mktsegment").alias("segment"),
+            (F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("cents"),
+        )
+    )
+    q = run_available_now(
+        stream.writeStream.format("memory")
+        .queryName("q_stream_enrich_sink")
+        .outputMode("append"),
+        os.path.join(root, "ck"),
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("q_stream_enrich_sink")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -119,3 +119,42 @@ def test_cohort_offsets_start_at_zero(spark, sf_dir):
     cohorts = out.select("cohort_week").distinct().count()
     zero = out.filter(F.col("week_offset") == 0).count()
     assert zero == cohorts
+
+
+def test_approx_quantile_accuracy_bound(spark, sf_dir, duck):
+    """GK sketch at accuracy 10000 => rank error <= n/10000 (< 3 ranks at
+    test scale). Each reported quantile must sit within a small exact-rank
+    envelope around the target."""
+    got = {
+        r.event_type: (r.p50_cents, r.p90_cents, r.p99_cents)
+        for r in SPECS["q_approx_quantile"].fn(spark, sf_dir).collect()
+    }
+    for etype, qs in got.items():
+        exact = duck.sql(
+            f"""
+            SELECT QUANTILE_DISC(c, [0.45, 0.55, 0.85, 0.95, 0.97, 1.0])
+            FROM (SELECT CAST(FLOOR(value*100+0.5) AS BIGINT) AS c
+                  FROM events WHERE event_type = '{etype}')
+            """
+        ).fetchone()[0]
+        lo45, hi55, lo85, hi95, lo97, hi100 = exact
+        assert lo45 <= qs[0] <= hi55, (etype, "p50", qs[0], exact)
+        assert lo85 <= qs[1] <= hi95, (etype, "p90", qs[1], exact)
+        assert lo97 <= qs[2] <= hi100, (etype, "p99", qs[2], exact)
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    """Per user: exactly one is_current row, intervals non-overlapping and
+    contiguous (each valid_to equals the next valid_from), and consecutive
+    rows never share a state (duplicates were collapsed)."""
+    rows = SPECS["q_scd2_intervals"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for recs in by_user.values():
+        assert sum(r.is_current for r in recs) == 1
+        assert recs[-1].is_current == 1
+        for a, b in zip(recs, recs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type
