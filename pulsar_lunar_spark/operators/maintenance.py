@@ -165,3 +165,62 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"v={v}"))
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate refresh (materialized-view maintenance)
+# ---------------------------------------------------------------------------
+
+def incremental_agg_refresh(
+    spark: SparkSession,
+    agg_path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    count_col: str = "n",
+    sum_cols: tuple[str, ...] = (),
+) -> None:
+    """Refresh a persisted per-key (count, sums) aggregate with a delta.
+
+    The materialized-view maintenance identity for distributive
+    aggregates: AGG(base ∪ delta) = AGG(AGG(base) ∪ AGG(delta)), so a
+    refresh costs O(delta + |agg|) — never a rescan of the base fact
+    table. The delta is pre-aggregated, unioned with the stored state,
+    re-summed per key, and atomically swapped in (same _SUCCESS-free
+    tmp-dir swap as merge_upsert; readers see old or new, never half).
+
+    `sum_cols` must be integral columns (exact addition — the identity
+    only survives reorder for associative-exact arithmetic). AVG is
+    served as sum/count at read time; MIN/MAX refresh the same way;
+    non-distributive aggs (median, distinct) need sketches instead
+    (see q_hll_distinct / q_approx_quantile).
+    """
+    delta_agg = delta.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols],
+    )
+    if os.path.isdir(agg_path):
+        base = spark.read.parquet(agg_path)
+        if set(base.columns) != set(delta_agg.columns):
+            raise ValueError(
+                f"schema mismatch: stored {sorted(base.columns)} vs "
+                f"delta {sorted(delta_agg.columns)}"
+            )
+        merged = (
+            base.unionByName(delta_agg)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum(count_col).alias(count_col),
+                *[F.sum(c).alias(c) for c in sum_cols],
+            )
+        )
+    else:
+        merged = delta_agg
+    tmp = f"{agg_path.rstrip('/')}.__refresh_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(agg_path):
+        old = f"{agg_path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(agg_path, old)
+        os.rename(tmp, agg_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, agg_path)

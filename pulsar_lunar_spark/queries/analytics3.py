@@ -1,0 +1,188 @@
+"""Graph + market-basket + embedding-statistics queries, batch 10
+(SURVEY §2B north star): exact triangle counting over a co-occurrence
+graph (degree-ordered orientation — the scale form), association rules
+with integer-exact support/confidence/lift, and per-label embedding
+centroids in integer micro-units.
+
+Determinism discipline: confidences/lifts are scaled BIGINT ratios
+((1e6·x) DIV y), centroid elements are floor-quantized to micro-units
+BEFORE the sum, so every aggregate is exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators.graph import triangle_count
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import load_table
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_suppkey < 300
+    ), e AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT CAST((SELECT COUNT(*)
+                 FROM e x JOIN e y ON y.s1 = x.s2
+                          JOIN e z ON z.s1 = x.s1 AND z.s2 = y.s2)
+                AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+    """,
+    tags=("analytics", "graph", "triangles"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the supplier co-occurrence graph (suppliers sharing an
+    order, bounded to suppkey < 300 so the near-complete synthetic graph
+    stays comparable at every SF). The oracle counts each triangle once
+    via id-ordered edges; the engine path uses DEGREE-ordered orientation
+    (operators/graph.py::triangle_count) — identical total, but the join
+    fan-out is bounded by max out-degree ~ sqrt(E) instead of the max hub
+    degree, which is what survives a power-law host graph at 100 TB."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 300)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return triangle_count(edges).crossJoin(F.broadcast(n_edges))
+
+
+@register(
+    "q_assoc_rules",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), supp AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+    ), pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS ps
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT p1, p2, ps AS pair_support,
+           CAST((1000000 * ps) // s1.s AS BIGINT) AS conf_scaled,
+           CAST((1000000 * ps * tot.n_orders) // (s1.s * s2.s) AS BIGINT)
+               AS lift_scaled
+    FROM pairs, tot
+    JOIN supp s1 ON pairs.p1 = s1.l_partkey
+    JOIN supp s2 ON pairs.p2 = s2.l_partkey
+    ORDER BY lift_scaled DESC, p1, p2 LIMIT 20
+    """,
+    tags=("analytics", "market-basket", "association-rules"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order/part co-occurrence:
+    support from a self equi-join on l_orderkey, confidence and lift as
+    scaled BIGINT ratios (1e6·ps DIV s1, 1e6·ps·N DIV (s1·s2)) — exact,
+    no float division. The item-support side joins in as a broadcast
+    (parts << baskets); the single-row basket total is a broadcast cross
+    join. Top-20 by lift with a total tiebreak."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("ps"))
+        .filter(F.col("ps") >= 3)
+    )
+    s1 = supp.select(F.col("l_partkey").alias("p1"), F.col("s").alias("sup1"))
+    s2 = supp.select(F.col("l_partkey").alias("p2"), F.col("s").alias("sup2"))
+    return (
+        pairs.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            F.col("ps").alias("pair_support"),
+            F.expr("(1000000L * ps) DIV sup1").alias("conf_scaled"),
+            F.expr("(1000000L * ps * n_orders) DIV (sup1 * sup2)").alias(
+                "lift_scaled"
+            ),
+        )
+        .orderBy(F.desc("lift_scaled"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+    WITH m AS (
+        SELECT label,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                      i -> {'pos': i - 1,
+                            'x': CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                            * 1000000 + 0.5) AS BIGINT)}))
+                   AS s
+        FROM embeddings
+    ), agg AS (
+        SELECT label, s.pos AS pos, CAST(SUM(s.x) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY 1, 2
+    )
+    SELECT label, pos, CAST(FLOOR(sx / n) AS BIGINT) AS centroid_micro, n
+    FROM agg WHERE pos < 8
+    ORDER BY label, pos
+    """,
+    tags=("analytics", "embeddings", "centroid"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the class-prototype computation
+    behind SemDeDup cells, prototype classifiers, and drift monitors).
+    Elements are floor-quantized to integer micro-units BEFORE the sum —
+    the sum is exact BIGINT, so partial-aggregation order can never move
+    the centroid. posexplode rides the scan (no pre-shuffle); one hash
+    aggregate on (label, pos). Output bounded to the first 8 dims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.expr(
+        "transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    return (
+        emb.select("label", F.posexplode(micro).alias("pos", "x"))
+        .filter(F.col("pos") < 8)
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            # FLOOR(double-div) on both sides: sums can be NEGATIVE, and
+            # Spark's DIV truncates while DuckDB's // floors — they
+            # disagree below zero. The double quotient is >=1/n from any
+            # integer unless exact, so floor(quotient) is always the true
+            # floor at representable magnitudes.
+            F.floor(F.col("sx") / F.col("n")).cast("long").alias("centroid_micro"),
+            "n",
+        )
+        .orderBy("label", "pos")
+    )

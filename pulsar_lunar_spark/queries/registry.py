@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.udf",
     "pulsar_lunar_spark.queries.analytics",
     "pulsar_lunar_spark.queries.analytics2",
+    "pulsar_lunar_spark.queries.analytics3",
 )
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators.maintenance import (
     compact_files,
@@ -104,3 +105,37 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
         vacuum_snapshots(path, keep_last=0)
     # vacuum never removes the only remaining snapshots below keep_last
     assert vacuum_snapshots(path, keep_last=5) == []
+
+
+def test_incremental_agg_refresh_matches_full_recompute(spark, tmp_path):
+    from pulsar_lunar_spark.operators.maintenance import incremental_agg_refresh
+
+    path = str(tmp_path / "agg")
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "k string, v long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3), ("c", 7), ("c", 8)], "k string, v long"
+    )
+    incremental_agg_refresh(spark, path, b1, ["k"], sum_cols=("v",))
+    incremental_agg_refresh(spark, path, b2, ["k"], sum_cols=("v",))
+    got = {r.k: (r.n, r.v) for r in spark.read.parquet(path).collect()}
+    full = {
+        r.k: (r.n, r.v)
+        for r in b1.unionByName(b2)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"))
+        .collect()
+    }
+    assert got == full == {"a": (3, 6), "b": (1, 10), "c": (2, 15)}
+
+
+def test_incremental_agg_refresh_schema_mismatch_rejected(spark, tmp_path):
+    from pulsar_lunar_spark.operators.maintenance import incremental_agg_refresh
+
+    path = str(tmp_path / "agg2")
+    b1 = spark.createDataFrame([("a", 1)], "k string, v long")
+    incremental_agg_refresh(spark, path, b1, ["k"], sum_cols=("v",))
+    bad = spark.createDataFrame([("a", 1)], "k string, w long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        incremental_agg_refresh(spark, path, bad, ["k"], sum_cols=("w",))

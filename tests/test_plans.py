@@ -58,6 +58,8 @@ CARTESIAN_OK = {
     "q_unigram_surprisal",  # single-row broadcast total-token side
     "q_semdedup",  # K-row broadcast centroid side of the kmeans cell assign
     "q_pmi_collocations",  # single-row broadcast total-token side
+    "q_assoc_rules",  # single-row broadcast basket-total side
+    "q_triangle_count",  # two single-row frames (count x edge-count)
 }
 
 
