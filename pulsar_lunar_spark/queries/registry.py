@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.analytics",
     "pulsar_lunar_spark.queries.analytics2",
     "pulsar_lunar_spark.queries.analytics3",
+    "pulsar_lunar_spark.queries.analytics4",
 )
 
 

@@ -60,6 +60,7 @@ CARTESIAN_OK = {
     "q_pmi_collocations",  # single-row broadcast total-token side
     "q_assoc_rules",  # single-row broadcast basket-total side
     "q_triangle_count",  # two single-row frames (count x edge-count)
+    "q_dq_checks",  # 5 bounded (1-row violation-count x 1-row total) pairs
 }
 
 
