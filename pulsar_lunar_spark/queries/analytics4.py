@@ -237,3 +237,152 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_chi2_cells",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nt FROM o)
+    SELECT o.lang AS lang, o.source AS source, obs,
+           CAST((1000 * r.rt * c.ct) // n.nt AS BIGINT) AS exp_milli,
+           CAST(((obs * n.nt - r.rt * c.ct) * (obs * n.nt - r.rt * c.ct))
+                // (r.rt * c.ct) AS BIGINT) AS chi2_contrib_xn
+    FROM o, n
+    JOIN r ON o.lang = r.lang
+    JOIN c ON o.source = c.source
+    ORDER BY lang, source
+    """,
+    tags=("analytics", "statistics", "chi-square"),
+)
+def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for lang x source independence (the
+    drift / bias audit between corpus dimensions). Every cell carries its
+    observed count, expected count (milli-units) and chi-square
+    contribution scaled by N: (obs·N − r·c)² DIV (r·c) = N·(o−e)²/e —
+    all positive BIGINT (floor- and truncate-division agree on
+    positives), so the statistic is exact and order-free. One hash agg
+    over the scan + two tiny broadcast margins + 1-row total."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("nt"))
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "obs",
+            F.expr("(1000L * rt * ct) DIV nt").alias("exp_milli"),
+            F.expr(
+                "((obs * nt - rt * ct) * (obs * nt - rt * ct)) DIV (rt * ct)"
+            ).alias("chi2_contrib_xn"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "q_group_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(DATE_DIFF('hour', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+                   AS x,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+               AS slope_num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+               AS slope_den
+    FROM pts
+    GROUP BY user_id HAVING slope_den != 0
+    ORDER BY user_id
+    """,
+    tags=("analytics", "regression", "grouped-ml"),
+)
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of spend (cents) over time (hours since a fixed
+    anchor): the slope as an exact integer RATIONAL (num, den) —
+    n·Σxy − Σx·Σy over n·Σx² − (Σx)², never divided, so no float and no
+    floor-vs-truncate hazard on negative slopes. One hash aggregate;
+    the four sums are partial-aggregated map-side. The anchor keeps x
+    small enough that every product stays in BIGINT through sf1."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        "CAST((unix_timestamp(ts) - 1704067200) DIV 3600 AS BIGINT)"
+    )
+    y = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    pts = e.select("user_id", x.alias("x"), y.alias("y"))
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "user_id",
+            "n",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "slope_num"
+            ),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "slope_den"
+            ),
+        )
+        .filter(F.col("slope_den") != 0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_bpe_encode",
+    oracle=None,  # merge application is iterative; pinned by python-reference test
+    tags=("analytics", "tokenizer", "bpe"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode documents with the merges learned by
+    corpus.bpe_train (train on the corpus, then apply corpus-wide — the
+    round-trip a tokenizer-fitting pipeline ships). Each word splits to
+    characters and the merge list folds over it in rank order as JVM
+    array rewrites (corpus._merge_adjacent — scan-local, no Python).
+    Output: per-doc word and post-merge token counts. Exact semantics
+    replicated against a pure-python reference in tests/test_analytics.py."""
+    from pulsar_lunar_spark.operators.corpus import _merge_adjacent, bpe_train
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=6)
+    words = d.filter(F.col("doc_id") % 19 == 0).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("w"),
+    )
+    syms = F.split(F.regexp_replace("w", "(?<=.)", " "), " ")
+    toks = words.select("doc_id", F.filter(syms, lambda s: F.length(s) > 0).alias("syms"))
+    for _rank, a, b, _cnt in merges:
+        toks = toks.select("doc_id", _merge_adjacent(F.col("syms"), a, b).alias("syms"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -158,3 +158,42 @@ def test_scd2_intervals_partition_time(spark, sf_dir):
         for a, b in zip(recs, recs[1:]):
             assert a.valid_to == b.valid_from
             assert a.event_type != b.event_type
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """q_bpe_encode token counts must equal a pure-python replication of
+    (train merges -> greedy rank-order fold) on the same sampled docs."""
+    from pulsar_lunar_spark.operators.corpus import bpe_train
+    from pulsar_lunar_spark.session import load_table
+    import re
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=6)
+
+    def norm(t: str) -> str:
+        return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _rank, a, b, _cnt in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    rows = d.filter(F.col("doc_id") % 19 == 0).select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        ws = [w for w in norm(r.text).split(" ") if w]
+        want[r.doc_id] = (len(ws), sum(encode(w) for w in ws))
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in SPECS["q_bpe_encode"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
