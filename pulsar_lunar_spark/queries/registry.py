@@ -50,6 +50,8 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.analytics2",
     "pulsar_lunar_spark.queries.analytics3",
     "pulsar_lunar_spark.queries.analytics4",
+    "pulsar_lunar_spark.queries.analytics5",
+    "pulsar_lunar_spark.queries.analytics6",
 )
 
 
