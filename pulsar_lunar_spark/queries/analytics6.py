@@ -156,3 +156,53 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("latency_hours")
     )
+
+
+@register(
+    "q_temporal_join",
+    oracle="""
+    WITH st AS (
+        SELECT user_id, ts AS vf, event_type AS state,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS vt
+        FROM events WHERE event_type IN ('signup', 'error')
+    ), f AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id AS event_id, st.state AS state_at_purchase
+    FROM f JOIN st
+      ON f.user_id = st.user_id
+     AND f.ts >= st.vf AND (st.vt IS NULL OR f.ts < st.vt)
+    WHERE f.event_id % 9 = 0
+    ORDER BY f.event_id
+    """,
+    tags=("analytics", "temporal-join", "point-in-time"),
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal / point-in-time lookup join: each purchase fact is
+    enriched with the dimension state (last signup/error transition)
+    VALID AT its event time — the SCD2-lookup shape every warehouse
+    feature store serves. The oracle is the interval-containment join
+    spec; the engine path is operators/asof.py::asof_join — a UNION +
+    single (user_id)-partitioned window sweep, ONE shuffle total, no
+    interval explosion and no non-equi join at any scale."""
+    from pulsar_lunar_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    states = e.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id", F.col("ts").alias("st_ts"), F.col("event_type").alias("state")
+    )
+    joined = asof_join(
+        facts, states, on="user_id", left_ts="ts", right_ts="st_ts",
+        payload_cols=["state"],
+    )
+    return (
+        joined.filter(F.col("state_asof").isNotNull())
+        .filter(F.col("event_id") % 9 == 0)
+        .select("event_id", F.col("state_asof").alias("state_at_purchase"))
+        .orderBy("event_id")
+    )
