@@ -1,0 +1,158 @@
+"""Vector-compression + robust-mean + path-mining queries, batch 15
+(SURVEY §2B north star): int8 scalar quantization of embeddings (the
+memory-bandwidth lever for vector search), 5% trimmed means (robust
+location), and top event paths (3-step sequence mining).
+
+Determinism: quantization is pure per-element IEEE arithmetic (identical
+double ops in both engines — the hazards are only aggregation ORDER and
+transcendental libm calls, neither appears here); trimmed mean is exact
+integer sums over exact rank bounds; paths are string counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import load_table
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                      i -> {'pos': i - 1,
+                            'x': CAST(embedding[i] AS DOUBLE)})) AS s
+        FROM embeddings
+    ), flat AS (
+        SELECT vec_id, s.pos AS pos, s.x AS x FROM dims WHERE s.pos < 4
+    ), rng AS (
+        SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY pos
+    )
+    SELECT f.vec_id AS vec_id, f.pos AS pos,
+           CAST(FLOOR((f.x - r.lo) * 255 / (r.hi - r.lo)) AS BIGINT) AS code,
+           CAST(FLOOR(r.lo * 1000000 + 0.5) AS BIGINT) AS lo_micro,
+           CAST(FLOOR(r.hi * 1000000 + 0.5) AS BIGINT) AS hi_micro
+    FROM flat f JOIN rng r USING (pos)
+    WHERE f.vec_id % 29 = 0
+    ORDER BY f.vec_id, f.pos
+    """,
+    tags=("analytics", "embeddings", "quantization"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embedding dims (shown for dims 0-3):
+    per-dimension [min,max] ranges (exact picks) train the codebook, each
+    value maps to floor((x-lo)·255/(hi-lo)) — pure per-element IEEE
+    double arithmetic, bit-identical across engines, so even the floor
+    boundaries agree. This is the 4x memory-bandwidth lever before ANN
+    scan; ranges are a tiny broadcast, codes ride the scan. code=255 only
+    at x=hi (the max itself)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias("pos", "x")
+    ).filter(F.col("pos") < 4)
+    rng = flat.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    return (
+        flat.join(F.broadcast(rng), "pos")
+        .filter(F.col("vec_id") % 29 == 0)
+        .select(
+            "vec_id",
+            "pos",
+            F.floor((F.col("x") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")))
+            .cast("long")
+            .alias("code"),
+            F.floor(F.col("lo") * 1000000 + 0.5).cast("long").alias("lo_micro"),
+            F.floor(F.col("hi") * 1000000 + 0.5).cast("long").alias("hi_micro"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "q_trimmed_mean",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(cents) AS BIGINT) AS kept_sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS kept_n
+    FROM c
+    WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "robust-stats", "trimmed-mean"),
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean inputs per event_type: rank rows by
+    (value, event_id) (total order), drop the bottom and top n·5//100
+    ranks — EXACT integer rank bounds, no percentile interpolation —
+    and emit the kept integer-cents sum and count (the mean is the
+    rational sum/count, never divided into a float). One window shuffle
+    + one hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    c = e.select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    trim = F.expr("n * 5 DIV 100")
+    return (
+        c.filter((F.col("rk") > trim) & (F.col("rk") <= F.col("n") - trim))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cents").alias("kept_sum_cents"),
+            F.count(F.lit(1)).alias("kept_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+               LEAD(event_type, 2) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS c
+        FROM events
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 15
+    """,
+    tags=("analytics", "sequence", "path-mining"),
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths (the sequence-mining view behind
+    navigation analysis): two LEADs over the same (user, time) window —
+    one sort, one shuffle — then a K³-bounded path count with a total
+    tiebreak. The window is the only data-sized stage."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )

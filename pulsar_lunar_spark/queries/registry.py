@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.analytics4",
     "pulsar_lunar_spark.queries.analytics5",
     "pulsar_lunar_spark.queries.analytics6",
+    "pulsar_lunar_spark.queries.analytics7",
 )
 
 

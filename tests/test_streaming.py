@@ -594,3 +594,40 @@ def test_observe_stats_streaming(spark, log):
     assert got is not None
     n_total = log.read("events").count()
     assert 0 < got["n_msgs"] <= n_total and got["max_seq"] is not None
+
+
+def test_streaming_matview_refresh_equals_batch(spark, log, tmp_path):
+    """Streaming materialized view: a real availableNow stream drained
+    through foreachBatch -> incremental_agg_refresh must leave the stored
+    per-key aggregate equal to the one-shot batch aggregate (the
+    AGG(base ∪ delta) identity, applied per micro-batch)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pulsar_lunar_spark.operators.maintenance import incremental_agg_refresh
+    from pulsar_lunar_spark.streaming import run_available_now
+
+    agg_path = str(tmp_path / "matview")
+
+    def refresh(df, _bid):
+        incremental_agg_refresh(
+            spark, agg_path, df.select("key", "sequence_id"), ["key"]
+        )
+
+    stream = log.subscribe("events").select("key", "sequence_id")
+    q = run_available_now(
+        stream.writeStream.foreachBatch(refresh),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+    assert _os.path.isdir(agg_path)
+    got = {r.key: r.n for r in spark.read.parquet(agg_path).collect()}
+    want = {
+        r.key: r.n
+        for r in log.read("events")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
