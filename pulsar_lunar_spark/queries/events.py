@@ -283,9 +283,11 @@ def q_events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     session operator."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_order)
-    )
+    # unix_timestamp works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (direct cast-to-long is rejected for NTZ); session tz is UTC so the
+    # epoch is identical either way.
+    ts_sec = F.unix_timestamp(F.col("ts"))
+    gap = ts_sec - F.lag(ts_sec).over(w_order)
     flagged = e.select(
         "user_id",
         "ts",
