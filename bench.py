@@ -82,34 +82,40 @@ def main() -> None:
     spark.range(0, 10000, 1, 64).select(_warm(F.col("id").cast("double"))).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        # one untimed warmup (codegen compile + Python worker priming are
-        # per-session bring-up), then best-of-2 timed reps: C2 JIT of
-        # interpreted HOF paths only stabilizes after a few invocations,
-        # and single-rep numbers swing ±2x on sub-second queries
-        specs[name].fn(spark, sf_dir).collect()
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            # collect, not count(): count() would let Spark prune the plan
-            n = len(df.collect())
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Per-query guard: one broken query must cost one row, not the whole
+        # round's numbers.
+        try:
+            # one untimed warmup (codegen compile + Python worker priming are
+            # per-session bring-up), then best-of-2 timed reps: C2 JIT of
+            # interpreted HOF paths only stabilizes after a few invocations,
+            # and single-rep numbers swing ±2x on sub-second queries
+            specs[name].fn(spark, sf_dir).collect()
+            best, n = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = specs[name].fn(spark, sf_dir)
+                # collect, not count(): count() would let Spark prune the plan
+                n = len(df.collect())
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

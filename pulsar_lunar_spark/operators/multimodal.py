@@ -8,16 +8,21 @@ Partitioning discipline: media tables are written with
 ``maxRecordsPerFile`` tuned so (rows x avg_media_size) fits an executor;
 the decode stage is a map-only stage — no shuffle.
 
-The actual codec calls (PIL/ffmpeg/soundfile) are STUBBED: this container
-has no media libraries. Each stub either raises NotImplementedError (real
-codec path) or produces a deterministic fake (test path) — the Spark-side
-schema, UDF signature and batch shape are real and tested either way.
+Codecs: BMP (24-bpp BI_RGB) and WAV (16-bit PCM) are decoded FOR REAL in
+pure python + numpy — header parse, pixel/sample extraction, luma/RMS.
+Formats that genuinely need external libraries (png/jpeg -> PIL,
+mp3/flac -> soundfile, video -> ffmpeg) raise NotImplementedError and are
+flagged ``decode_ok=false`` instead of crashing the batch; 'fake' keeps a
+deterministic stub for plumbing tests. The Spark-side schema, UDF
+signature and Arrow batch shape are identical across all paths.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -61,21 +66,113 @@ FRAME_SAMPLE_SCHEMA = (
 ).replace("bytes", "binary")
 
 
-def _decode_image_stub(content: bytes, fmt: str) -> tuple[int, int, float]:
-    """STUB decode (no PIL in this container): deterministic fake — derives
-    (width, height, mean_luma) from the byte content so tests are stable.
-    A real deployment replaces this body with PIL.Image.open."""
-    if fmt not in ("png", "jpeg", "fake"):
-        raise NotImplementedError(f"image codec '{fmt}' requires PIL (not in container)")
-    h = len(content)
-    return (h % 640 + 1, h % 480 + 1, float(sum(content[:64]) % 256) if content else 0.0)
+# -- real codecs (pure python + numpy; no external media libs needed) ------
 
 
-def _decode_audio_stub(content: bytes, fmt: str) -> tuple[int, float]:
-    """STUB decode (no soundfile/ffmpeg): deterministic (duration_ms, rms)."""
-    if fmt not in ("wav", "fake"):
-        raise NotImplementedError(f"audio codec '{fmt}' requires soundfile (not in container)")
-    return (len(content) * 8, float((content[0] if content else 0) / 255.0))
+def encode_bmp(pixels: "np.ndarray | int", width: int | None = None, height: int | None = None) -> bytes:
+    """Encode an 8-bit grayscale image as a 24-bpp uncompressed BMP (BI_RGB).
+
+    ``pixels`` is an (h, w) uint8 array, or a single gray level with
+    explicit width/height. Bottom-up row order, rows padded to 4 bytes —
+    the standard Windows BMP layout."""
+    if isinstance(pixels, (int, np.integer)):
+        if width is None or height is None:
+            raise ValueError("constant-gray encode needs width and height")
+        pixels = np.full((height, width), int(pixels) & 0xFF, dtype=np.uint8)
+    h, w = pixels.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    data = np.zeros((h, row_size), dtype=np.uint8)
+    # gray -> B,G,R triplets; bottom-up: last image row first in the file
+    data[:, : w * 3] = np.repeat(pixels[::-1], 3, axis=1)
+    body = data.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, float]:
+    """Decode a 24-bpp uncompressed BMP: (width, height, mean_luma).
+
+    mean_luma is the mean over all B,G,R channel bytes (== the gray level
+    for grayscale content). Raises ValueError for corrupt bytes and
+    NotImplementedError for BMP variants beyond 24-bpp BI_RGB."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_offset,) = struct.unpack_from("<I", content, 10)
+    w, h_signed = struct.unpack_from("<ii", content, 18)
+    _, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP {bpp}-bpp compression={compression} unsupported")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) // 4 * 4
+    if data_offset + row_size * h > len(content):
+        raise ValueError("truncated BMP pixel data")
+    px = np.frombuffer(content, np.uint8, count=row_size * h, offset=data_offset)
+    px = px.reshape(h, row_size)[:, : w * 3]  # strip row padding
+    return (w, h, float(px.mean()) if px.size else 0.0)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a canonical PCM WAV (RIFF/fmt /data)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return riff + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(content: bytes) -> tuple[int, float]:
+    """Decode a PCM WAV: (duration_ms, rms) over the 16-bit samples.
+
+    Walks RIFF chunks (fmt /data may be in any order, odd sizes padded).
+    Raises ValueError for corrupt bytes, NotImplementedError for non-PCM
+    or non-16-bit encodings (those need ffmpeg/soundfile)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    audio_fmt = channels = rate = bits = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if audio_fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits} needs soundfile")
+    samples = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.float64)
+    n_frames = len(samples) // max(channels, 1)
+    duration_ms = int(n_frames * 1000 // rate) if rate else 0
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    return (duration_ms, rms)
+
+
+def _decode_image(content: bytes, fmt: str) -> tuple[int, int, float]:
+    """Dispatch image decode: BMP is decoded for real (pure python);
+    'fake' keeps the deterministic stub for plumbing tests; png/jpeg
+    honestly require PIL (absent from this container)."""
+    if fmt == "bmp":
+        return decode_bmp(content)
+    if fmt == "fake":
+        h = len(content)
+        return (h % 640 + 1, h % 480 + 1, float(sum(content[:64]) % 256) if content else 0.0)
+    raise NotImplementedError(f"image codec '{fmt}' requires PIL (not in container)")
+
+
+def _decode_audio(content: bytes, fmt: str) -> tuple[int, float]:
+    """Dispatch audio decode: WAV is decoded for real; 'fake' keeps the
+    deterministic stub; anything else needs soundfile/ffmpeg."""
+    if fmt == "wav":
+        return decode_wav(content)
+    if fmt == "fake":
+        return (len(content) * 8, float((content[0] if content else 0) / 255.0))
+    raise NotImplementedError(f"audio codec '{fmt}' requires soundfile (not in container)")
 
 
 def image_features(df: DataFrame) -> DataFrame:
@@ -89,9 +186,9 @@ def image_features(df: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 content = bytes(r["content"]) if r["content"] is not None else b""
                 try:
-                    w, h, luma = _decode_image_stub(content, r["format"])
+                    w, h, luma = _decode_image(content, r["format"])
                     ok = True
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     w = h = -1
                     luma = float("nan")
                     ok = False
@@ -122,9 +219,9 @@ def audio_features(df: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 content = bytes(r["content"]) if r["content"] is not None else b""
                 try:
-                    dur, rms = _decode_audio_stub(content, r["format"])
+                    dur, rms = _decode_audio(content, r["format"])
                     ok = True
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     dur, rms, ok = -1, float("nan"), False
                 rows.append(
                     {

@@ -283,16 +283,16 @@ def q_events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     session operator."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # unix_timestamp works for both TIMESTAMP and TIMESTAMP_NTZ inputs
-    # (direct cast-to-long is rejected for NTZ); session tz is UTC so the
-    # epoch is identical either way.
-    ts_sec = F.unix_timestamp(F.col("ts"))
-    gap = ts_sec - F.lag(ts_sec).over(w_order)
+    # Microsecond-exact gap: matches the oracle's `ts - LAG(ts) > INTERVAL
+    # 30 MINUTE` even for sub-second timestamps (load_table normalizes all
+    # timestamps to TIMESTAMP, so unix_micros is always applicable).
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w_order)
     flagged = e.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap > 30 * 60, 1).otherwise(0).alias("new_session"),
+        F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0).alias("new_session"),
     )
     w_run = (
         Window.partitionBy("user_id")

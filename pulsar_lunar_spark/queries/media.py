@@ -1,20 +1,28 @@
-"""Multimodal pipeline queries: binary media columns + mapInPandas decode
-stubs, oracle-checked on the deterministic parts.
+"""Multimodal pipeline queries: binary media columns decoded for real.
 
 No media files ship with the test data, so a media table is synthesized
-deterministically from ``documents``: content = utf-8 bytes of the text,
-media_type round-robins image/audio/video by doc_id. The decode stubs
-derive their outputs from byte lengths (multimodal.py), so n_bytes / width
-/ height / duration_ms / frame fan-out have exact DuckDB twins
-(OCTET_LENGTH(ENCODE(text))); the byte-content-derived fields (mean_luma,
-rms, frame bytes) are covered by tests/test_multimodal.py instead.
+deterministically from ``documents``: image rows carry REAL 24-bpp BMP
+bytes (constant gray level, dimensions derived from doc_id), audio rows
+carry REAL 16-bit PCM WAV bytes (square wave, amplitude/length derived
+from doc_id), video rows carry opaque bytes + metadata (video codecs
+genuinely need ffmpeg). The decode stage (operators/multimodal.py) parses
+the actual file headers and pixel/sample payloads, so every reported
+feature — width, height, mean_luma, duration_ms, rms — is computed from
+the bytes, and the DuckDB oracle predicts the same values analytically
+from doc_id. This closes the encode -> binary column -> Arrow batch ->
+decode loop end-to-end.
 
-Scale notes: the synth projection and the decode are both map-only stages —
-no shuffle until the final ORDER BY; bytes move JVM→Python once per Arrow
-batch, never per row.
+Scale notes: synth and decode are both map-only stages — no shuffle until
+the final ORDER BY; bytes move JVM->Python once per Arrow batch, never
+per row.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,40 +31,70 @@ from pulsar_lunar_spark.operators import multimodal as M
 from pulsar_lunar_spark.queries.registry import register
 from pulsar_lunar_spark.session import ensure_parallelism, load_table
 
+# Derivations shared (conceptually) by the python synth and the SQL oracle:
+#   image: w = doc_id % 31 + 2, h = doc_id % 17 + 2, gray = doc_id % 256
+#          n_bytes = 54 + ((w*3 + 3) // 4 * 4) * h      (BMP headers + padded rows)
+#   audio: amp = doc_id % 1000 + 1, n = doc_id % 500 + 10, rate = 1000 Hz
+#          duration_ms = n, rms = amp, n_bytes = 44 + 2*n (WAV headers + samples)
+
 _MEDIA_SQL = """
     SELECT 'm' || doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
              AS media_type,
-           OCTET_LENGTH(ENCODE(text)) AS n_bytes
+           doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS text_bytes
     FROM documents
 """
 
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
-        F.encode("text", "utf-8").alias("content"),
-        F.lit("fake").alias("format"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        # pre-decode metadata (as a real media table would carry): bounded so
-        # frame sampling fans out to <= 5 frames per video
-        (F.length(F.encode("text", "utf-8")) % 4000 + 1).cast("int").alias("duration_ms"),
-    )
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 3 == 0:
+                    w, h, gray = did % 31 + 2, did % 17 + 2, did % 256
+                    rows.append(
+                        (f"m{did}", "image", M.encode_bmp(gray, w, h), "bmp", None, None, None)
+                    )
+                elif did % 3 == 1:
+                    amp, n = did % 1000 + 1, did % 500 + 10
+                    samples = np.full(n, amp, dtype=np.int16)
+                    samples[1::2] *= -1  # square wave: rms == amp exactly
+                    rows.append(
+                        (f"m{did}", "audio", M.encode_wav(samples, rate=1000), "wav",
+                         None, None, None)
+                    )
+                else:
+                    content = (text or "").encode("utf-8")
+                    rows.append(
+                        (f"m{did}", "video", content, "mp4", None, None,
+                         len(content) % 4000 + 1)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    return d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA)
 
 
 @register(
     "q_media_image_features",
     oracle=f"""
     WITH media AS ({_MEDIA_SQL})
-    SELECT media_id, n_bytes,
-           CAST(n_bytes % 640 + 1 AS INT) AS width,
-           CAST(n_bytes % 480 + 1 AS INT) AS height,
+    SELECT media_id,
+           CAST(54 + ((doc_id % 31 + 2) * 3 + 3) // 4 * 4 * (doc_id % 17 + 2) AS BIGINT)
+               AS n_bytes,
+           CAST(doc_id % 31 + 2 AS INT) AS width,
+           CAST(doc_id % 17 + 2 AS INT) AS height,
+           ROUND(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_luma,
            TRUE AS decode_ok
     FROM media WHERE media_type = 'image'
     ORDER BY media_id
@@ -64,22 +102,25 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "image", "map-in-pandas"),
 )
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode + feature extraction over binary columns (stub codec:
-    dimensions derive from byte length — the mapInPandas batch plumbing is
-    the real thing; cites /root/reference's opaque payload model,
-    src/message/codec.rs:17-21)."""
+    """REAL image decode over binary columns: synthesized 24-bpp BMPs are
+    header-parsed and pixel-averaged in the mapInPandas stage; the oracle
+    recomputes width/height/mean_luma/file-size analytically from doc_id —
+    a wrong byte anywhere in encode or decode turns the row red."""
     feats = M.image_features(_media_df(spark, sf_dir))
-    return feats.select("media_id", "n_bytes", "width", "height", "decode_ok").orderBy(
-        "media_id"
-    )
+    return feats.select(
+        "media_id", "n_bytes", "width", "height",
+        F.round("mean_luma", 4).alias("mean_luma"), "decode_ok",
+    ).orderBy("media_id")
 
 
 @register(
     "q_media_audio_features",
     oracle=f"""
     WITH media AS ({_MEDIA_SQL})
-    SELECT media_id, n_bytes,
-           CAST(n_bytes * 8 AS INT) AS duration_ms,
+    SELECT media_id,
+           CAST(44 + 2 * (doc_id % 500 + 10) AS BIGINT) AS n_bytes,
+           CAST(doc_id % 500 + 10 AS INT) AS duration_ms,
+           ROUND(CAST(doc_id % 1000 + 1 AS DOUBLE), 4) AS rms,
            TRUE AS decode_ok
     FROM media WHERE media_type = 'audio'
     ORDER BY media_id
@@ -87,19 +128,21 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "audio", "map-in-pandas"),
 )
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decode + features (stub codec: duration derives from byte
-    length); same Arrow-batched mapInPandas path as images."""
+    """REAL audio decode: synthesized PCM WAVs (1 kHz square wave) are
+    RIFF-chunk-walked and sample-RMS'd in the mapInPandas stage; duration
+    and rms have exact analytic twins in the oracle."""
     feats = M.audio_features(_media_df(spark, sf_dir))
-    return feats.select("media_id", "n_bytes", "duration_ms", "decode_ok").orderBy(
-        "media_id"
-    )
+    return feats.select(
+        "media_id", "n_bytes", "duration_ms",
+        F.round("rms", 4).alias("rms"), "decode_ok",
+    ).orderBy("media_id")
 
 
 @register(
     "q_media_frame_sample",
     oracle=f"""
     WITH media AS (
-      SELECT media_id, n_bytes % 4000 + 1 AS duration_ms
+      SELECT media_id, text_bytes % 4000 + 1 AS duration_ms
       FROM ({_MEDIA_SQL}) WHERE media_type = 'video'
     )
     SELECT media_id,
@@ -116,7 +159,8 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: 1 video row fans out to N frame rows from
-    mapInPandas (1 frame per second of metadata duration)."""
+    mapInPandas (1 frame per second of metadata duration; the frame-byte
+    extraction itself stays stubbed — video codecs need ffmpeg)."""
     frames = M.sample_frames(_media_df(spark, sf_dir), every_ms=1000)
     return frames.select("media_id", "frame_index", "frame_ms").orderBy(
         "media_id", "frame_index"

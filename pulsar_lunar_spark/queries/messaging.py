@@ -228,3 +228,68 @@ def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("color")
     )
+
+
+def _seek_log(spark: SparkSession, sf_dir: str) -> "MessageLog":
+    """A cached single-partition events topic for the seek query (one
+    produce per sf_dir; a marker file distinguishes complete from partial).
+    Single-partition so the DuckDB oracle needs no knowledge of Spark's
+    key-hash router; multi-partition seek is covered by pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    from pulsar_lunar_spark.sources.log import MessageLog
+
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    base = os.path.join(
+        root, "pulsar_lunar_seeklog", os.path.basename(os.path.normpath(sf_dir))
+    )
+    log = MessageLog(spark, base)
+    marker = os.path.join(base, "_PRODUCED")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        log = MessageLog(spark, base)
+        e = load_table(spark, sf_dir, "events")
+        log.produce(
+            e,
+            topic="events",
+            payload_cols=["event_id", "event_type", "value"],
+            key="user_id",
+            event_time="ts",
+            sequence_id="event_id",
+            publish_time="ts",
+            num_partitions=1,
+        )
+        with open(marker, "w"):
+            pass
+    return log
+
+
+@register(
+    "q_seek_message_id",
+    oracle="""
+    WITH s AS (SELECT MAX(event_id) // 2 AS mid FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(MIN(event_id) AS BIGINT) AS first_seq,
+           CAST(MAX(event_id) AS BIGINT) AS last_seq,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events, s WHERE event_id > s.mid
+    """,
+    tags=("messaging", "seek"),
+)
+def q_seek_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seek by message id (CommandSeek by id, /root/reference/src/
+    PulsarApi.proto:537-543): position the cursor AT (partition,
+    sequence_id) mid-topic and read exactly the tail. The partition
+    predicate prunes the __partition directory layout, so a seek on a
+    100 TB topic reads one partition's tail files only."""
+    log = _seek_log(spark, sf_dir)
+    mid = int(log.read("events").agg(F.max("sequence_id")).first()[0]) // 2
+    tail = log.replay("events", start_message_id=(0, mid))
+    return tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.min("sequence_id").cast("bigint").alias("first_seq"),
+        F.max("sequence_id").cast("bigint").alias("last_seq"),
+        F.countDistinct("key").cast("bigint").alias("n_keys"),
+    )

@@ -241,19 +241,49 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_stats",
-    oracle=None,  # HLL++/KLL sketches are engine-specific; bounds checked in pytest
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS approx_cd_ok,
+           TRUE AS approx_p50_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
     tags=("agg", "approx"),
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path for distinct counts/quantiles:
-    approx_count_distinct (HLL++) and approx_percentile, fixed seeds."""
+    approx_count_distinct (HLL++, rsd=2%) and approx_percentile (KLL-style).
+
+    The sketch values themselves are engine-specific, so the oracle checks
+    (a) the exact countDistinct and (b) booleans asserting each sketch lands
+    within a generous error bound (10% of exact for HLL++ at rsd 2%;
+    approx_percentile bracketed by the exact p25..p75 range).  The DuckDB
+    side emits literal TRUE for the flags — a sketch outside bounds turns
+    the row red.  Tight error-bound assertions live in pytest.
+    """
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
             F.countDistinct("o_custkey").alias("exact_custs"),
-            F.round(F.expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).alias("approx_p50"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cd"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_approx_p50"),
+            F.expr("percentile(o_totalprice, 0.25)").alias("_p25"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("_p75"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            (
+                F.abs(F.col("_approx_cd") - F.col("exact_custs"))
+                <= F.greatest(F.lit(1), F.col("exact_custs") * 0.10)
+            ).alias("approx_cd_ok"),
+            (
+                (F.col("_approx_p50") >= F.col("_p25"))
+                & (F.col("_approx_p50") <= F.col("_p75"))
+            ).alias("approx_p50_ok"),
         )
         .orderBy("o_orderstatus")
     )

@@ -102,7 +102,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _nanos_timestamp_cols(path):
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _normalize_timestamps(df)
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (identity under the UTC
+    session tz) so the whole query surface sees exactly one timestamp type.
+
+    Depending on whether `nanosAsLong` could be applied (it is a static conf
+    on sessions the verification driver owns), parquet timestamps can surface
+    as TIMESTAMP or TIMESTAMP_NTZ; functions like unix_micros reject NTZ.
+    Normalizing once at load kills that class of bug for every query.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -130,7 +150,7 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = _normalize_timestamps(spark.read.parquet(path))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -191,13 +191,23 @@ class MessageLog:
         topic: str,
         from_publish_time: str | None = None,
         to_publish_time: str | None = None,
+        start_message_id: tuple[int, int] | None = None,
+        inclusive: bool = False,
     ) -> DataFrame:
-        """Seek-style batch replay by publish-time range (CommandSeek,
-        PulsarApi.proto:537-543).
+        """Seek-style batch replay (CommandSeek, PulsarApi.proto:537-543 —
+        the reference seeks by publish time OR by message id).
 
-        On a ``time_partition=True`` topic, the equivalent ``__pdate``
-        range predicate is added so the scan PRUNES partitions (visible as
-        PartitionFilters in .explain — asserted in tests)."""
+        - publish-time range: on a ``time_partition=True`` topic the
+          equivalent ``__pdate`` range predicate is added so the scan
+          PRUNES partitions (visible as PartitionFilters in .explain —
+          asserted in tests);
+        - ``start_message_id=(partition, sequence_id)``: positions the
+          cursor AT that message within its partition — delivery resumes
+          with the next message (Pulsar mark-delete semantics), or with
+          the message itself when ``inclusive=True``. The partition
+          predicate hits the ``__partition`` directory layout, so the
+          seek reads exactly one partition's files at any scale.
+        """
         df = self._raw(topic)
         pruned = "__pdate" in df.columns
         if from_publish_time is not None:
@@ -208,6 +218,16 @@ class MessageLog:
             df = df.filter(F.col("publish_time") < F.lit(to_publish_time).cast("timestamp"))
             if pruned:
                 df = df.filter(F.col("__pdate") <= F.to_date(F.lit(to_publish_time)))
+        if start_message_id is not None:
+            part, seq = start_message_id
+            seq_pred = (
+                F.col("sequence_id") >= F.lit(seq)
+                if inclusive
+                else F.col("sequence_id") > F.lit(seq)
+            )
+            # __partition is the directory column -> partition pruning;
+            # message_id.partition is the same value inside the struct.
+            df = df.filter((F.col("__partition") == F.lit(part)) & seq_pred)
         return df.drop("__partition", "__pdate")
 
     def topics(self, pattern: str | None = None) -> list[str]:

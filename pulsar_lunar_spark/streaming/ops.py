@@ -99,27 +99,94 @@ def foreach_batch_with_dlq(
     is_poison: Column,
     dlq_writer: Callable[[DataFrame], None],
     max_redeliver: int = 3,
+    retry_ledger_dir: str | None = None,
+    msg_key: Column | None = None,
 ):
     """DLQ routing (DeadLetterPolicy, /root/reference/src/entity/consumer.rs:71-77):
-    rows matching ``is_poison`` are retried up to ``max_redeliver`` times
-    (simulated via redelivery_count) then written to the DLQ instead of the
-    main sink. Returns a foreachBatch(batch_df, batch_id) function.
+    rows matching ``is_poison`` fail processing; after ``max_redeliver``
+    failed deliveries the message is retired to the DLQ — exactly once.
+    Returns a foreachBatch(batch_df, batch_id) function.
 
-    The handoff is deterministic and per-row (not per-batch abort): good
-    rows always flow; poison rows escalate their redelivery_count and are
-    dead-lettered when it exceeds the policy.
+    With ``retry_ledger_dir`` set, per-message attempt counts persist
+    across deliveries in a versioned parquet ledger (one tiny file set per
+    batch that saw poison; the ledger holds ONLY poison message keys, so
+    it stays small at any stream volume — the broker's per-consumer
+    redelivery counter, PulsarApi.proto:475):
+
+    - attempts < max_redeliver: the row is withheld (the source re-serves
+      unacked data, so it will be delivered again) and its count bumped;
+    - attempts reaches max_redeliver: the row goes to the DLQ with its
+      true redelivery_count and is marked retired;
+    - retired messages on later redeliveries are dropped — a poison
+      message lands in the DLQ exactly once.
+
+    Without a ledger there is no cross-delivery memory: poison rows are
+    dead-lettered immediately with the count stamped at policy max (the
+    degenerate max_redeliver=0 policy). All routing is DataFrame ops — no
+    driver-side collect; the ledger join broadcasts (poison keys are few).
     """
+    import os
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         tagged = batch_df.withColumn("__poison", is_poison)
         good = tagged.filter(~F.col("__poison")).drop("__poison")
         bad = tagged.filter(F.col("__poison")).drop("__poison")
-        bad = bad.withColumn(
-            "redelivery_count",
-            (F.coalesce(F.col("redelivery_count"), F.lit(0)) + F.lit(max_redeliver)).cast("int"),
-        )
         process(good)
-        dlq_writer(bad)
+
+        if retry_ledger_dir is None:
+            dlq_writer(
+                bad.withColumn(
+                    "redelivery_count",
+                    (F.coalesce(F.col("redelivery_count"), F.lit(0)) + F.lit(max_redeliver)).cast(
+                        "int"
+                    ),
+                )
+            )
+            return
+
+        spark = batch_df.sparkSession
+        key = msg_key if msg_key is not None else F.col("sequence_id").cast("string")
+        bad = bad.withColumn("__mkey", key)
+        latest_ptr = os.path.join(retry_ledger_dir, "_LATEST")
+        if os.path.exists(latest_ptr):
+            with open(latest_ptr) as f:
+                v = f.read().strip()
+            ledger = spark.read.parquet(os.path.join(retry_ledger_dir, f"v={v}"))
+        else:
+            ledger = spark.createDataFrame([], "mkey string, attempts int, retired boolean")
+
+        joined = (
+            bad.join(
+                F.broadcast(ledger.withColumnRenamed("mkey", "__mkey")), "__mkey", "left"
+            )
+            .withColumn("attempts", (F.coalesce(F.col("attempts"), F.lit(0)) + 1).cast("int"))
+            .withColumn("retired", F.coalesce(F.col("retired"), F.lit(False)))
+            .persist()
+        )
+        joined.count()  # pin: dlq_writer and the ledger update must agree
+        try:
+            to_dlq = joined.filter(~F.col("retired") & (F.col("attempts") >= max_redeliver))
+            dlq_writer(
+                to_dlq.withColumn("redelivery_count", F.col("attempts")).drop(
+                    "__mkey", "attempts", "retired"
+                )
+            )
+            updates = joined.groupBy(F.col("__mkey").alias("mkey")).agg(
+                F.max("attempts").cast("int").alias("attempts"),
+                (F.max(F.col("retired").cast("int")) == 1).alias("was_retired"),
+            )
+            updates = updates.select(
+                "mkey",
+                "attempts",
+                (F.col("was_retired") | (F.col("attempts") >= max_redeliver)).alias("retired"),
+            )
+            new_ledger = ledger.join(updates, "mkey", "left_anti").unionByName(updates)
+            out = os.path.join(retry_ledger_dir, f"v={batch_id}")
+            new_ledger.coalesce(1).write.mode("overwrite").parquet(out)
+            with open(latest_ptr, "w") as f:
+                f.write(str(batch_id))
+        finally:
+            joined.unpersist()
 
     return _fn
 

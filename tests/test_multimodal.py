@@ -1,44 +1,93 @@
-"""Multimodal plumbing tests: binary columns + metadata through mapInPandas
-(decode stubbed — the schema/batch-shape/fan-out contracts are real)."""
+"""Multimodal tests: REAL BMP/WAV codec round-trips through mapInPandas,
+plus the decode_ok flagging contract for corrupt/unsupported content."""
 
 from __future__ import annotations
+
+import numpy as np
+import pytest
 
 from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     audio_features,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     image_features,
     sample_frames,
     with_media_stats,
 )
 
 
+# -- pure codec round-trips (no Spark) --------------------------------------
+
+
+def test_bmp_roundtrip_gradient():
+    # non-constant pixels: mean must come from the actual pixel payload
+    px = np.arange(7 * 5, dtype=np.uint8).reshape(5, 7)  # w=7 -> padded rows
+    content = encode_bmp(px)
+    w, h, luma = decode_bmp(content)
+    assert (w, h) == (7, 5)
+    assert luma == pytest.approx(px.mean())
+    # file size: 54 headers + padded rows
+    assert len(content) == 54 + (7 * 3 + 3) // 4 * 4 * 5
+
+
+def test_bmp_rejects_corrupt():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all, definitely")
+
+
+def test_wav_roundtrip_known_rms():
+    samples = np.array([100, -100] * 50, dtype=np.int16)  # square wave
+    content = encode_wav(samples, rate=1000)
+    dur, rms = decode_wav(content)
+    assert dur == 100  # 100 frames at 1 kHz
+    assert rms == pytest.approx(100.0)
+    assert len(content) == 44 + 2 * 100
+
+
+def test_wav_rejects_corrupt():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+# -- Spark-side contracts ---------------------------------------------------
+
+
 def _media_df(spark):
+    bmp = encode_bmp(np.full((4, 6), 200, dtype=np.uint8))
+    wav = encode_wav(np.array([50, -50] * 25, dtype=np.int16), rate=1000)
     rows = [
-        ("img1", "image", b"\x89PNG" + bytes(range(100)), "png", None, None, None),
-        ("img2", "image", bytes(range(200)), "jpeg", None, None, None),
-        ("img3", "image", b"\x00\x01", "tiff", None, None, None),  # unsupported codec
-        ("aud1", "audio", bytes(range(50)), "wav", None, None, None),
+        ("img1", "image", bmp, "bmp", None, None, None),
+        ("img2", "image", b"\x89PNG" + bytes(range(100)), "png", None, None, None),
+        ("img3", "image", b"BM\x00\x01", "bmp", None, None, None),  # corrupt bmp
+        ("aud1", "audio", wav, "wav", None, None, None),
+        ("aud2", "audio", b"\x00" * 64, "wav", None, None, None),  # corrupt wav
         ("vid1", "video", bytes(range(128)), "mp4", None, None, 3500),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_image_features_schema_and_stub(spark):
-    out = image_features(_media_df(spark))
-    rows = {r["media_id"]: r for r in out.collect()}
+def test_image_features_real_decode(spark):
+    rows = {r["media_id"]: r for r in image_features(_media_df(spark)).collect()}
     assert set(rows) == {"img1", "img2", "img3"}
-    assert rows["img1"]["decode_ok"] and rows["img1"]["width"] > 0
-    assert rows["img3"]["decode_ok"] is False  # unsupported codec -> flagged, not crashed
-    assert rows["img2"]["n_bytes"] == 200
+    r1 = rows["img1"]
+    assert r1["decode_ok"] and (r1["width"], r1["height"]) == (6, 4)
+    assert r1["mean_luma"] == pytest.approx(200.0)
+    # png needs PIL -> flagged, not crashed; corrupt bmp -> flagged too
+    assert rows["img2"]["decode_ok"] is False
+    assert rows["img3"]["decode_ok"] is False
 
 
-def test_audio_features(spark):
-    out = audio_features(_media_df(spark)).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert r["media_id"] == "aud1" and r["decode_ok"] and r["duration_ms"] == 400
+def test_audio_features_real_decode(spark):
+    rows = {r["media_id"]: r for r in audio_features(_media_df(spark)).collect()}
+    r1 = rows["aud1"]
+    assert r1["decode_ok"] and r1["duration_ms"] == 50
+    assert r1["rms"] == pytest.approx(50.0)
+    assert rows["aud2"]["decode_ok"] is False  # zeros: no RIFF magic
 
 
 def test_frame_sampling_fanout(spark):
@@ -52,7 +101,7 @@ def test_media_stats_jvm_side(spark):
     out = with_media_stats(_media_df(spark))
     assert out.filter(~F.col("has_content")).count() == 0
     got = {r["media_id"]: r["n_bytes"] for r in out.collect()}
-    assert got["img2"] == 200
+    assert got["img2"] == 104
     # no Python UDF in this plan: stats run at scan speed
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

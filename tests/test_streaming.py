@@ -631,3 +631,61 @@ def test_streaming_matview_refresh_equals_batch(spark, log, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_seek_by_message_id(spark, log):
+    """CommandSeek by message id (PulsarApi.proto:537-543): produce N, seek
+    to a mid-stream (partition, sequence_id), read exactly that partition's
+    tail — exclusive by default (cursor AT the id), inclusive on request."""
+    full = log.read("events").select(
+        F.col("message_id.partition").alias("part"), "sequence_id"
+    )
+    # pick the median sequence_id of the busiest partition
+    part = full.groupBy("part").count().orderBy(F.desc("count"), "part").first()["part"]
+    seqs = sorted(
+        r["sequence_id"] for r in full.filter(F.col("part") == part).collect()
+    )
+    mid = seqs[len(seqs) // 2]
+
+    tail = log.replay("events", start_message_id=(part, mid))
+    got = sorted(r["sequence_id"] for r in tail.collect())
+    assert got == [s for s in seqs if s > mid]
+    assert tail.filter(F.col("message_id.partition") != part).count() == 0
+
+    tail_inc = log.replay("events", start_message_id=(part, mid), inclusive=True)
+    assert tail_inc.count() == len([s for s in seqs if s >= mid])
+
+
+def test_dlq_max_redeliver_retires_exactly_once(spark, log, tmp_path):
+    """DeadLetterPolicy.max_redeliver_count (consumer.rs:71-77): a poison
+    message is withheld for N-1 deliveries, lands in the DLQ with its true
+    redelivery_count exactly once on the Nth, and is dropped afterwards."""
+    good_dir = str(tmp_path / "good")
+    dlq_dir = str(tmp_path / "dlq")
+    ledger = str(tmp_path / "retry_ledger")
+    os.makedirs(ledger, exist_ok=True)
+
+    batch = log.read("events").limit(50)
+    poison_ids = [r["sequence_id"] for r in batch.orderBy("sequence_id").limit(2).collect()]
+
+    fn = foreach_batch_with_dlq(
+        process=lambda df: df.write.mode("append").parquet(good_dir),
+        is_poison=F.col("sequence_id").isin(poison_ids),
+        dlq_writer=lambda df: df.write.mode("append").parquet(dlq_dir),
+        max_redeliver=3,
+        retry_ledger_dir=ledger,
+    )
+
+    # simulate the source re-serving the same unacked data 5 times
+    for bid in range(5):
+        fn(batch, bid)
+
+    dlq = spark.read.parquet(dlq_dir)
+    # each poison message retired exactly once, on the 3rd delivery
+    assert dlq.count() == len(poison_ids)
+    assert sorted(r["sequence_id"] for r in dlq.collect()) == sorted(poison_ids)
+    assert {r["redelivery_count"] for r in dlq.collect()} == {3}
+    # good rows flowed on every delivery; poison rows never reached the sink
+    good = spark.read.parquet(good_dir)
+    assert good.filter(F.col("sequence_id").isin(poison_ids)).count() == 0
+    assert good.count() == 5 * (50 - len(poison_ids))
