@@ -182,20 +182,33 @@ def tfidf_terms(
     """Per-(group, term) TF-IDF: tf = term count within group,
     idf = ln((N+1)/(df+1)) with N = total docs, df = docs containing term.
 
-    One explode + two hash aggregations + a broadcast of the (tiny) df/N
-    side — O(tokens) shuffle, no window until the caller's top-k.
+    Single-tokenize, single-shuffle form: the corpus is tokenized and
+    exploded ONCE, shuffled ONCE on hash(term); every downstream step —
+    the per-(term, doc) dedupe, the df count (key=term), the tf rollup
+    (key superset {grp, term}), and the tf⋈df join (key=term) — reuses
+    that one partitioning, so Spark inserts zero further exchanges (and
+    the two consumers of the shuffle read the same files via exchange
+    reuse, not by recomputing the tokenize). At 100 TB this is the same
+    O(tokens) movement an inverted-index build pays, once.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    tok = df.select(
-        F.col(id_col).alias("__id"), F.col(group_col).alias("grp"), F.explode(words).alias("term")
-    ).filter(F.length("term") >= min_len)
-    tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.select("__id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    tok = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("grp"),
+            F.explode(words).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+        .repartition("term")
     )
+    # distinct (term, doc) pairs with their in-doc counts; grp is a
+    # function of the doc id, so it rides along for free
+    per_doc_term = tok.groupBy("term", "__id", "grp").agg(F.count(F.lit(1)).alias("c"))
+    tf = per_doc_term.groupBy("grp", "term").agg(F.sum("c").alias("tf"))
+    dfreq = per_doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "grp",

@@ -492,50 +492,63 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt/commit dates): the sole late supplier in multi-supplier
     finished orders.
 
-    Single-shuffle form: EXISTS/NOT-EXISTS over the order's other
-    lineitems are per-order facts, so instead of semi+anti joins that
-    re-shuffle lineitem three times, join li⋈orders once on l_orderkey and
-    compute both facts with collect_set windows OVER THE SAME KEY — the
-    window reuses the join's hash partitioning, adding zero exchanges
-    (verified: one Exchange per side in the plan). waiting ⇔ row is late,
-    order is 'F', the order has ≥2 distinct suppliers, and exactly one
-    distinct supplier is late (this row's)."""
+    Single-shuffle form, one lineitem pass (the EXISTS/NOT-EXISTS are
+    per-order facts):
+
+    1. orders pre-filtered to status 'F' BEFORE the join — the status is
+       constant per order, and non-F orders can contribute nothing to
+       either the outer rows or the EXISTS facts, so the filter pushes to
+       the orders scan and halves the join input;
+    2. li⋈orders shuffles lineitem ONCE on l_orderkey; the subsequent
+       groupBy(l_orderkey, l_suppkey) and the window over l_orderkey both
+       reuse that partitioning (HashPartitioning on a key subset satisfies
+       the clustering requirement) — zero additional exchanges, verified
+       in the plan;
+    3. the per-(order, supplier) dedupe shrinks rows ~4x BEFORE the
+       window, whose aggregates are then plain count/sum — no per-row
+       collect_set materialization.
+
+    waiting ⇔ supplier is late, order has ≥2 suppliers, exactly 1 late
+    supplier; numwait sums that supplier's late rows in the order (the
+    oracle counts l1 rows)."""
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderstatus"
+    o_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
     )
     late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
 
-    w = Window.partitionBy("l_orderkey")
-    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        "o_orderstatus",
-        late.alias("is_late"),
+    base = (
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        # one explicit hash partition on the order key: the groupBy below
+        # (key superset) and the window (same key) both reuse it — ONE
+        # exchange total instead of groupBy+window each paying their own
+        .repartition("l_orderkey")
     )
-    flagged = base.select(
-        "l_orderkey",
+    per_supp = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_rows"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
         "l_suppkey",
-        "o_orderstatus",
-        "is_late",
-        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
-        F.size(
-            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
-        ).alias("n_late_supp"),
+        "late",
+        "n_late_rows",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(F.col("late").cast("long")).over(w).alias("n_late_supp"),
     )
     waiting = flagged.filter(
-        F.col("is_late")
-        & (F.col("o_orderstatus") == "F")
-        & (F.col("n_supp") >= 2)
-        & (F.col("n_late_supp") == 1)
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
         waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
