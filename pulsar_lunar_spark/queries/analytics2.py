@@ -262,7 +262,11 @@ def q_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_quantile",
-    oracle=None,  # sketch internals are engine-specific; accuracy pinned in pytest
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("analytics", "sketch", "quantile"),
 )
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,21 +274,29 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents per event_type at accuracy 10000 (rank error <= n/10000). The
     sketch is what a 100 TB scan ships: partial sketches merge
     associatively in the combine, so no sorted global pass ever happens.
-    Engine-specific internals => rows-only driver check; the accuracy
-    bound vs exact percentiles is pinned in tests/test_analytics.py."""
+    Sketch values are engine-specific, so the oracle checks exact group
+    counts plus booleans pinning each approximate quantile inside the
+    exact [q-0.005, q+0.005] quantile envelope (50x the sketch's
+    guaranteed rank error); exact-value bounds in tests/test_analytics.py."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type", _cents().alias("cents")
+    )
+    qs = F.expr(
+        "percentile(cents, array(0.495, 0.505, 0.895, 0.905, 0.985, 0.995))"
     )
     return (
         e.groupBy("event_type")
         .agg(
-            F.percentile_approx("cents", [0.5, 0.9, 0.99], 10000).alias("q")
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.percentile_approx("cents", [0.5, 0.9, 0.99], 10000).alias("q"),
+            qs.alias("env"),
         )
         .select(
             "event_type",
-            F.col("q")[0].alias("p50_cents"),
-            F.col("q")[1].alias("p90_cents"),
-            F.col("q")[2].alias("p99_cents"),
+            "n",
+            ((F.col("q")[0] >= F.col("env")[0]) & (F.col("q")[0] <= F.col("env")[1])).alias("p50_ok"),
+            ((F.col("q")[1] >= F.col("env")[2]) & (F.col("q")[1] <= F.col("env")[3])).alias("p90_ok"),
+            ((F.col("q")[2] >= F.col("env")[4]) & (F.col("q")[2] <= F.col("env")[5])).alias("p99_ok"),
         )
         .orderBy("event_type")
     )

