@@ -69,18 +69,32 @@ def test_bpe_single_char_words_no_pairs(spark):
 
 
 def test_hll_estimate_within_bound(spark, sf_dir):
-    rows = SPECS["q_hll_distinct"].fn(spark, sf_dir).collect()
+    """q_hll_distinct itself emits an hll_ok flag for the oracle; this test
+    recomputes the raw HLL union estimate and checks the tight bound."""
     d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    rows = (
+        words.groupBy("lang", "source")
+        .agg(F.hll_sketch_agg("w").alias("sk"), F.countDistinct("w").alias("ec"))
+        .groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_distinct"),
+            F.sum("ec").cast("long").alias("sum_cell_exact"),
+        )
+        .collect()
+    )
     exact = {
         r.lang: r.n
-        for r in d.select(
-            "lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
-        )
-        .groupBy("lang")
-        .agg(F.countDistinct("w").alias("n"))
-        .collect()
+        for r in words.groupBy("lang").agg(F.countDistinct("w").alias("n")).collect()
     }
+    assert rows
     for r in rows:
         assert abs(r.approx_distinct - exact[r.lang]) <= max(2, 0.05 * exact[r.lang])
         # the union estimate can never exceed the sum of per-cell exacts
         assert r.approx_distinct <= r.sum_cell_exact * 1.05
+    # and the registered query's flags must all be green
+    assert all(r.hll_ok for r in SPECS["q_hll_distinct"].fn(spark, sf_dir).collect())
