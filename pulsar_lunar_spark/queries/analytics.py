@@ -49,8 +49,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the users whose earliest qualifying event strictly follows their
     previous-stage timestamp. Three per-user MIN aggregates chained by
     equi-joins on user_id — every shuffle is on the same key, so at scale
-    the stages co-locate and AQE broadcasts the shrinking stage frontier."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    the stages co-locate and AQE broadcasts the shrinking stage frontier.
+
+    The explicit repartition(user_id) right after the scan makes every
+    branch (v feeds both its own count and c's join; c feeds its count and
+    p) reuse ONE exchange instead of re-scanning events per consumer —
+    the union references v 3x and c 2x, which without the shared exchange
+    re-executed the scan 6 times."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .repartition("user_id")
+    )
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -155,7 +166,12 @@ def q_fuzzy_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat(substring(c_name, 1, i-1), substring(c_name, i+1))))"
         )
     )
-    ex = cust.select("c_custkey", "c_name", F.explode(variants).alias("v"))
+    # repartition on the join key: the self-join's two children are the
+    # same subplan, and sharing one hash exchange on v makes Spark compute
+    # the explode ONCE (exchange reuse) instead of racing two copies
+    ex = cust.select("c_custkey", "c_name", F.explode(variants).alias("v")).repartition(
+        "v"
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -170,9 +186,9 @@ def q_fuzzy_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.levenshtein("na", "nb") <= 1)
     )
-    sym = pairs.select(F.col("ka").alias("c_custkey")).unionAll(
-        pairs.select(F.col("kb").alias("c_custkey"))
-    )
+    # one pass over pairs: explode each confirmed pair to both endpoints
+    # (a union of two selects would re-execute the join per branch)
+    sym = pairs.select(F.explode(F.array("ka", "kb")).alias("c_custkey"))
     return (
         sym.groupBy("c_custkey")
         .agg(F.count(F.lit(1)).alias("n_neighbors"))

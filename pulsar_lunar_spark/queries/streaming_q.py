@@ -89,6 +89,21 @@ def _fresh_checkpoint(sf_dir: str, tag: str) -> str:
     return ck
 
 
+def _fresh_dir(sf_dir: str, tag: str) -> str:
+    """A fresh output directory (for file sinks) per run."""
+    import shutil
+
+    out = os.path.join(
+        _tmp_root(),
+        "pulsar_lunar_streamq",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "out",
+        tag,
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
 @register(
     "q_stream_tumbling",
     oracle="""
@@ -124,13 +139,13 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    q = run_available_now(
+    run_available_now(
         windowed.writeStream.format("memory")
         .queryName("q_stream_tumbling_sink")
         .outputMode("complete"),
         _fresh_checkpoint(sf_dir, "tumbling"),
+        state_partitions=8,
     )
-    q.awaitTermination(300)
     return spark.table("q_stream_tumbling_sink").orderBy("win_start", "event_type")
 
 
@@ -156,16 +171,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["sequence_id"])
         .select("sequence_id")
     )
-    q = run_available_now(
-        deduped.writeStream.format("memory")
-        .queryName("q_stream_dedup_sink")
-        .outputMode("append"),
+    # parquet sink, not memory: the deduped stream lands distributed (the
+    # 100 TB pattern — dedup into a table), never funneling rows through
+    # the driver; state_partitions sizes the dedup state stores to the
+    # state volume instead of the session's 32-way scan parallelism
+    out = _fresh_dir(sf_dir, "dedup")
+    run_available_now(
+        deduped.writeStream.format("parquet").option("path", out).outputMode("append"),
         _fresh_checkpoint(sf_dir, "dedup"),
+        state_partitions=8,
     )
-    q.awaitTermination(300)
     raw = log.read("events").count()
     return spark.createDataFrame(
-        [(spark.table("q_stream_dedup_sink").count(), raw)], "n_unique long, n_raw long"
+        [(spark.read.parquet(out).count(), raw)], "n_unique long, n_raw long"
     )
 
 
@@ -229,13 +247,13 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    q = run_available_now(
+    run_available_now(
         sessions.writeStream.format("memory")
         .queryName("q_stream_session_sink")
         .outputMode("complete"),
         _fresh_checkpoint(sf_dir, "session"),
+        state_partitions=8,
     )
-    q.awaitTermination(300)
     return spark.table("q_stream_session_sink").orderBy("user_id", "session_start")
 
 
@@ -283,15 +301,17 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= c_ts + interval 30 minutes"
         ),
     ).select("c_user", "c_ts", "p_ts")
-    q = run_available_now(
-        pairs.writeStream.format("memory")
-        .queryName("q_stream_ssjoin_sink")
-        .outputMode("append"),
+    # file sink + right-sized join state stores: the joined pairs land
+    # distributed, and 8 state partitions cut the per-batch store IO 4x
+    # (each side of a stream-stream join keeps one store per partition)
+    out = _fresh_dir(sf_dir, "ssjoin")
+    run_available_now(
+        pairs.writeStream.format("parquet").option("path", out).outputMode("append"),
         _fresh_checkpoint(sf_dir, "ssjoin"),
+        state_partitions=8,
     )
-    q.awaitTermination(300)
     return (
-        spark.table("q_stream_ssjoin_sink")
+        spark.read.parquet(out)
         .groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")

@@ -369,14 +369,35 @@ def idempotent_foreach_batch(write_fn: Callable[[DataFrame], None], ledger_dir: 
     return _fn
 
 
-def run_available_now(writer, checkpoint: str):
+def run_available_now(writer, checkpoint: str, state_partitions: int | None = None):
     """Start a bounded run (end-of-topic semantics, PulsarApi.proto:548-550):
-    trigger(availableNow) drains everything currently in the log and stops."""
-    return (
-        writer.option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    trigger(availableNow) drains everything currently in the log and stops.
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for this
+    query only: a stateful stream materializes one state-store instance per
+    shuffle partition per stateful operator, and each instance pays delta +
+    snapshot file IO every micro-batch — at small per-key state the store
+    count, not the row count, dominates. A streaming query pins the number
+    at first checkpoint anyway (it can never change for the checkpoint's
+    lifetime), so it must be sized to the STATE volume, not the session's
+    scan parallelism. When set, the query is run to completion here (the
+    session conf must stay overridden until the stream thread clones it,
+    so the restore can only happen after termination) and the returned
+    query is already terminated."""
+    from pyspark.sql import SparkSession
+
+    writer = writer.option("checkpointLocation", checkpoint).trigger(availableNow=True)
+    if state_partitions is None:
+        return writer.start()
+    spark = SparkSession.getActiveSession()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return q
 
 
 def observe_stats(df: DataFrame, name: str, **metrics: Column) -> DataFrame:
