@@ -83,7 +83,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    import gc
+
+    for qi, name in enumerate(HEADLINE):
         # Per-query guard: one broken query must cost one row, not the whole
         # round's numbers.
         try:
@@ -104,6 +106,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        if qi % 5 == 4:
+            # localCheckpoint-heavy queries (row-ids, pagerank, semdedup,
+            # dedup-cluster) leave storage blocks behind until the driver
+            # GCs their RDD handles and the ContextCleaner reaps them;
+            # untended, eviction churn inflates later queries' timings.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -90,3 +90,137 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=r"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT s FROM GENERATE_SERIES(0, 3) AS t(s)),
+    dims AS (SELECT i FROM GENERATE_SERIES(1, 16) AS t(i)),
+    cb AS (
+        SELECT s, label, LIST(av ORDER BY i) AS cv
+        FROM (
+            SELECT subs.s AS s, label, dims.i AS i,
+                   AVG(v[16 * subs.s + dims.i]) AS av
+            FROM e CROSS JOIN subs CROSS JOIN dims
+            GROUP BY 1, 2, 3
+        )
+        GROUP BY s, label
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    tab AS (
+        SELECT s, label, cv,
+               LIST_INNER_PRODUCT(cv, qv[16 * s + 1 : 16 * s + 16]) AS qdot
+        FROM cb CROSS JOIN q
+    ),
+    enc AS (
+        SELECT e.vec_id AS vec_id, t.s AS s,
+               ARG_MIN(t.qdot,
+                       LIST_DISTANCE(e.v[16 * t.s + 1 : 16 * t.s + 16], t.cv))
+                   AS contrib
+        FROM e CROSS JOIN tab t
+        GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           FLOOR(SUM(contrib) * 1000000 + 0.5) / 1000000 AS adc_score
+    FROM enc GROUP BY vec_id
+    ORDER BY adc_score DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC (asymmetric distance computation) top-10:
+    the billion-vector half of the IVF-PQ recipe (q_ivf_topk is the
+    coarse half). The 64-dim space splits into m=4 subspaces of 16 dims;
+    each subspace gets a k=10 codebook (deterministic: the per-label
+    subvector mean, same codebook rule the IVF query trains); every
+    vector encodes to its nearest sub-centroid per subspace; the query
+    vector precomputes one dot product per (subspace, codeword) — the
+    ADC lookup table — and a vector's approximate score is the sum of
+    its 4 table entries.
+
+    Scale shape: the codebook (m*k rows) and the ADC table broadcast;
+    encoding is a scan-side broadcast join + min_by (no shuffle of the
+    corpus beyond two hash aggs on vec_id); at 100 TB the stored codes
+    are m bytes/vector vs 256 bytes raw — the memory win that makes
+    billion-scale ANN serveable. Exact float discipline: sub-distances
+    and dots fold element-in-order on both engines; the final score is
+    floored at 1e-6 on both sides."""
+    from pulsar_lunar_spark.operators import similarity as S
+
+    m, d_sub = 4, 16
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # codebook: per-label mean vector, sliced into m subspace centroids
+    cb64 = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(m * d_sub)]).alias("cv64")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    # ADC lookup table: (subspace, codeword) -> dot(query_sub, centroid)
+    tab = (
+        cb64.join(F.broadcast(qv))
+        .select(
+            "label",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("cv64", d_sub * s + 1, d_sub).alias("cv"),
+                            S.dot(
+                                F.slice("cv64", d_sub * s + 1, d_sub),
+                                F.slice("qv", d_sub * s + 1, d_sub),
+                            ).alias("qdot"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("label", "x.s", "x.cv", "x.qdot")
+    )
+    # encode: nearest sub-centroid per (vector, subspace); min_by carries
+    # the centroid's precomputed query-dot straight through, so encoding
+    # and table lookup are one aggregation
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", d_sub * s + 1, d_sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    enc = (
+        sub.join(F.broadcast(tab), "s")
+        .select("vec_id", "s", F.col("qdot"), dist.alias("dist"))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("qdot", "dist").alias("contrib"))
+    )
+    return (
+        enc.groupBy("vec_id")
+        .agg(
+            (F.floor(F.sum("contrib") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "adc_score"
+            )
+        )
+        .orderBy(F.desc("adc_score"), "vec_id")
+        .limit(10)
+    )

@@ -98,3 +98,43 @@ def test_hll_estimate_within_bound(spark, sf_dir):
         assert r.approx_distinct <= r.sum_cell_exact * 1.05
     # and the registered query's flags must all be green
     assert all(r.hll_ok for r in SPECS["q_hll_distinct"].fn(spark, sf_dir).collect())
+
+
+def test_pq_adc_matches_numpy_reference(spark, sf_dir):
+    """q_pq_adc_topk must equal an exact numpy replication of the PQ
+    pipeline: per-label subvector-mean codebooks, nearest-sub-centroid
+    codes, ADC score = sum of per-subspace query-dot lookups."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    V = np.array([[float(x) for x in r.embedding] for r in rows])  # n x 64
+    q = V[ids == 0][0]
+    m, d_sub = 4, 16
+    scores = np.zeros(len(ids))
+    for s in range(m):
+        sl = slice(s * d_sub, (s + 1) * d_sub)
+        cb = {
+            lab: V[labels == lab, sl].mean(axis=0) for lab in np.unique(labels)
+        }
+        labs = sorted(cb)
+        C = np.array([cb[lab] for lab in labs])  # k x 16
+        qdot = C @ q[sl]
+        codes = np.argmin(
+            ((V[:, sl][:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        scores += qdot[codes]
+    order = sorted(zip(ids, scores), key=lambda t: (-np.floor(t[1] * 1e6 + 0.5) / 1e6, t[0]))
+    want = [(int(i), np.floor(sc * 1e6 + 0.5) / 1e6) for i, sc in order[:10]]
+    got = [
+        (r.vec_id, r.adc_score)
+        for r in SPECS["q_pq_adc_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-6, (g, w)
