@@ -34,6 +34,33 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_lit(vec: Column, query: list[float]) -> Column:
+    """Dot product against a LITERAL query vector, unrolled to a flat sum
+    of products. Value-identical to ``dot`` (same left-to-right add order)
+    but compiles into whole-stage codegen as scalar bytecode — the HOF
+    fold evaluates interpreted at ~µs/element, which dominates scans that
+    compute dozens of projections per row (LSH plane batteries)."""
+    out: Column = F.lit(0.0)
+    for i, x in enumerate(query):
+        out = out + vec[i] * float(x)
+    return out
+
+
+def dot_self_lit(vec: Column, dim: int) -> Column:
+    """Σ vec[i]² unrolled for codegen; value-identical to dot(vec, vec)."""
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        out = out + vec[i] * vec[i]
+    return out
+
+
+def cosine_lit(vec: Column, query: list[float]) -> Column:
+    """Cosine against a literal query, fully codegen-able; the query's own
+    norm folds to a Python constant at plan-build time."""
+    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
+    return dot_lit(vec, query) / (F.sqrt(dot_self_lit(vec, len(query))) * F.lit(qnorm))
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -55,12 +82,11 @@ def cosine_topk(
     dot/norm per row and TakeOrderedAndProject keeps k rows per partition —
     the correct baseline plan at any corpus size.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
     emb = _as_double(F.col(vec_col))
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(emb, q), 6).alias("cosine_sim"),
+            F.round(cosine_lit(emb, [float(x) for x in query]), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
@@ -80,7 +106,7 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit LSH bucket id (bigint) from random hyperplane projections."""
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, 1 << i).otherwise(0)
+        F.when(dot_lit(vec, plane) >= 0, 1 << i).otherwise(0)
         for i, plane in enumerate(planes)
     ]
     out = F.lit(0).cast("long")
@@ -105,23 +131,50 @@ def ann_cosine_topk(
     At 100 TB the bucketed table is precomputed and partitioned by
     (table, bucket) so a query touches ~n_tables/2^n_planes of the data.
     """
+    import numpy as np
+    import pandas as pd
+
     dim = len(query)
     emb = _as_double(F.col(vec_col))
 
-    keep = F.lit(False)
-    for t in range(n_tables):
-        planes = _random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        qbits = sum(
-            (1 << i)
-            for i, plane in enumerate(planes)
-            if sum(a * b for a, b in zip(query, plane)) >= 0
-        )
-        keep = keep | (hyperplane_bucket(emb, planes) == F.lit(qbits))
+    # all tables' planes as one (n_tables*n_planes) x dim matrix: the
+    # bucket battery is a single GEMM per Arrow batch. 48 interpreted HOF
+    # dot-folds per row cost ~ms/row; one BLAS multiply costs ~ns/row.
+    # (An unrolled scalar expression was tried and is WORSE: ~6k-term
+    # trees overflow whole-stage codegen into interpreted nested Adds.)
+    planes_mat = np.array(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in _random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        ]
+    )  # (n_tables*n_planes) x dim
+    qarr = np.asarray([float(x) for x in query])
+    # query bits via the SAME numpy path as the corpus bits: a plane dot
+    # within an ulp of zero then flips (or not) identically on both sides,
+    # so the query's own row always lands in its own buckets
+    qsigns = (planes_mat @ qarr) >= 0
+    weights = 1 << np.arange(n_planes)
+    qbuckets = np.array(
+        [int((qsigns[t * n_planes : (t + 1) * n_planes] * weights).sum()) for t in range(n_tables)]
+    )
 
-    q = F.array(*[F.lit(float(x)) for x in query])
+    @F.pandas_udf("boolean", F.PandasUDFType.SCALAR)
+    def _in_query_bucket(v):
+        vm = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        signs = (vm @ planes_mat.T) >= 0  # batch x (tables*planes)
+        keep = np.zeros(len(vm), dtype=bool)
+        for t in range(n_tables):
+            bucket = (signs[:, t * n_planes : (t + 1) * n_planes] * weights).sum(axis=1)
+            keep |= bucket == qbuckets[t]
+        return pd.Series(keep)
+
     return (
-        df.filter(keep)
-        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine_sim"))
+        df.filter(_in_query_bucket(emb))
+        .select(
+            F.col(id_col),
+            F.round(cosine_lit(emb, [float(x) for x in query]), 6).alias("cosine_sim"),
+        )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )

@@ -281,18 +281,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     approx = S.ann_cosine_topk(emb, "embedding", qvec, k=10)
-    exact_ids = S.cosine_topk(emb, "embedding", qvec, k=10).select("vec_id")
-    stats = approx.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_results"),
-        (F.round(F.max("cosine_sim"), 4) == 1.0).alias("top1_is_unit"),
-        (F.max(F.when(F.col("vec_id") == 0, 1).otherwise(0)) == 1).alias("self_retrieved"),
+    exact_ids = S.cosine_topk(emb, "embedding", qvec, k=10).select(
+        "vec_id", F.lit(1).alias("__exact_hit")
     )
-    recall = (
-        approx.join(exact_ids, "vec_id", "left_semi")
-        .agg((F.count(F.lit(1)) >= 5).alias("recall_ok"))
-    )
-    return stats.crossJoin(recall).select(
-        "n_results", "top1_is_unit", "self_retrieved", "recall_ok"
+    # one pass over the (10-row) approx result: broadcast-join the exact
+    # ids in as a hit flag and fold every contract check into a single
+    # aggregation — a stats-agg + separate semi-join would re-execute the
+    # LSH-filtered scan once per branch
+    return (
+        approx.join(F.broadcast(exact_ids), "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_results"),
+            (F.round(F.max("cosine_sim"), 4) == 1.0).alias("top1_is_unit"),
+            (F.max(F.when(F.col("vec_id") == 0, 1).otherwise(0)) == 1).alias(
+                "self_retrieved"
+            ),
+            (F.sum(F.coalesce(F.col("__exact_hit"), F.lit(0))) >= 5).alias("recall_ok"),
+        )
+        .select("n_results", "top1_is_unit", "self_retrieved", "recall_ok")
     )
 
 
