@@ -47,8 +47,18 @@ _MEDIA_SQL = """
 """
 
 
-def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+_ONLY_MOD = {"image": 0, "audio": 1, "video": 2}
+
+
+def _media_df(spark: SparkSession, sf_dir: str, only: str | None = None) -> DataFrame:
+    """Synthesize the media table from documents. ``only`` restricts the
+    synthesis to one modality (doc_id % 3 class) BEFORE the per-row
+    encode loop — a query that reads one modality shouldn't pay for
+    encoding the other two (the filter is a pushed-down scan predicate;
+    the oracle applies the same media_type filter)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    if only is not None:
+        d = d.filter(F.col("doc_id") % 3 == _ONLY_MOD[only])
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,7 +116,7 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     header-parsed and pixel-averaged in the mapInPandas stage; the oracle
     recomputes width/height/mean_luma/file-size analytically from doc_id —
     a wrong byte anywhere in encode or decode turns the row red."""
-    feats = M.image_features(_media_df(spark, sf_dir))
+    feats = M.image_features(_media_df(spark, sf_dir, only="image"))
     return feats.select(
         "media_id", "n_bytes", "width", "height",
         F.round("mean_luma", 4).alias("mean_luma"), "decode_ok",
@@ -131,7 +141,7 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: synthesized PCM WAVs (1 kHz square wave) are
     RIFF-chunk-walked and sample-RMS'd in the mapInPandas stage; duration
     and rms have exact analytic twins in the oracle."""
-    feats = M.audio_features(_media_df(spark, sf_dir))
+    feats = M.audio_features(_media_df(spark, sf_dir, only="audio"))
     return feats.select(
         "media_id", "n_bytes", "duration_ms",
         F.round("rms", 4).alias("rms"), "decode_ok",
@@ -161,7 +171,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: 1 video row fans out to N frame rows from
     mapInPandas (1 frame per second of metadata duration; the frame-byte
     extraction itself stays stubbed — video codecs need ffmpeg)."""
-    frames = M.sample_frames(_media_df(spark, sf_dir), every_ms=1000)
+    frames = M.sample_frames(_media_df(spark, sf_dir, only="video"), every_ms=1000)
     return frames.select("media_id", "frame_index", "frame_ms").orderBy(
         "media_id", "frame_index"
     )

@@ -115,7 +115,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers by balance — the same SQL text runs on both engines.
     Catalyst rewrites the lateral into a window/join, so the physical plan
     is the WindowGroupLimit shape, not a per-row re-execution."""
-    tables(spark, sf_dir)
+    tables(spark, sf_dir, names=("customer", "nation"))
     return spark.sql(_LATERAL_SQL)
 
 
@@ -145,7 +145,7 @@ class _SplitWords:
 def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF invoked as a lateral table function over nation names
     (words split on '_'); the oracle is the UNNEST twin."""
-    tables(spark, sf_dir)
+    tables(spark, sf_dir, names=("nation",))
     spark.udtf.register("split_words", _SplitWords)
     return spark.sql(
         """

@@ -615,7 +615,7 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans SQL and DataFrame identically."""
     from pulsar_lunar_spark.session import tables
 
-    tables(spark, sf_dir)
+    tables(spark, sf_dir, names=("customer", "nation"))
     return spark.sql(
         """
         WITH r AS (
@@ -656,7 +656,7 @@ def q16_excluded_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     no null-aware anti operator."""
     from pulsar_lunar_spark.session import tables
 
-    tables(spark, sf_dir)
+    tables(spark, sf_dir, names=("lineitem", "part", "supplier"))
     return spark.sql(
         """
         SELECT p_brand, p_size,

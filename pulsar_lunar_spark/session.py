@@ -143,11 +143,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(target)
 
 
-def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every table and register temp views (so spark.sql works too)."""
+def tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load tables and register temp views (so spark.sql works too).
+
+    ``names`` restricts to the views a query actually reads — each
+    registration costs a driver-side parquet footer read + analysis pass,
+    so registering all 10 tables to run a 2-table SQL statement triples
+    the statement's wall clock at bench scale."""
     _configure(spark)
     out: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
+    for name in names if names is not None else TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = _normalize_timestamps(spark.read.parquet(path))
