@@ -463,54 +463,53 @@ def bpe_train(
     pair (count desc, pair asc tiebreak — fully deterministic), (3) merge
     it in every word. Returns [(rank, left, right, weighted_count)].
 
-    Scale notes (100 TB): the pair-count pass is one explode + integer-sum
-    aggregate over the VOCABULARY (O(distinct words), not O(corpus) —
-    the corpus is touched once to build freqs); the argmax is a 1-row
-    driver collect; the merge rewrite is a scan-local JVM fold. The
-    vocab table is localCheckpoint-ed per round (iterative-plan rule).
+    Scale notes (100 TB): the ONLY corpus-sized pass is the distributed
+    (word, freq) build — one tokenize scan + one integer-sum shuffle.
+    The merge iteration then runs driver-local on the collected top
+    `top_words` vocabulary: the vocab is bounded by construction (a
+    tokenizer trains on at most ~1M word forms regardless of corpus
+    size), and a bounded-input sequential loop belongs on the driver —
+    the earlier distributed version paid ~12 Spark job floors (~2.4 s)
+    to aggregate 300 rows per round. The learned merge table then
+    broadcasts back into the distributed encode fold (bpe_encode /
+    q_bpe_encode) as literal rewrites.
     """
     from pulsar_lunar_spark.operators.dedup import normalize_text
 
-    vocab = (
+    vocab_rows = (
         df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("w"))
         .limit(top_words)
+        .collect()
     )
-    syms = vocab.select(
-        "freq",
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("syms"),
-    ).localCheckpoint(eager=True)
+    syms: list[tuple[list[str], int]] = [(list(r["w"]), int(r["freq"])) for r in vocab_rows]
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        pairs = syms.select(
-            "freq",
-            F.explode(
-                # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
-                # 1-symbol word must short-circuit to an empty pair list
-                F.expr(
-                    "CASE WHEN size(syms) < 2 "
-                    "THEN cast(array() AS array<struct<a: string, b: string>>) "
-                    "ELSE transform(sequence(1, size(syms) - 1), "
-                    "i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy("p")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        counts: dict[tuple[str, str], int] = {}
+        for s, freq in syms:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + freq
+        if not counts:
             break
-        a, b, n = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["n"]
+        # argmax: count desc, then (a, b) asc — same total order the
+        # distributed form used (ORDER BY n DESC, p.a ASC, p.b ASC)
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         merges.append((rank, a, b, int(n)))
-        syms = syms.select(
-            "freq", _merge_adjacent(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        new_syms: list[tuple[list[str], int]] = []
+        for s, freq in syms:
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_syms.append((out, freq))
+        syms = new_syms
     return merges
