@@ -383,3 +383,40 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_stream_stateful_count",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_messages
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "apply-in-pandas-with-state"),
+)
+def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful operator run: the replayed event stream flows
+    through applyInPandasWithState (stateful_running_count — one long of
+    state per key, the per-consumer progress counter shape from the
+    reference's redelivery_count, PulsarApi.proto:475), update-mode
+    emissions land in the sink, and the FINAL per-key state must equal
+    the batch GROUP BY count exactly — custom streaming state and batch
+    semantics agree, hash-checked by the driver."""
+    from pulsar_lunar_spark.streaming import stateful_running_count
+
+    log = _shared_log(spark, sf_dir)
+    stream = log.subscribe("events").select(F.col("key").cast("long").alias("user_id"))
+    counted = stateful_running_count(stream, "user_id")
+    run_available_now(
+        counted.writeStream.format("memory")
+        .queryName("q_stream_stateful_sink")
+        .outputMode("update"),
+        _fresh_checkpoint(sf_dir, "stateful"),
+        state_partitions=8,
+    )
+    return (
+        spark.table("q_stream_stateful_sink")
+        .groupBy(F.col("key").alias("user_id"))
+        .agg(F.max("running_count").cast("long").alias("n_messages"))
+        .orderBy("user_id")
+    )
