@@ -137,4 +137,15 @@ def all_queries() -> dict[str, QuerySpec]:
         queues = next_round
     fresh = [s for s in interleaved if s.name not in _DRIVER_CONFIRMED]
     seen = [s for s in interleaved if s.name in _DRIVER_CONFIRMED]
-    return {s.name: s for s in fresh + seen}
+    # Newest operators first among the fresh: they are the least-verified
+    # code in the repo, so a head-first correctness sample should reach
+    # them this round, not N rounds from now.
+    first = [s for s in fresh if s.name in _NEWEST_FIRST]
+    first.sort(key=lambda s: _NEWEST_FIRST.index(s.name))
+    rest = [s for s in fresh if s.name not in _NEWEST_FIRST]
+    return {s.name: s for s in first + rest + seen}
+
+
+# Queries added in the current round (reset each round after the driver
+# confirms them): ordered to the registry head.
+_NEWEST_FIRST = ("q_pq_adc_topk", "q_stream_stateful_count")
