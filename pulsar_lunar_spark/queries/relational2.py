@@ -266,16 +266,21 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey", "o_totalprice")
     # the sketch's OWN guarantee is a rank bound, so verify it as a rank
     # bound: count rows <= the sketch's median and check the fraction lands
-    # in [0.49, 0.51] — two cheap hash-agg passes, no sort-based exact
-    # percentile (which cost 4.8s at sf0.1 under countDistinct's Expand)
-    # three independent agg passes: countDistinct's Expand must not feed
-    # the quantile sketch, and the rank check needs the sketch's output
-    cd = o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_custs"),
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cd"),
+    # in [0.49, 0.51] — cheap hash-agg passes, no sort-based exact
+    # percentile (which cost 4.8s at sf0.1 under countDistinct's Expand).
+    # exact distinct is the TWO-LEVEL form (dedup agg then count) so no
+    # Expand ever multiplies the sketch aggregates' input; both sketches
+    # share one Expand-free pass
+    cd = (
+        o.select("o_orderstatus", "o_custkey")
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(F.lit(1))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("exact_custs"))
     )
     p50 = o.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_approx_p50")
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_approx_p50"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cd"),
     )
     ranked = (
         o.join(F.broadcast(p50), "o_orderstatus")
@@ -285,6 +290,8 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("o_totalprice") <= F.col("_approx_p50"), 1).otherwise(0)
             ).alias("_rank_p50"),
+            # constant per group after the broadcast join — carried through
+            F.first("_approx_cd").alias("_approx_cd"),
         )
         .join(F.broadcast(cd), "o_orderstatus")
     )
