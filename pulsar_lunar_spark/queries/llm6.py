@@ -224,3 +224,71 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adc_score"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "q_duplicate_spans",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(
+                   STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x != '') AS w
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, ARRAY_TO_STRING(w[i : i + 7], ' ') AS span
+        FROM t, UNNEST(GENERATE_SERIES(1, LEN(w) - 7)) AS u(i)
+        WHERE LEN(w) >= 8
+    ),
+    pd AS (SELECT span, doc_id, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    agg AS (
+        SELECT span,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS n_occurrences
+        FROM pd GROUP BY span
+    )
+    SELECT span, n_docs, n_occurrences
+    FROM agg WHERE n_docs >= 2
+    ORDER BY n_occurrences DESC, span
+    LIMIT 20
+    """,
+    tags=("llm", "dedup", "substring", "spans"),
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication: every OVERLAPPING 8-token span
+    shared by >= 2 documents, ranked by total occurrences — the
+    train-set memorization signal that document- and passage-level dedup
+    both miss (boilerplate headers, license blocks, templated sentences
+    repeat across otherwise-distinct documents). The suffix-array-free
+    scale form: explode to overlapping shingles (O(tokens) rows, emitted
+    inside the scan), then TWO stacked hash aggregations — per (span,
+    doc) first, per span second — so no countDistinct Expand ever
+    multiplies the shingle stream; shuffle is O(tokens) on the span key
+    and boilerplate-heavy span skew is AQE-split. Top-20 with a total
+    (n_occurrences DESC, span) order."""
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(normalize_text(F.col("text")), " "), lambda w: F.length(w) > 0
+        ).alias("w"),
+    ).filter(F.size("w") >= 8)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))")
+        ).alias("span"),
+    )
+    per_doc = spans.groupBy("span", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_doc.groupBy("span").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), "span")
+        .limit(20)
+    )

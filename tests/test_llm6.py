@@ -138,3 +138,31 @@ def test_pq_adc_matches_numpy_reference(spark, sf_dir):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert abs(g[1] - w[1]) < 1e-6, (g, w)
+
+
+def test_duplicate_spans_counts_match_python(spark, sf_dir):
+    """Every reported span must actually occur in >= n_docs distinct
+    documents; cross-check the top span's counts against a pure-python
+    scan of the normalized corpus."""
+    import re
+
+    rows = SPECS["q_duplicate_spans"].fn(spark, sf_dir).collect()
+    assert rows, "corpus has no cross-document 8-token span at all?"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.n_occurrences >= r.n_docs
+    top = rows[0]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_docs = n_occ = 0
+    for d in docs:
+        norm = re.sub(r"\s+", " ", (d.text or "").strip().lower())
+        toks = [w for w in norm.split(" ") if w]
+        hits = sum(
+            1
+            for i in range(len(toks) - 7)
+            if " ".join(toks[i : i + 8]) == top.span
+        )
+        if hits:
+            n_docs += 1
+            n_occ += hits
+    assert (n_docs, n_occ) == (top.n_docs, top.n_occurrences)
