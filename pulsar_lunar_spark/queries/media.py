@@ -175,3 +175,50 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_index", "frame_ms").orderBy(
         "media_id", "frame_index"
     )
+
+
+@register(
+    "q_media_resize",
+    oracle="""
+    WITH img AS (
+        SELECT 'm' || doc_id AS media_id,
+               doc_id % 31 + 2 AS w, doc_id % 17 + 2 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id,
+           8 AS out_width, 8 AS out_height,
+           CAST(246 AS BIGINT) AS n_bytes,
+           CAST((SELECT SUM(((j * img.w) // 8 + (i * img.h) // 8) % 256)
+                 FROM UNNEST(GENERATE_SERIES(0, 7)) u(i),
+                      UNNEST(GENERATE_SERIES(0, 7)) v(j)) AS BIGINT) AS luma_sum,
+           TRUE AS decode_ok
+    FROM img ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "resize"),
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: gradient BMPs (pixel(y,x) = (x+y) mod 256 —
+    orientation-sensitive, so a row-flip bug anywhere in the codec turns
+    every row red) are decoded, nearest-neighbor-resampled to 8x8,
+    re-encoded, and the reported luma_sum is decoded from the RESIZED
+    bytes. The oracle replays the exact NN index math ((i*h)//8,
+    (j*w)//8) analytically — integer arithmetic end to end, no float
+    anywhere. 246 = 54 header bytes + 24-byte padded rows * 8."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 31 + 2, did % 17 + 2
+                grad = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.uint8)
+                rows.append((f"m{did}", M.encode_bmp(grad)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    imgs = d.mapInPandas(_synth, schema="media_id string, content binary")
+    return M.resize_images(imgs, out_w=8, out_h=8).orderBy("media_id")

@@ -148,4 +148,9 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
-_NEWEST_FIRST = ("q_pq_adc_topk", "q_stream_stateful_count", "q_duplicate_spans")
+_NEWEST_FIRST = (
+    "q_pq_adc_topk",
+    "q_stream_stateful_count",
+    "q_duplicate_spans",
+    "q_media_resize",
+)

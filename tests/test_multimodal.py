@@ -105,3 +105,21 @@ def test_media_stats_jvm_side(spark):
     # no Python UDF in this plan: stats run at scan speed
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bmp_pixel_roundtrip_and_nn_resize():
+    """decode_bmp_pixels must invert encode_bmp exactly (orientation
+    included), and the NN resample must pick the exact source pixels."""
+    import numpy as np
+    from pulsar_lunar_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    src = (np.add.outer(np.arange(5), np.arange(7)) * 11 % 256).astype(np.uint8)
+    assert (decode_bmp_pixels(encode_bmp(src)) == src).all()
+    # NN indices for 5x7 -> 2x2: rows (0*5)//2=0,(1*5)//2=2; cols 0,3
+    yi = (np.arange(2) * 5) // 2
+    xi = (np.arange(2) * 7) // 2
+    thumb = src[np.ix_(yi, xi)]
+    assert (decode_bmp_pixels(encode_bmp(thumb)) == src[[0, 2]][:, [0, 3]]).all()
