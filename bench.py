@@ -57,6 +57,10 @@ HEADLINE = [
     "q_interval_pairs_binned",
     "q_rolling_7d",
     "q_ohlc_bars",
+    # round-2 additions
+    "q_pq_adc_topk",
+    "q_duplicate_spans",
+    "q_media_resize",
 ]
 
 
