@@ -172,3 +172,89 @@ def q_events_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "q_curation_funnel",
+    oracle=r"""
+    WITH n AS (
+        SELECT source, doc_id, n_chars, lang,
+               REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    f1 AS (
+        SELECT source, doc_id, norm,
+               lang IN ('en', 'de', 'fr') AS f_lang,
+               lang IN ('en', 'de', 'fr')
+                 AND n_chars BETWEEN 200 AND 20000 AS f_len
+        FROM n
+    ),
+    f2 AS (
+        SELECT source, doc_id, norm, f_lang, f_len,
+               f_len AND LEN(LIST_FILTER(STRING_SPLIT(norm, ' '),
+                                         x -> x != '')) >= 20 AS f_q
+        FROM f1
+    ),
+    k AS (
+        SELECT source, doc_id, f_lang, f_len, f_q,
+               MIN(doc_id) OVER (
+                   PARTITION BY CASE WHEN f_q THEN MD5(norm)
+                                     ELSE 'nd-' || doc_id END
+               ) AS keeper
+        FROM f2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(SUM(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN f_q AND doc_id = keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique
+    FROM k GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "curation", "funnel"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel a training-data pipeline ships:
+    language accept-list -> length bounds -> quality gate (min word
+    count) -> exact dedup (md5 of normalized text, lowest doc_id kept),
+    reported as per-source survivor counts at every stage — the
+    monitoring table that tells you which crawl source lost how many
+    documents to which filter.
+
+    One scan computes every stage flag as codegen expressions; the dedup
+    keeper is a single window over the content hash (non-survivors get a
+    per-row dummy hash, so there is no giant null partition and no skew);
+    one final hash agg per source. Two shuffles total at any corpus
+    size — the stage flags ride along instead of re-scanning per stage."""
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    n_words = F.size(F.filter(F.split(norm, " "), lambda w: F.length(w) > 0))
+    f_lang = F.col("lang").isin("en", "de", "fr")
+    f_len = f_lang & F.col("n_chars").between(200, 20000)
+    f_q = f_len & (n_words >= 20)
+    base = d.select(
+        "source",
+        "doc_id",
+        f_lang.alias("f_lang"),
+        f_len.alias("f_len"),
+        f_q.alias("f_q"),
+        F.when(f_q, F.md5(norm)).otherwise(F.concat(F.lit("nd-"), F.col("doc_id"))).alias("h"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    flagged = base.select("source", "doc_id", "f_lang", "f_len", "f_q", keeper.alias("keeper"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.col("f_lang").cast("int")).cast("bigint").alias("n_lang"),
+            F.sum(F.col("f_len").cast("int")).cast("bigint").alias("n_len"),
+            F.sum(F.col("f_q").cast("int")).cast("bigint").alias("n_quality"),
+            F.sum((F.col("f_q") & (F.col("doc_id") == F.col("keeper"))).cast("int"))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .orderBy("source")
+    )

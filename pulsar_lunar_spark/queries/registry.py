@@ -153,4 +153,5 @@ _NEWEST_FIRST = (
     "q_stream_stateful_count",
     "q_duplicate_spans",
     "q_media_resize",
+    "q_curation_funnel",
 )

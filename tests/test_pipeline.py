@@ -51,3 +51,14 @@ def test_apply_in_arrow_single_group_batch(spark):
 
     got = {r.k: r.s for r in df.groupBy("k").applyInArrow(agg, "k long, s long").collect()}
     assert got == {1: 30, 2: 5}
+
+
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    """Stage counts must shrink monotonically per source, and every stage
+    must keep at least one document somewhere (the fixtures contain valid
+    en/de/fr docs)."""
+    rows = SPECS["q_curation_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_total >= r.n_lang >= r.n_len >= r.n_quality >= r.n_unique >= 0
+    assert sum(r.n_unique for r in rows) > 0
