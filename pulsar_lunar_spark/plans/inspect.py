@@ -65,8 +65,24 @@ def has_window_group_limit(df: DataFrame) -> bool:
 
 
 def uses_python_eval(df: DataFrame) -> bool:
+    """True if ANY Python evaluation appears in the physical plan — scalar
+    UDFs (BatchEvalPython/ArrowEvalPython) and the map/grouped-map Arrow
+    surfaces (MapInPandas, FlatMapGroupsInPandas, MapInArrow, ...). The
+    JVM-only audit must see every Python boundary, not just scalar UDFs."""
     t = plan_text(df)
-    return "BatchEvalPython" in t or "ArrowEvalPython" in t
+    return any(
+        marker in t
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "MapInArrow",
+            "PythonMapInArrow",
+            "AggregateInPandas",
+        )
+    )
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:

@@ -33,10 +33,11 @@ PYTHON_OK = {
     "q_dedup_minhash",
     "q_knn_join",  # GEMM path: BLAS scores + per-partition local top-k
     "q_semdedup",  # per-cell GEMM pair stage (same fast lane as q_dedup_embedding)
-    # mapInPandas decode stubs — Python is the declared decode path
+    # mapInPandas codecs — Python is the declared decode/resize path
     "q_media_image_features",
     "q_media_audio_features",
     "q_media_frame_sample",
+    "q_media_resize",
     # batch-6 declared Python/Arrow surfaces
     "q_map_in_arrow",
     "q_apply_in_arrow",
