@@ -103,3 +103,85 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "value", F.length("value").alias("n_chars")
     ).orderBy("value", "n_chars")
+
+
+@register(
+    "q_corrupt_records",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 0 THEN '__corrupt__' ELSE lang END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("format", "json", "corrupt-records"),
+)
+def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record policy — the malformed-input contract a
+    100 TB JSON ingest needs: every 7th document is written as a
+    deliberately truncated JSON line; the PERMISSIVE read lands broken
+    lines in _corrupt_record (typed columns null) instead of failing the
+    job, and the counts per (lang | __corrupt__) bucket must match the
+    oracle's analytic split exactly — proving malformed rows are neither
+    dropped nor double-counted."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = _roundtrip_dir(sf_dir, "json_corrupt")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(", TRUNC")),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang")))
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNull(), F.col("lang"))
+            .otherwise(F.lit("__corrupt__"))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_name,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_region,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+    tags=("format", "parquet", "schema-evolution"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across parquet batches — years of a 100 TB table never
+    share one schema: an old batch (even keys) has columns (n_nationkey,
+    n_name), a new batch (odd keys) has (n_nationkey, n_regionkey); a
+    mergeSchema read unions them, null-filling each batch's missing
+    column. Non-null counts per column must equal the oracle's analytic
+    even/odd split and the key sum proves no row was lost or duplicated."""
+    nation = load_table(spark, sf_dir, "nation")
+    base = _roundtrip_dir(sf_dir, "parquet_evolved")
+    nation.filter(F.col("n_nationkey") % 2 == 0).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "batch=old"))
+    nation.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey", "n_regionkey"
+    ).write.mode("overwrite").parquet(os.path.join(base, "batch=new"))
+    merged = spark.read.option("mergeSchema", "true").option("basePath", base).parquet(
+        os.path.join(base, "batch=old"), os.path.join(base, "batch=new")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count("n_name").cast("bigint").alias("n_with_name"),
+        F.count("n_regionkey").cast("bigint").alias("n_with_region"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )

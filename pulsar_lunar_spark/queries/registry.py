@@ -154,4 +154,6 @@ _NEWEST_FIRST = (
     "q_duplicate_spans",
     "q_media_resize",
     "q_curation_funnel",
+    "q_corrupt_records",
+    "q_schema_evolution",
 )
