@@ -156,4 +156,5 @@ _NEWEST_FIRST = (
     "q_curation_funnel",
     "q_corrupt_records",
     "q_schema_evolution",
+    "q_stream_backpressure",
 )

@@ -420,3 +420,43 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("running_count").cast("long").alias("n_messages"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_stream_backpressure",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_messages, TRUE AS multi_batch
+    FROM events
+    """,
+    tags=("streaming", "flow-control", "backpressure"),
+)
+def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL rate-limited consumption — the credit-based flow permits of
+    CommandFlow (/root/reference/src/PulsarApi.proto:523-529) as source
+    rate limiting: maxFilesPerTrigger forces the availableNow drain to
+    span MULTIPLE micro-batches, and the oracle pins (a) not one message
+    lost or duplicated across batch boundaries and (b) that throttling
+    actually produced >= 2 non-empty batches (the multi_batch flag)."""
+    import math
+    import os as _os
+
+    log = _shared_log(spark, sf_dir)
+    topic_dir = log.topic_path("events")
+    n_files = sum(
+        1 for _r, _d, fs in _os.walk(topic_dir) for f in fs if f.endswith(".parquet")
+    )
+    per_trigger = max(1, math.ceil(n_files / 4))  # => ~4 micro-batches
+    stream = log.subscribe("events", max_files_per_trigger=per_trigger).select(
+        "sequence_id"
+    )
+    out = _fresh_dir(sf_dir, "backpressure")
+    q = run_available_now(
+        stream.writeStream.format("parquet").option("path", out).outputMode("append"),
+        _fresh_checkpoint(sf_dir, "backpressure"),
+    )
+    q.awaitTermination(300)
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    return spark.createDataFrame(
+        [(spark.read.parquet(out).count(), n_batches >= 2)],
+        "n_messages long, multi_batch boolean",
+    )
