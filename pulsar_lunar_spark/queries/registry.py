@@ -157,4 +157,6 @@ _NEWEST_FIRST = (
     "q_corrupt_records",
     "q_schema_evolution",
     "q_stream_backpressure",
+    "q_compressed_topic",
+    "q_topics_metadata",
 )

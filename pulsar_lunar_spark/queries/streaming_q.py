@@ -460,3 +460,82 @@ def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(spark.read.parquet(out).count(), n_batches >= 2)],
         "n_messages long, multi_batch boolean",
     )
+
+
+@register(
+    "q_compressed_topic",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           TRUE AS compressed_smaller
+    FROM events
+    """,
+    tags=("messaging", "compression"),
+)
+def q_compressed_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload compression on the wire/log — CompressionType
+    (/root/reference/src/PulsarApi.proto:81-87, validation
+    src/entity/producer.rs:325-348): the same events produce into an
+    uncompressed and a zstd topic; the read-back counts must match the
+    source exactly (lossless codec) and the zstd topic's on-disk bytes
+    must be strictly smaller (the flag a wrong codec config flips)."""
+    import os as _os
+
+    log = _shared_log(spark, sf_dir)
+    base = _fresh_dir(sf_dir, "compress_probe")
+    probe = MessageLog(spark, base)
+    e = load_table(spark, sf_dir, "events")
+    for topic, codec in (("plain", "uncompressed"), ("packed", "zstd")):
+        probe.produce(
+            e,
+            topic=topic,
+            payload_cols=["event_id", "event_type", "value"],
+            key="user_id",
+            sequence_id="event_id",
+            publish_time="ts",
+            compression=codec,
+        )
+
+    def _bytes(topic: str) -> int:
+        root = probe.topic_path(topic)
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _d, fs in _os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    back = probe.read("packed")
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+        F.countDistinct(F.col("key").cast("long")).cast("bigint").alias("n_keys"),
+        F.lit(_bytes("packed") < _bytes("plain")).alias("compressed_smaller"),
+    )
+
+
+@register(
+    "q_topics_metadata",
+    oracle="""
+    SELECT 'events' AS topic,
+           CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(MAX(event_id) AS BIGINT) AS last_sequence_id,
+           TRUE AS listed
+    FROM events
+    """,
+    tags=("messaging", "metadata", "topics"),
+)
+def q_topics_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespace metadata surface, driver-checked: GetTopicsOfNamespace
+    (topic listing with regex filter) + GetLastMessageId (newest
+    position = max (publish_time, sequence_id)) against the shared
+    events topic; the last sequence id must equal the batch MAX exactly
+    (the produce stamps sequence_id from event_id)."""
+    log = _shared_log(spark, sf_dir)
+    listed = "events" in log.topics(pattern=r"^ev.*")
+    # message_id struct per SURVEY §1.4: entry_id carries the sequence id
+    last = log.last_message_id("events")
+    n = log.read("events").count()
+    return spark.createDataFrame(
+        [("events", n, int(last["entry_id"]), listed)],
+        "topic string, n_messages long, last_sequence_id long, listed boolean",
+    )
