@@ -309,7 +309,7 @@ def minhash_dedup_pairs(
     )
 
 
-def _simhash_from_hashes(hashes: Column) -> Column:
+def _simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
     """SimHash signature from a materialized array<long> of token hashes.
 
     Unrolled per-bit vote (shift amounts must be literals); each vote is a
@@ -323,7 +323,7 @@ def _simhash_from_hashes(hashes: Column) -> Column:
         ).otherwise(-1)
 
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(i))
         sig = sig + F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -348,24 +348,42 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Banded lookup: split the 64-bit signature into (max_hamming+1) blocks —
-    by pigeonhole, any pair within distance d agrees exactly on >= 1 block,
+    Banded lookup: split the signature into (max_hamming+1) blocks — by
+    pigeonhole, any pair within distance d agrees exactly on >= 1 block,
     so a block-equality join finds all such pairs with O(n * blocks) shuffle.
+
+    ``hasher``: "xxhash64" (default, fastest — one JVM intrinsic per token,
+    64-bit signature) or "md5" (engine-portable 60-bit signature: token hash
+    is the first 15 hex chars of md5, so a DuckDB/ANSI oracle can replicate
+    the EXACT signature and pair set — see q_dedup_simhash's oracle).
     """
     n_blocks = max_hamming + 1
-    block_bits = 64 // n_blocks
+    n_bits = 64 if hasher == "xxhash64" else 60
+    block_bits = n_bits // n_blocks
+
+    if hasher == "xxhash64":
+        token_hash = lambda t: F.xxhash64(t, F.lit(seed))  # noqa: E731
+    elif hasher == "md5":
+        token_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hasher: {hasher}")
 
     hashed = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.transform(
             F.split(normalize_text(F.col(text_col)), " "),
-            lambda t: F.xxhash64(t, F.lit(seed)),
+            token_hash,
         ).alias("__h"),
     )
-    sigs = hashed.select("__id", _simhash_from_hashes(F.col("__h")).alias("__sig"))
+    sigs = hashed.select(
+        "__id", _simhash_from_hashes(F.col("__h"), n_bits).alias("__sig")
+    )
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
         "__id",

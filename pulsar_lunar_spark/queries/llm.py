@@ -314,16 +314,53 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3).orderBy("id_a", "id_b")
 
 
+# Full SQL replica of the md5-portable SimHash: per-token 60-bit hash
+# (first 15 hex chars of md5), per-bit majority vote -> signature, the
+# same 4x15-bit pigeonhole banded join, exact bit_count(xor) verify.
+_SIMHASH_SIG_SQL = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(60)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5(t.tok), 1, 15)) AS BIGINT) AS h
+        FROM documents, UNNEST(STRING_SPLIT({_NORM}, ' ')) AS t(tok)
+    ), sigs AS (
+        SELECT doc_id, {_SIMHASH_SIG_SQL} AS sig
+        FROM toks GROUP BY doc_id
+    ), blocked AS (
+        SELECT doc_id, sig, b.block AS block,
+               (sig >> (b.block * 15)) & 32767 AS bucket
+        FROM sigs, UNNEST([0, 1, 2, 3]) AS b(block)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY id_a, id_b
+"""
+
+
 @register(
     "q_dedup_simhash",
-    oracle=None,  # xxhash64-based signature has no SQL twin; tested in pytest
+    oracle=_SIMHASH_ORACLE,
     tags=("llm", "dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (pigeonhole banded
-    join over 4 16-bit blocks)."""
+    join over 4 15-bit blocks). Uses the md5-portable 60-bit signature so
+    the oracle replicates the ENTIRE pipeline — signature, banding, verify —
+    value-exact in SQL (the xxhash64 hot path is pytest-covered)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+    return (
+        D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3, hasher="md5")
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
