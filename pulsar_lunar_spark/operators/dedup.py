@@ -64,6 +64,19 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.when(n >= k, k_shingles).otherwise(F.array(normalize_text(col)))
 
 
+def _base_hash(s: Column, hasher: str) -> Column:
+    """Per-shingle base hash in [0, 2^31-1): xxhash64 (JVM intrinsic,
+    default) or the md5-prefix hash every SQL engine can replicate."""
+    if hasher == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
+    if hasher == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_MERSENNE_31),
+        )
+    raise ValueError(f"unknown hasher: {hasher}")
+
+
 def _hash_coefficients(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -173,6 +186,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     vectorized: bool = True,
     shingles_df: DataFrame | None = None,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
 
@@ -181,6 +195,9 @@ def minhash_lsh_candidates(
 
     ``vectorized=True`` (default) computes signatures in an Arrow-batched
     numpy UDF; ``False`` keeps the pure-JVM expression path (same values).
+    ``hasher``: "xxhash64" (default) or "md5" — the engine-portable base
+    hash (first 15 hex chars of md5 mod p) an external SQL oracle can
+    replicate value-exactly; the affine rehash family is identical.
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
@@ -193,7 +210,7 @@ def minhash_lsh_candidates(
     sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, shingle_k)
     base = sh.select(
         "__id",
-        F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))).alias("__base"),
+        F.transform("__sh", lambda s: _base_hash(s, hasher)).alias("__base"),
     )
     if vectorized:
         bucketed = base.select(
@@ -292,6 +309,7 @@ def minhash_dedup_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pair detection: LSH candidates + exact verify.
 
@@ -302,7 +320,8 @@ def minhash_dedup_pairs(
     """
     sh = shingle_table(df, id_col, text_col, shingle_k)
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n_hashes, bands, shingle_k, seed, shingles_df=sh
+        df, id_col, text_col, n_hashes, bands, shingle_k, seed,
+        shingles_df=sh, hasher=hasher,
     )
     return jaccard_verify(
         cands, df, id_col, text_col, shingle_k, threshold, shingles_df=sh

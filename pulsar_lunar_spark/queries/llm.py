@@ -2,10 +2,13 @@
 dedup (exact + MinHash-LSH + SimHash), text analysis, language ID,
 embedding similarity search.
 
-Oracle notes: everything except the LSH-bucketed ops has an exact DuckDB
-twin. LSH candidate generation depends on xxhash64/plane literals — the
-verification step makes precision exact, and the dedicated pytest suite
-checks recall against exhaustive pairs; the driver records rows-only here.
+Oracle notes: every query here has an exact DuckDB twin. The MinHash and
+SimHash queries use md5-portable base hashes so the oracle replicates the
+full LSH pipeline value-exactly (signature -> banding -> verify); the
+xxhash64 hot paths keep their dedicated pytest recall/exactness suites.
+The random-hyperplane ANN query uses a flag-style oracle (plane literals
+have no SQL twin; the contract — count, self-retrieval, recall bound — is
+asserted in-query).
 """
 
 from __future__ import annotations
@@ -302,16 +305,80 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full SQL replica of the md5-portable MinHash-LSH pipeline: 3-word
+# shingles, base hash = md5-prefix mod p, the SAME 128 affine rehash
+# coefficients (embedded as literals from the seed-42 family), min per
+# hash, 32 polynomial band buckets, bucket join, exact Jaccard verify.
+_MH_P = D._MERSENNE_31
+_MH_K = D._BAND_K
+_MH_SHINGLES = f"""
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(STRING_SPLIT({_NORM}, ' ')) - 2, 1) + 1),
+                   i -> ARRAY_TO_STRING(STRING_SPLIT({_NORM}, ' ')[i:i+2], ' ')
+               )) AS sh
+        FROM documents
+"""
+_MH_SIG_SQL = ",\n               ".join(
+    f"MIN(({a} * h + {b}) % {_MH_P}) AS s{i}"
+    for i, (a, b) in enumerate(D._hash_coefficients(128, 42))
+)
+
+
+def _mh_bucket_sql(b: int, r: int = 4) -> str:
+    acc = "CAST(0 AS BIGINT)"
+    for j in range(r):
+        acc = f"(({acc}) * {_MH_K} + s{b * r + j}) % {_MH_P}"
+    return acc
+
+
+_MH_BUCKETS_SQL = ", ".join(_mh_bucket_sql(b) for b in range(32))
+_MH_JACCARD = (
+    "ROUND(LEN(LIST_INTERSECT(x.sh, y.sh)) * 1.0 /"
+    " LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))), 6)"
+)
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS ({_MH_SHINGLES}
+    ), base AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5(t.s), 1, 15)) AS BIGINT) % {_MH_P} AS h
+        FROM sh, UNNEST(sh.sh) AS t(s)
+    ), sigs AS (
+        SELECT doc_id,
+               {_MH_SIG_SQL}
+        FROM base GROUP BY doc_id
+    ), buckets AS (
+        SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
+        FROM (SELECT doc_id, [{_MH_BUCKETS_SQL}] AS bl FROM sigs),
+             UNNEST(RANGE(0, 32)) AS t(band)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, {_MH_JACCARD} AS jaccard
+    FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+    WHERE {_MH_JACCARD} >= 0.3
+    ORDER BY id_a, id_b
+"""
+
+
 @register(
     "q_dedup_minhash",
-    oracle=None,  # LSH recall is probabilistic; exactness tested in pytest vs exhaustive pairs
+    oracle=_MINHASH_ORACLE,
     tags=("llm", "dedup", "minhash"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (128 hashes, 32 bands) verified by
-    exact shingle Jaccard >= 0.3. Shuffle O(docs*bands), never O(n^2)."""
+    exact shingle Jaccard >= 0.3. Shuffle O(docs*bands), never O(n^2).
+    Uses the md5-portable base hash so the oracle replicates the ENTIRE
+    LSH pipeline value-exactly in SQL — same coefficients, same band
+    folds, same verify (the xxhash64 hot path is pytest-covered)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3).orderBy("id_a", "id_b")
+    return D.minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.3, hasher="md5"
+    ).orderBy("id_a", "id_b")
 
 
 # Full SQL replica of the md5-portable SimHash: per-token 60-bit hash
