@@ -176,38 +176,24 @@ def shingle_table(
     return sh
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_hashes: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
-    seed: int = 42,
-    vectorized: bool = True,
-    shingles_df: DataFrame | None = None,
-    hasher: str = "xxhash64",
+def _banded_buckets(
+    sh: DataFrame,
+    n_hashes: int,
+    bands: int,
+    seed: int,
+    vectorized: bool,
+    hasher: str,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
+    """(__id, band, bucket) LSH table from a (__id, __sh) shingle table.
 
-    rows-per-band r = n_hashes // bands; a pair with true Jaccard j collides
-    with probability 1 - (1 - j^r)^bands. Shuffle cost: n_docs * bands rows.
-
-    ``vectorized=True`` (default) computes signatures in an Arrow-batched
-    numpy UDF; ``False`` keeps the pure-JVM expression path (same values).
-    ``hasher``: "xxhash64" (default) or "md5" — the engine-portable base
-    hash (first 15 hex chars of md5 mod p) an external SQL oracle can
-    replicate value-exactly; the affine rehash family is identical.
+    Stages shingle base hashes as a materialized column: Spark does NOT
+    eliminate common subexpressions across the n_hashes signature elements,
+    so inlining would recompute normalize+split+shingle n_hashes times per
+    row (measured 40x slowdown at 500 docs).
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
     r = n_hashes // bands
-
-    # Stage shingles and base hashes as materialized columns: Spark does NOT
-    # eliminate common subexpressions across the n_hashes signature elements,
-    # so inlining would recompute normalize+split+shingle n_hashes times per
-    # row (measured 40x slowdown at 500 docs).
-    sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, shingle_k)
     base = sh.select(
         "__id",
         F.transform("__sh", lambda s: _base_hash(s, hasher)).alias("__base"),
@@ -242,9 +228,36 @@ def minhash_lsh_candidates(
         bucketed = sigs.select(
             "__id", F.array(*[_fold(b) for b in range(bands)]).alias("__buckets")
         )
-    banded = bucketed.select(
+    return bucketed.select(
         "__id", F.posexplode("__buckets").alias("band", "bucket")
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    vectorized: bool = True,
+    shingles_df: DataFrame | None = None,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
+
+    rows-per-band r = n_hashes // bands; a pair with true Jaccard j collides
+    with probability 1 - (1 - j^r)^bands. Shuffle cost: n_docs * bands rows.
+
+    ``vectorized=True`` (default) computes signatures in an Arrow-batched
+    numpy UDF; ``False`` keeps the pure-JVM expression path (same values).
+    ``hasher``: "xxhash64" (default) or "md5" — the engine-portable base
+    hash (first 15 hex chars of md5 mod p) an external SQL oracle can
+    replicate value-exactly; the affine rehash family is identical.
+    """
+    sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, shingle_k)
+    banded = _banded_buckets(sh, n_hashes, bands, seed, vectorized, hasher)
 
     # The self-join's two child stages are scheduled CONCURRENTLY and would
     # otherwise race to compute the shingle->sig->band pipeline twice; the
@@ -325,6 +338,57 @@ def minhash_dedup_pairs(
     )
     return jaccard_verify(
         cands, df, id_col, text_col, shingle_k, threshold, shingles_df=sh
+    )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dedup: which NEW documents near-duplicate the
+    HISTORICAL corpus (the re-crawl / daily-ingest shape).
+
+    Asymmetric LSH: band buckets are computed per side with the same hash
+    family, then joined new->historical — the shuffle carries
+    O((n_new + n_hist) * bands) bucket rows, never the corpus text and
+    never O(n_new * n_hist) pairs. At 100 TB the historical bucket table is
+    computed once and persisted as a derived dataset (signature store);
+    each ingest batch only hashes its own documents and probes the store.
+    Candidates are verified with exact shingle Jaccard, so precision is 1.
+
+    Returns (new_id, hist_id, jaccard) for verified pairs >= threshold.
+    """
+    new_sh = shingle_table(new_df, id_col, text_col, shingle_k)
+    hist_sh = shingle_table(hist_df, id_col, text_col, shingle_k)
+    nb = _banded_buckets(new_sh, n_hashes, bands, seed, True, hasher)
+    hb = _banded_buckets(hist_sh, n_hashes, bands, seed, True, hasher)
+    cands = (
+        nb.alias("n")
+        .join(
+            hb.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bucket") == F.col("h.bucket")),
+        )
+        .select(F.col("n.__id").alias("new_id"), F.col("h.__id").alias("hist_id"))
+        .distinct()
+    )
+    a = new_sh.select(F.col("__id").alias("new_id"), F.col("__sh").alias("sh_a"))
+    b = hist_sh.select(F.col("__id").alias("hist_id"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "new_id")
+        .join(b, "hist_id")
+        .select("new_id", "hist_id", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -381,6 +381,52 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_MINHASH_INCR_ORACLE = f"""
+    WITH sh AS ({_MH_SHINGLES}
+    ), base AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5(t.s), 1, 15)) AS BIGINT) % {_MH_P} AS h
+        FROM sh, UNNEST(sh.sh) AS t(s)
+    ), sigs AS (
+        SELECT doc_id,
+               {_MH_SIG_SQL}
+        FROM base GROUP BY doc_id
+    ), buckets AS (
+        SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
+        FROM (SELECT doc_id, [{_MH_BUCKETS_SQL}] AS bl FROM sigs),
+             UNNEST(RANGE(0, 32)) AS t(band)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    )
+    SELECT c.new_id, c.hist_id, {_MH_JACCARD} AS jaccard
+    FROM cand c JOIN sh x ON x.doc_id = c.new_id JOIN sh y ON y.doc_id = c.hist_id
+    WHERE {_MH_JACCARD} >= 0.3
+    ORDER BY new_id, hist_id
+"""
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=_MINHASH_INCR_ORACLE,
+    tags=("llm", "dedup", "minhash", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: new batch (doc_id % 10 == 0) probed against
+    the historical corpus via asymmetric MinHash-LSH — the daily-re-crawl
+    shape where the historical bucket table is a persisted signature store.
+    md5-portable hashing, so the oracle replicates the split, both bucket
+    tables, the asymmetric join, and the exact-Jaccard verify in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    hist = d.filter(F.col("doc_id") % 10 != 0)
+    return D.minhash_incremental_pairs(
+        new, hist, "doc_id", "text", threshold=0.3, hasher="md5"
+    ).orderBy("new_id", "hist_id")
+
+
 # Full SQL replica of the md5-portable SimHash: per-token 60-bit hash
 # (first 15 hex chars of md5), per-bit majority vote -> signature, the
 # same 4x15-bit pigeonhole banded join, exact bit_count(xor) verify.

@@ -149,6 +149,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_dedup_incremental",  # round 2: new asymmetric ingest-vs-corpus LSH
+    "q_dedup_minhash",   # round 2: gained full md5-portable LSH oracle
+    "q_dedup_simhash",   # round 2: gained full md5-portable signature oracle
     "q_pq_adc_topk",
     "q_stream_stateful_count",
     "q_duplicate_spans",
