@@ -319,6 +319,103 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_outer_join",
+    oracle="""
+    WITH cutoff AS (
+        SELECT LEAST(MAX(CASE WHEN event_type = 'click' THEN ts END),
+                     MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+               - INTERVAL 60 MINUTE AS t
+        FROM events
+    )
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_rows,
+           CAST(COUNT(p.ts) AS BIGINT)     AS n_matched,
+           CAST(COUNT(*) - COUNT(p.ts) AS BIGINT) AS n_unmatched
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND c.ts < (SELECT t FROM cutoff)
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer", "watermark"),
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL left-outer stream-stream join: every click pairs with purchases
+    in the next 30 minutes, or emits a NULL row once the watermark proves
+    no purchase can still arrive — the abandonment/attribution shape.
+    Unlike the inner join, the null side is emitted by STATE EVICTION, so
+    the result depends on watermark progress. With availableNow the final
+    global watermark is min over the two sides of (that side's max event
+    time - 30min delay) — Catalyst pushes the event-type filter below the
+    watermark node, so each side tracks its own post-filter maximum — and
+    a click emits unmatched iff c_ts + 30min (join range) < watermark.
+    The batch comparison therefore applies the SAME deterministic cutoff
+    on both sides: c_ts < least(max click, max purchase) - 60min; inside
+    it, streaming and batch agree row-exactly."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    payload = StructType([StructField("event_type", StringType())])
+
+    def typed(etype: str, alias: str) -> DataFrame:
+        # withWatermark BEFORE the event-type filter: the watermark node
+        # tracks max event time over rows flowing through it, and the
+        # global join watermark is the MIN of the two sides — filtering
+        # first would pin it to the rarer type's last event and withhold
+        # every younger unmatched row.
+        s = decode_payload(log.subscribe("events"), payload).select(
+            F.col("key").cast("long").alias(f"{alias}_user"),
+            F.col("event_time").alias(f"{alias}_ts"),
+            F.col("payload.event_type").alias(f"{alias}_type"),
+        )
+        return s.withWatermark(f"{alias}_ts", "30 minutes").filter(
+            F.col(f"{alias}_type") == etype
+        )
+
+    pairs = typed("click", "c").join(
+        typed("purchase", "p"),
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        "left_outer",
+    ).select("c_user", "c_ts", "p_ts")
+    out = _fresh_dir(sf_dir, "ssouter")
+    run_available_now(
+        pairs.writeStream.format("parquet").option("path", out).outputMode("append"),
+        _fresh_checkpoint(sf_dir, "ssouter"),
+        state_partitions=8,
+    )
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("interval 60 minutes")
+            ).alias("t")
+        )
+        .head()["t"]
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("c_ts") < F.lit(cutoff))
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("p_ts").cast("bigint").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("p_ts")).cast("bigint").alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q_stream_enrich",
     oracle="""
     SELECT c.c_mktsegment AS segment,
