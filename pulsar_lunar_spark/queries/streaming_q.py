@@ -188,6 +188,51 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup_ttl",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_raw,
+           TRUE AS state_evicted
+    FROM events
+    """,
+    tags=("streaming", "dedup", "ttl", "watermark"),
+)
+def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-bounded streaming dedup: dropDuplicatesWithinWatermark keeps a
+    key's state only for the watermark delay (1 hour) instead of forever —
+    the dedup that survives an unbounded stream, where exact dedup state
+    grows without limit. Duplicate deliveries here carry identical event
+    times (broker redelivery), so they always land inside the TTL window
+    and the output matches exact dedup row-for-row; the state_evicted flag
+    then pins the semantic difference: after the trailing no-data batch
+    the state store holds strictly fewer rows than the distinct key count
+    (everything older than max event time - 1h was evicted)."""
+    log = _shared_log(spark, sf_dir, copies=2)
+    deduped = (
+        log.subscribe("events")
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["sequence_id"])
+        .select("sequence_id")
+    )
+    out = _fresh_dir(sf_dir, "dedupttl")
+    q = run_available_now(
+        deduped.writeStream.format("parquet").option("path", out).outputMode("append"),
+        _fresh_checkpoint(sf_dir, "dedupttl"),
+        state_partitions=8,
+    )
+    n_unique = spark.read.parquet(out).count()
+    n_raw = log.read("events").count()
+    progress = q.lastProgress
+    state_rows = (
+        progress["stateOperators"][0]["numRowsTotal"] if progress else n_unique
+    )
+    return spark.createDataFrame(
+        [(n_unique, n_raw, bool(state_rows < n_unique))],
+        "n_unique long, n_raw long, state_evicted boolean",
+    )
+
+
+@register(
     "q_stream_session",
     oracle="""
     WITH flagged AS (
