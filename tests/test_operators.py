@@ -111,6 +111,19 @@ def test_simhash_finds_planted_near_dups(spark):
     assert (1, 2) in found
 
 
+def test_simhash_vectorized_matches_jvm_fold(spark, sf_dir):
+    """The Arrow/numpy per-bit vote must be value-identical to the pure-JVM
+    fold — for both hash families (signed xxhash64 and 60-bit md5)."""
+    from pulsar_lunar_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    for hasher in ("xxhash64", "md5"):
+        vec = simhash_near_pairs(d, "doc_id", "text", 3, hasher=hasher, vectorized=True)
+        jvm = simhash_near_pairs(d, "doc_id", "text", 3, hasher=hasher, vectorized=False)
+        assert vec.exceptAll(jvm).count() == 0, hasher
+        assert jvm.exceptAll(vec).count() == 0, hasher
+
+
 def test_shingles_short_text(spark):
     df = spark.createDataFrame([(1, "two words")], "id long, text string")
     out = df.select(shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
