@@ -157,6 +157,84 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_session_dynamic",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               EPOCH_US(ts) AS ts_us,
+               CAST(CASE event_type WHEN 'purchase' THEN 3600
+                                    WHEN 'click' THEN 1800
+                                    WHEN 'view' THEN 1800
+                                    ELSE 900 END AS BIGINT) * 1000000 AS gap_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value, ts_us, gap_us,
+               CASE WHEN MAX(ts_us + gap_us) OVER w IS NULL
+                         OR ts_us >= MAX(ts_us + gap_us) OVER w
+                    THEN 1 ELSE 0 END AS new_session
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sessions AS (
+        SELECT user_id, ts, value, ts_us, gap_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, ts_us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           STRFTIME(MAKE_TIMESTAMP(MAX(ts_us + gap_us)),
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "dynamic-gap"),
+)
+def q_events_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: F.session_window with a PER-EVENT gap
+    expression (purchases hold a session open 60 min, clicks/views 30,
+    everything else 15) — each event contributes the interval
+    [ts, ts + gap(event)) and overlapping intervals merge. The oracle is
+    the exact gaps-and-islands twin: a session breaks when the event's
+    start is at or past the running max of all previous interval ends.
+    One shuffle on user_id; the same expression runs unchanged under
+    Structured Streaming (session_window supports dynamic gaps there too).
+    """
+    e = load_table(spark, sf_dir, "events")
+    # session_window's dynamic gap must be CalendarIntervalType —
+    # make_interval produces it; INTERVAL literals are DayTimeIntervalType
+    # and are rejected at analysis.
+    gap = F.make_interval(
+        mins=F.when(F.col("event_type") == "purchase", F.lit(60))
+        .when(F.col("event_type").isin("click", "view"), F.lit(30))
+        .otherwise(F.lit(15))
+    )
+    return (
+        e.groupBy(F.session_window(F.col("ts"), gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("s.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("s.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "q_events_compacted",
     oracle="""
     SELECT user_id, event_type AS last_event_type,
