@@ -87,7 +87,12 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, Spark reuses the exchange). This is the scalable form of
     'distinct items seen so far' at any cardinality."""
     e = load_table(spark, sf_dir, "events")
-    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # Both windows partition by user_id ONLY, so they share one exchange
+    # (partitioning by (user_id, event_type) for the first-seen flag would
+    # NOT satisfy the second window's user_id clustering — that costs a
+    # second full shuffle). First occurrence per (user, type) = the row
+    # where the type changes under an (event_type, ts) in-partition sort.
+    w_first = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -95,7 +100,10 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = e.select(
         "user_id", "ts", "event_id",
-        (F.row_number().over(w_first) == 1).cast("long").alias("first_seen"),
+        (
+            F.lag("event_type").over(w_first).isNull()
+            | (F.lag("event_type").over(w_first) != F.col("event_type"))
+        ).cast("long").alias("first_seen"),
     )
     return (
         flagged.select(
