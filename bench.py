@@ -61,6 +61,10 @@ HEADLINE = [
     "q_pq_adc_topk",
     "q_duplicate_spans",
     "q_media_resize",
+    "q_dedup_simhash",
+    "q_dedup_incremental",
+    "q_events_session_dynamic",
+    "q_cumulative_distinct",
 ]
 
 

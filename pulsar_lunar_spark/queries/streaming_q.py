@@ -150,6 +150,51 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding",
+    oracle="""
+    WITH shifted AS (
+        SELECT TIME_BUCKET(INTERVAL 20 MINUTE, ts) - (i * INTERVAL 20 MINUTE)
+                 AS win_start,
+               event_id
+        FROM events, (VALUES (0), (1), (2)) t(i)
+    )
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM shifted
+    GROUP BY 1
+    ORDER BY win_start
+    """,
+    tags=("streaming", "window", "sliding", "watermark"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sliding windows: 60 minutes long, every 20 minutes —
+    each event lands in 3 overlapping windows, so streaming state holds 3
+    window rows per active hour (still watermark-bounded). availableNow →
+    memory sink in complete mode; the oracle reproduces the overlap by
+    unioning three shifted 20-minute buckets."""
+    stream = _shared_log(spark, sf_dir).subscribe("events").select(
+        F.col("event_time").alias("ts")
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "60 minutes", "20 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    run_available_now(
+        windowed.writeStream.format("memory")
+        .queryName("q_stream_sliding_sink")
+        .outputMode("complete"),
+        _fresh_checkpoint(sf_dir, "sliding"),
+        state_partitions=8,
+    )
+    return spark.table("q_stream_sliding_sink").orderBy("win_start")
+
+
+@register(
     "q_stream_dedup",
     oracle="""
     SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
