@@ -178,6 +178,148 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray, filters: "list[int] | None" = None) -> bytes:
+    """Encode an (h, w) uint8 grayscale image as a real PNG (color type 0,
+    bit depth 8, non-interlaced): per-scanline filtering, one zlib-deflated
+    IDAT, CRC-32 per chunk — pure stdlib zlib + struct.
+
+    ``filters`` gives the filter type per row (0=None 1=Sub 2=Up 3=Average
+    4=Paeth); default cycles through all five so a decoder must implement
+    every unfilter path to get the pixels back."""
+    import zlib
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = pixels[y].astype(np.int32)
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub: left neighbor (bpp=1)
+            out = row - np.concatenate(([0], row[:-1]))
+        elif f == 2:  # Up
+            out = row - prev
+        elif f == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            out = row - (left + prev) // 2
+        elif f == 4:  # Paeth (left-dependent: per-byte loop)
+            out = np.empty(w, dtype=np.int32)
+            for x in range(w):
+                a = int(row[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                out[x] = row[x] - _paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        raw += (out % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    idat = zlib.compress(bytes(raw), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png_pixels(content: bytes) -> np.ndarray:
+    """Decode a real PNG to its (h, w[, 3]) uint8 sample grid: chunk walk
+    (multi-IDAT), zlib inflate, and full scanline unfiltering (None / Sub /
+    Up / Average / Paeth). Supports bit depth 8, color types 0 (gray) and
+    2 (RGB), non-interlaced — ValueError for corrupt bytes,
+    NotImplementedError beyond that (PIL territory)."""
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (size,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} requires PIL"
+        )
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up: vectorized
+            cur = (row + prev) % 256
+        elif f in (1, 3, 4):  # left-dependent: per-byte reference loop
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                cur[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out if color == 0 else out.reshape(h, w, 3)
+
+
+def decode_png(content: bytes) -> tuple[int, int, float]:
+    """Decode a PNG: (width, height, mean over all samples)."""
+    px = decode_png_pixels(content)
+    h, w = px.shape[:2]
+    return (w, h, float(px.astype(np.float64).mean()) if px.size else 0.0)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """Encode int16 mono samples as a canonical PCM WAV (RIFF/fmt /data)."""
     data = np.asarray(samples, dtype="<i2").tobytes()
@@ -219,11 +361,14 @@ def decode_wav(content: bytes) -> tuple[int, float]:
 
 
 def _decode_image(content: bytes, fmt: str) -> tuple[int, int, float]:
-    """Dispatch image decode: BMP is decoded for real (pure python);
-    'fake' keeps the deterministic stub for plumbing tests; png/jpeg
-    honestly require PIL (absent from this container)."""
+    """Dispatch image decode: BMP and PNG are decoded for real (pure
+    python — PNG does the full zlib inflate + scanline unfilter); 'fake'
+    keeps the deterministic stub for plumbing tests; jpeg honestly
+    requires PIL (absent from this container)."""
     if fmt == "bmp":
         return decode_bmp(content)
+    if fmt == "png":
+        return decode_png(content)
     if fmt == "fake":
         h = len(content)
         return (h % 640 + 1, h % 480 + 1, float(sum(content[:64]) % 256) if content else 0.0)

@@ -124,6 +124,54 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_png_features",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id,
+           CAST(doc_id % 31 + 2 AS INT) AS width,
+           CAST(doc_id % 17 + 2 AS INT) AS height,
+           ROUND(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_luma,
+           TRUE AS decode_ok
+    FROM media WHERE media_type = 'image'
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "png", "map-in-pandas"),
+)
+def q_media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode over binary columns: constant-gray PNGs encoded with
+    CYCLING scanline filters (None/Sub/Up/Average/Paeth across rows), so
+    the decode stage must run the genuine zlib inflate + every unfilter
+    path to recover the gray level — any filter bug shifts mean_luma and
+    turns the row red. Dimensions/means have exact analytic oracle twins.
+    (PNG container size is zlib-dependent, so unlike BMP no n_bytes
+    formula is asserted.)"""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
+    d = d.filter(F.col("doc_id") % 3 == 0)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, gray = did % 31 + 2, did % 17 + 2, did % 256
+                png = M.encode_png(np.full((h, w), gray, dtype=np.uint8))
+                rows.append((f"m{did}", "image", png, "png", None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    feats = M.image_features(d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA))
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_luma", 4).alias("mean_luma"), "decode_ok",
+    ).orderBy("media_id")
+
+
+@register(
     "q_media_audio_features",
     oracle=f"""
     WITH media AS ({_MEDIA_SQL})

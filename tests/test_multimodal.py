@@ -123,3 +123,35 @@ def test_bmp_pixel_roundtrip_and_nn_resize():
     xi = (np.arange(2) * 7) // 2
     thumb = src[np.ix_(yi, xi)]
     assert (decode_bmp_pixels(encode_bmp(thumb)) == src[[0, 2]][:, [0, 3]]).all()
+
+
+def test_png_roundtrip_every_filter():
+    """decode(encode(x)) must be pixel-exact for each scanline filter type
+    and for the cycling default (which exercises all five in one image)."""
+    from pulsar_lunar_spark.operators.multimodal import encode_png, decode_png_pixels
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (13, 29), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png_pixels(encode_png(px, filters=[f] * 13)) == px).all(), f
+    assert (decode_png_pixels(encode_png(px)) == px).all()
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    from pulsar_lunar_spark.operators.multimodal import decode_png, encode_png
+    import struct as _struct
+    import zlib as _zlib
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\x00 nope")
+    # 16-bit depth: honest NotImplementedError (PIL territory)
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    chunk = _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + _struct.pack(
+        ">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    idat = _zlib.compress(b"\x00" * 10)
+    chunk2 = _struct.pack(">I", len(idat)) + b"IDAT" + idat + _struct.pack(
+        ">I", _zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk + chunk2)
