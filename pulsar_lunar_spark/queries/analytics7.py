@@ -156,3 +156,79 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(15)
     )
+
+
+@register(
+    "q_spatial_grid_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 48271) % 2000 AS x,
+               (c_custkey * 69621) % 2000 AS y
+        FROM customer WHERE c_custkey < 3000
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500
+    ORDER BY id_a, id_b
+    """,
+    tags=("spatial", "grid-join", "bin-verify"),
+)
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join without a cross product: points land in 50x50 grid
+    cells, one side explodes to its 3x3 cell neighborhood, candidates come
+    from a plain equi-join on the cell key, and the exact distance
+    predicate verifies — the bin-then-verify pattern that makes a radius
+    join O(n * 9) shuffle rows instead of O(n^2) comparisons (same recipe
+    at 100 TB with geohash/S2 cells). Each qualifying pair matches on
+    exactly one neighbor offset (both home cells are fixed), so no
+    dedup pass is needed. All-integer coordinates and distances, so the
+    brute-force theta-join oracle is value-exact."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 3000)
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 2000).alias("x"),
+        ((F.col("c_custkey") * 69621) % 2000).alias("y"),
+    )
+    cell = pts.select(
+        "id", "x", "y",
+        (F.col("x") / 50).cast("long").alias("cx"),
+        (F.col("y") / 50).cast("long").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cell.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(offsets).alias("o"),
+        "cx", "cy",
+    ).select(
+        "id_a", "xa", "ya",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    home = cell.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        "cx", "cy",
+    )
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+             + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+             ).cast("bigint").alias("dist2"),
+        )
+        .filter(F.col("dist2") <= 2500)
+        .orderBy("id_a", "id_b")
+    )
