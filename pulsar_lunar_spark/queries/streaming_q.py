@@ -251,7 +251,11 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the output matches exact dedup row-for-row; the state_evicted flag
     then pins the semantic difference: after the trailing no-data batch
     the state store holds strictly fewer rows than the distinct key count
-    (everything older than max event time - 1h was evicted)."""
+    (everything older than max event time - 1h was evicted). Runs on the
+    RocksDB state-store provider with changelog checkpointing — the
+    at-scale configuration (off-heap state on local SSD; per-batch
+    changelog upload instead of full snapshots) — value-identical to the
+    default provider (pytest-pinned)."""
     log = _shared_log(spark, sf_dir, copies=2)
     deduped = (
         log.subscribe("events")
@@ -264,6 +268,7 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.writeStream.format("parquet").option("path", out).outputMode("append"),
         _fresh_checkpoint(sf_dir, "dedupttl"),
         state_partitions=8,
+        state_store="rocksdb",
     )
     n_unique = spark.read.parquet(out).count()
     n_raw = log.read("events").count()

@@ -369,7 +369,17 @@ def idempotent_foreach_batch(write_fn: Callable[[DataFrame], None], ledger_dir: 
     return _fn
 
 
-def run_available_now(writer, checkpoint: str, state_partitions: int | None = None):
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def run_available_now(
+    writer,
+    checkpoint: str,
+    state_partitions: int | None = None,
+    state_store: str | None = None,
+):
     """Start a bounded run (end-of-topic semantics, PulsarApi.proto:548-550):
     trigger(availableNow) drains everything currently in the log and stops.
 
@@ -383,20 +393,42 @@ def run_available_now(writer, checkpoint: str, state_partitions: int | None = No
     scan parallelism. When set, the query is run to completion here (the
     session conf must stay overridden until the stream thread clones it,
     so the restore can only happen after termination) and the returned
-    query is already terminated."""
+    query is already terminated.
+
+    ``state_store="rocksdb"`` selects the RocksDB provider with changelog
+    checkpointing — the 100 TB lever: state lives off-heap on local SSD
+    instead of the executor heap (the default HDFSBackedStateStore keeps
+    every store's full map in memory), and each micro-batch uploads only
+    the changelog, not a full snapshot. Like the partition count, the
+    provider is pinned at the first checkpoint."""
     from pyspark.sql import SparkSession
 
     writer = writer.option("checkpointLocation", checkpoint).trigger(availableNow=True)
-    if state_partitions is None:
+    overrides: dict[str, str] = {}
+    if state_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if state_store == "rocksdb":
+        overrides["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB_PROVIDER
+        overrides[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    elif state_store is not None:
+        raise ValueError(f"unknown state_store: {state_store}")
+    if not overrides:
         return writer.start()
     spark = SparkSession.getActiveSession()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
     try:
         q = writer.start()
         q.awaitTermination(600)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return q
 
 

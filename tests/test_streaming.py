@@ -689,3 +689,33 @@ def test_dlq_max_redeliver_retires_exactly_once(spark, log, tmp_path):
     good = spark.read.parquet(good_dir)
     assert good.filter(F.col("sequence_id").isin(poison_ids)).count() == 0
     assert good.count() == 5 * (50 - len(poison_ids))
+
+
+def test_rocksdb_state_store_matches_default(spark, log, tmp_path):
+    """The RocksDB state-store provider (off-heap state + changelog
+    checkpointing — the at-scale configuration) must produce exactly the
+    same windowed aggregate as the default HDFS-backed provider."""
+    results = {}
+    for tag, store in (("hdfs", None), ("rocks", "rocksdb")):
+        stream = log.subscribe("events", payload_schema=PAYLOAD)
+        windowed = (
+            stream.select(F.col("event_time").alias("ts"))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        )
+        run_available_now(
+            windowed.writeStream.format("memory")
+            .queryName(f"rocksdb_cmp_{tag}")
+            .outputMode("complete"),
+            str(tmp_path / f"ck_{tag}"),
+            state_partitions=4,
+            state_store=store,
+        )
+        results[tag] = {
+            (r["win_start"], r["n"])
+            for r in spark.table(f"rocksdb_cmp_{tag}").collect()
+        }
+    assert results["rocks"] == results["hdfs"]
+    assert len(results["rocks"]) > 0
