@@ -33,7 +33,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 ENVELOPE_DDL = (
@@ -133,6 +135,61 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _ProducerWriter(DataSourceWriter):
+    """Batch writer: each task produces its partition as one JSONL file
+    under a temp name; the driver-side commit() publishes the manifest —
+    a file becomes part of the dataset only if its task committed AND the
+    job committed (two-phase, the same contract a Pulsar transactional
+    producer gives; uncommitted files are invisible to readers because
+    readers go through the manifest)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('pulsar_lunar') write requires .option('path', ...)")
+
+    def write(self, iterator: Iterator) -> "_FileCommit":  # executor-side
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
+                n += 1
+        return _FileCommit(name, n)
+
+    def commit(self, messages) -> None:  # driver-side, all tasks succeeded
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic publish
+
+    def abort(self, messages) -> None:  # driver-side, job failed
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
 class PulsarLunarDataSource(DataSource):
     """format("pulsar_lunar"): deterministic Pulsar-style message source."""
 
@@ -148,6 +205,9 @@ class PulsarLunarDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _StreamReader(_Opts(self.options))
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _ProducerWriter(self.options)
 
 
 def register(spark) -> None:

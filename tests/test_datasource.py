@@ -66,3 +66,30 @@ def test_stream_drains_and_resumes(spark, tmp_path):
     # and reads ONLY the new messages (no duplicates)
     second = run(450)
     assert (second["n"], second["d"], second["mx"]) == (450, 450, 449)
+
+
+def test_writer_roundtrip_and_manifest(spark, tmp_path, _register):
+    """The custom format's WRITE path: each task lands one JSONL file, the
+    driver commit atomically publishes a _MANIFEST — rows outside the
+    manifest are not part of the dataset (two-phase producer contract)."""
+    import json
+    import os
+
+    out = str(tmp_path / "producer_out")
+    df = spark.range(0, 257, 1, 5).selectExpr("id", "concat('k-', id % 7) AS key")
+    df.write.format("pulsar_lunar").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 257
+    assert len(manifest["files"]) == 5
+    rows = []
+    for name in manifest["files"]:
+        with open(os.path.join(out, name)) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == list(range(257))
+    # a stray file NOT in the manifest is invisible to manifest readers
+    with open(os.path.join(out, "part-stray.jsonl"), "w") as f:
+        f.write('{"id": 9999}\n')
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        assert "part-stray" not in json.load(f)["files"]
