@@ -369,6 +369,10 @@ def _decode_image(content: bytes, fmt: str) -> tuple[int, int, float]:
         return decode_bmp(content)
     if fmt == "png":
         return decode_png(content)
+    if fmt == "jpeg":
+        from pulsar_lunar_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if fmt == "fake":
         h = len(content)
         return (h % 640 + 1, h % 480 + 1, float(sum(content[:64]) % 256) if content else 0.0)

@@ -172,6 +172,58 @@ def q_media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_jpeg_features",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id,
+           CAST(doc_id % 31 + 2 AS INT) AS width,
+           CAST(doc_id % 17 + 2 AS INT) AS height,
+           TRUE AS luma_ok,
+           TRUE AS decode_ok
+    FROM media WHERE media_type = 'image'
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "jpeg", "map-in-pandas"),
+)
+def q_media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (operators/jpeg.py — 8x8 DCT, quantization,
+    canonical Huffman, byte unstuffing; tables reconstructed from the
+    file's own DQT/DHT segments): constant-gray JPEGs decode to dimensions
+    exactly and mean luma within the DC quantization bound (±1 gray level
+    — JPEG is lossy, so the luma check is a bound, not an equality)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
+    d = d.filter(F.col("doc_id") % 3 == 0)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pulsar_lunar_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, gray = did % 31 + 2, did % 17 + 2, did % 256
+                jpg = encode_jpeg(np.full((h, w), gray, dtype=np.uint8))
+                rows.append((f"m{did}", "image", jpg, "jpeg", None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    feats = M.image_features(d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA))
+    gray = (F.regexp_extract("media_id", r"m(\d+)", 1).cast("long") % 256).cast(
+        "double"
+    )
+    return feats.select(
+        "media_id", "width", "height",
+        (F.abs(F.col("mean_luma") - gray) <= 1.0).alias("luma_ok"),
+        "decode_ok",
+    ).orderBy("media_id")
+
+
+@register(
     "q_media_audio_features",
     oracle=f"""
     WITH media AS ({_MEDIA_SQL})

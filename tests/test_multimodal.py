@@ -155,3 +155,35 @@ def test_png_rejects_corrupt_and_unsupported():
     )
     with pytest.raises(NotImplementedError):
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk + chunk2)
+
+
+def test_jpeg_roundtrip_bounds():
+    """Baseline JPEG is lossy but bounded: constant-gray within +/-1 (DC
+    quantization), smooth gradients within a small mean error, and
+    dimensions (incl. non-multiple-of-8 with edge padding) exact."""
+    from pulsar_lunar_spark.operators.jpeg import encode_jpeg, decode_jpeg_pixels
+
+    for g in (0, 7, 128, 255):
+        px = np.full((24, 33), g, np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg(px))
+        assert dec.shape == (24, 33)
+        assert np.abs(dec.astype(int) - g).max() <= 1, g
+    x = np.linspace(0, 255, 64)
+    px = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(px))
+    assert np.abs(dec.astype(int) - px.astype(int)).mean() < 2.0
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (5, 9), np.uint8)
+    assert decode_jpeg_pixels(encode_jpeg(px)).shape == (5, 9)
+
+
+def test_jpeg_rejects_corrupt_and_nonbaseline():
+    from pulsar_lunar_spark.operators.jpeg import decode_jpeg
+    import struct as _struct
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8nonsense")
+    # progressive SOF2 -> honest NotImplementedError
+    sof2 = _struct.pack(">HH", 0xFFC2, 11) + _struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9\x00\x00")
