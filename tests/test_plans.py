@@ -40,6 +40,8 @@ PYTHON_OK = {
     "q_media_audio_features",
     "q_media_frame_sample",
     "q_media_resize",
+    "q_media_png_features",
+    "q_media_jpeg_features",
     # batch-6 declared Python/Arrow surfaces
     "q_map_in_arrow",
     "q_apply_in_arrow",
