@@ -352,6 +352,8 @@ def minhash_incremental_pairs(
     shingle_k: int = 3,
     seed: int = 42,
     hasher: str = "xxhash64",
+    new_shingles: DataFrame | None = None,
+    hist_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: which NEW documents near-duplicate the
     HISTORICAL corpus (the re-crawl / daily-ingest shape).
@@ -364,10 +366,22 @@ def minhash_incremental_pairs(
     each ingest batch only hashes its own documents and probes the store.
     Candidates are verified with exact shingle Jaccard, so precision is 1.
 
+    ``new_shingles`` / ``hist_shingles`` accept precomputed (__id, __sh)
+    tables — when both sides slice one corpus, pass filtered views of a
+    single persisted shingle table to materialize it once, not twice.
+
     Returns (new_id, hist_id, jaccard) for verified pairs >= threshold.
     """
-    new_sh = shingle_table(new_df, id_col, text_col, shingle_k)
-    hist_sh = shingle_table(hist_df, id_col, text_col, shingle_k)
+    new_sh = (
+        new_shingles
+        if new_shingles is not None
+        else shingle_table(new_df, id_col, text_col, shingle_k)
+    )
+    hist_sh = (
+        hist_shingles
+        if hist_shingles is not None
+        else shingle_table(hist_df, id_col, text_col, shingle_k)
+    )
     nb = _banded_buckets(new_sh, n_hashes, bands, seed, True, hasher)
     hb = _banded_buckets(hist_sh, n_hashes, bands, seed, True, hasher)
     cands = (

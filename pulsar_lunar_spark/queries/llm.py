@@ -422,8 +422,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 10 == 0)
     hist = d.filter(F.col("doc_id") % 10 != 0)
+    # both sides slice one corpus here: shingle it ONCE (one persisted
+    # table) and pass filtered views, instead of two materializations
+    sh = D.shingle_table(d, "doc_id", "text", 3)
     return D.minhash_incremental_pairs(
-        new, hist, "doc_id", "text", threshold=0.3, hasher="md5"
+        new, hist, "doc_id", "text", threshold=0.3, hasher="md5",
+        new_shingles=sh.filter(F.col("__id") % 10 == 0),
+        hist_shingles=sh.filter(F.col("__id") % 10 != 0),
     ).orderBy("new_id", "hist_id")
 
 
