@@ -11,7 +11,7 @@ exchange per side, AQE handles skewed cells.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators import similarity as S
@@ -139,4 +139,116 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(F.col("event_type").alias("k"))
     return heavy_hitters(e, "k", k=5).select(
         "k", F.col("est_count").cast("bigint").alias("est_count")
+    )
+
+
+@register(
+    "q_retrieval_metrics",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT i FROM generate_series(1, 64) AS t(i)),
+    centroids AS (
+      SELECT label, LIST(avg_e ORDER BY i) AS cv
+      FROM (SELECT label, i, AVG(v[i]) AS avg_e FROM e CROSS JOIN dims GROUP BY label, i)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+    routed AS (
+      SELECT q_id, label FROM (
+        SELECT q.q_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COSINE_ORACLE.format(a="c.cv", b="q.qv")} DESC, c.label
+               ) AS rn
+        FROM centroids c CROSS JOIN q
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             {_COSINE_ORACLE.format(a="e.v", b="q.qv")} AS s
+      FROM e CROSS JOIN q
+    ),
+    exact AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS r
+      FROM scored
+    ),
+    ivf AS (
+      SELECT sc.q_id, sc.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY sc.q_id ORDER BY sc.s DESC, sc.vec_id) AS r
+      FROM scored sc JOIN routed t ON sc.q_id = t.q_id AND sc.label = t.label
+    )
+    SELECT x.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_overlap,
+           CAST(MAX(CASE WHEN x.r = 1 THEN COALESCE(i.r, 0) END) AS BIGINT)
+               AS top1_rank
+    FROM (SELECT * FROM exact WHERE r <= 10) x
+    LEFT JOIN (SELECT * FROM ivf WHERE r <= 10) i
+      ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+    GROUP BY x.q_id
+    ORDER BY x.q_id
+    """,
+    tags=("llm", "similarity", "eval", "recall"),
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: for 8 query vectors, compare IVF-ANN
+    (nprobe=1 coarse routing) against the exact brute-force ranking —
+    per-query overlap with the exact top-10 (recall@10 x 10) and the rank
+    the exact best neighbor gets in the ANN list (0 = missed; the MRR
+    ingredient). The eval harness every vector-search deployment runs
+    before trusting an index; here both rankings AND the metrics have
+    exact SQL twins, so the whole evaluation is value-checked. One scored
+    table feeds both rankings through a shared q_id exchange (no
+    re-execution of the n x 8 cosine scoring)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dim = 64
+    cent = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+    )
+    qs = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    w_route = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round(S.cosine(F.col("cv"), F.col("qv")), 6)), F.asc("label")
+    )
+    routed = (
+        cent.join(qs)
+        .select("q_id", "label", F.row_number().over(w_route).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "label")
+    )
+    scored = (
+        e.join(qs)
+        .select(
+            "q_id", "vec_id", "label",
+            F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("s"),
+        )
+        # one explicit hash partition on q_id: both ranking windows and the
+        # final aggregation reuse this single exchange
+        .repartition("q_id")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact = scored.select(
+        "q_id", "vec_id", F.row_number().over(w_rank).alias("r")
+    ).filter(F.col("r") <= 10)
+    ivf = (
+        scored.join(F.broadcast(routed), ["q_id", "label"])
+        .select("q_id", "vec_id", F.row_number().over(w_rank).alias("r"))
+        .filter(F.col("r") <= 10)
+        .withColumnRenamed("r", "ivf_r")
+    )
+    return (
+        exact.join(ivf, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("ivf_r").cast("bigint").alias("n_overlap"),
+            F.max(
+                F.when(F.col("r") == 1, F.coalesce(F.col("ivf_r"), F.lit(0)))
+            ).cast("bigint").alias("top1_rank"),
+        )
+        .orderBy("q_id")
     )
