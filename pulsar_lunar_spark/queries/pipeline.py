@@ -119,6 +119,45 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dynamic_partition_prune",
+    oracle="""
+    WITH seen AS (
+        SELECT DISTINCT lang FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
+    FROM documents d JOIN seen ON d.lang = seen.lang
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    tags=("pipeline", "storage", "pruning", "dpp"),
+)
+def q_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the pruning predicate is not known until
+    runtime — the fact side is documents written partitionBy(lang), the
+    dim side is the language set of a selectively-filtered doc sample.
+    Catalyst inserts a dynamicpruning subquery on the partition column:
+    the dim side runs first (its selective filter is what qualifies the
+    join for DPP), its lang values broadcast, and the fact scan lists only
+    those directories — at 100 TB, the difference between scanning the
+    matching languages and the corpus when the filter comes from a JOIN
+    instead of a literal (plan asserted in tests/test_pipeline.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _prune_dir(sf_dir) + "_dpp"
+    d.write.partitionBy("lang").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = d.filter(F.col("doc_id") % 97 == 0).select("lang").distinct()
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "q_events_densify",
     oracle="""
     WITH daily AS (

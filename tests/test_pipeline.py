@@ -62,3 +62,13 @@ def test_curation_funnel_is_monotone(spark, sf_dir):
     for r in rows:
         assert r.n_total >= r.n_lang >= r.n_len >= r.n_quality >= r.n_unique >= 0
     assert sum(r.n_unique for r in rows) > 0
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """q_dynamic_partition_prune must carry a dynamicpruning subquery in
+    the fact scan's PartitionFilters — runtime pruning from the join, not
+    a static literal."""
+    from pulsar_lunar_spark.plans.inspect import plan_text
+
+    txt = plan_text(SPECS["q_dynamic_partition_prune"].fn(spark, sf_dir))
+    assert "dynamicpruning" in txt
