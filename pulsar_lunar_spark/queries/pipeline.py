@@ -157,6 +157,76 @@ def q_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # thresholds scaled to fixture size: at 100 TB a fact-fact join hits
+    # the default conditions (application side > 10 GB scan) naturally
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # bloom injection targets shuffle joins — a broadcast join needs no
+    # row-level prefilter (the hash table IS the filter)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q_bloom_join_filter",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("pipeline", "optimizer", "bloom-filter", "runtime-filter"),
+)
+def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: for a shuffle join with a
+    selective creation side, Catalyst injects bloom_filter_agg over the
+    dim keys and a might_contain prefilter on the fact side — fact rows
+    that cannot match are dropped BEFORE the shuffle, the row-level
+    complement of dynamic partition pruning (plan asserted in
+    tests/test_pipeline.py). Executed under scoped confs and returned as
+    a localized result so the threshold overrides never leak into other
+    queries' plans."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join_df(spark, sf_dir)
+        rows = df.collect()  # optimize + execute while the confs are live
+        schema = df.schema
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "q_events_densify",
     oracle="""

@@ -72,3 +72,25 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
 
     txt = plan_text(SPECS["q_dynamic_partition_prune"].fn(spark, sf_dir))
     assert "dynamicpruning" in txt
+
+
+def test_bloom_filter_join_injected(spark, sf_dir):
+    """Under the scoped confs, the shuffle join must carry a
+    bloom_filter_agg creation and a might_contain application — the
+    runtime row-level prefilter."""
+    from pulsar_lunar_spark.queries.pipeline import _BLOOM_CONFS, _bloom_join_df
+    from pulsar_lunar_spark.plans.inspect import plan_text
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        txt = plan_text(_bloom_join_df(spark, sf_dir))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in txt
+    assert "might_contain" in txt
