@@ -31,13 +31,19 @@ def asof_join(
     payload_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Return ``left`` with, per row, the latest earlier ``right`` payload.
+    """Return ``left`` with, per row, the latest earlier ``right`` payload
+    (``direction="backward"``, default) or the earliest later one
+    (``direction="forward"`` — right.ts >= left.ts: the "next state
+    snapshot / next price tick" enrichment).
 
     Output columns: all of ``left``'s, plus ``{right_ts}{suffix}`` and
-    ``{c}{suffix}`` for each payload column (null when no earlier right row
-    exists, or none within ``tolerance_seconds``).
+    ``{c}{suffix}`` for each payload column (null when no matching right
+    row exists, or none within ``tolerance_seconds``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -62,27 +68,40 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
 
-    # Right rows with ts == left ts sort first (side 0 < 1) => inclusive <=.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # Right rows with ts == left ts sort first (side 0 < 1) => inclusive <=.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # Forward: left rows sort BEFORE right rows at equal ts (side desc:
+        # 1 before 0) => inclusive >=; take the FIRST right row at or after.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     carried = unioned.select(
         *unioned.columns,
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
+            pick(F.col(f"__r_{c}")).over(w).alias(f"__c_{c}")
             for c in payload_cols
         ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__c_ts"),
+        pick(F.col("__r_ts")).over(w).alias("__c_ts"),
     )
 
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("__c_ts").isNotNull()
-            & (F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__c_ts")) <= tolerance_seconds)
+        gap = (
+            F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__c_ts"))
+            if direction == "backward"
+            else F.unix_timestamp(F.col("__c_ts")) - F.unix_timestamp(F.col("__ts"))
         )
+        in_tol = F.col("__c_ts").isNotNull() & (gap <= tolerance_seconds)
         sel_payload = [
             F.when(in_tol, F.col(f"__c_{c}")).otherwise(F.lit(None)).alias(f"{c}{suffix}")
             for c in payload_cols

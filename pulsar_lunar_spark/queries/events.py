@@ -295,6 +295,41 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_asof_forward",
+    oracle="""
+    SELECT c.event_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase_ts,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+    tags=("join", "asof", "forward"),
+)
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click enriched with the user's NEXT purchase
+    at or after it — the time-to-conversion enrichment. Same union +
+    window machinery as the backward join (one shuffle, no range
+    explosion), with the frame flipped to currentRow..unboundedFollowing
+    and FIRST ignorenulls."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["value"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("next_purchase_ts"),
+        F.round("value_asof", 4).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+@register(
     "q_events_first_last",
     oracle="""
     SELECT user_id,
