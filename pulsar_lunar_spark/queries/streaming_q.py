@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from pulsar_lunar_spark.queries.registry import register
 from pulsar_lunar_spark.session import load_table
 from pulsar_lunar_spark.sources.log import MessageLog
-from pulsar_lunar_spark.streaming import run_available_now, tumbling_counts
+from pulsar_lunar_spark.streaming import (
+    run_available_now,
+    stateful_sessionize,
+    tumbling_counts,
+)
 
 
 def _tmp_root() -> str:
@@ -611,6 +615,86 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("key").alias("user_id"))
         .agg(F.max("running_count").cast("long").alias("n_messages"))
         .orderBy("user_id")
+    )
+
+
+@register(
+    "q_stream_custom_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+    ), agg AS (
+        SELECT user_id,
+               MIN(ts) AS st, MAX(ts) AS en,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, STRFTIME(st, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           n_events, total_cents
+    FROM agg
+    WHERE en < (SELECT MAX(ts) - INTERVAL 60 MINUTE FROM events)
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "stateful", "session", "event-time-timeout"),
+)
+def q_stream_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization with EVENT-TIME TIMEOUT
+    (applyInPandasWithState): mid-stream sessions close in-batch when the
+    next event's gap is >= 30 min, and each key's final session is closed
+    by the state-expiry path — the timeout fires once the watermark
+    passes last_event + gap. Sessions whose last event is younger than
+    max(ts) - watermark(30m) - gap(30m) may still be open at end of
+    stream, so both sides apply that deterministic cutoff; inside it,
+    the custom operator matches the batch gaps-and-islands twin
+    row-exactly (n_events AND exact cent sums)."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    payload = StructType([StructField("value", DoubleType())])
+    stream = decode_payload(log.subscribe("events"), payload).select(
+        F.col("key").alias("user_id"),
+        F.col("event_time").alias("ts"),
+        F.col("payload.value").alias("value"),
+    )
+    sessions = stateful_sessionize(stream, "user_id", "ts", "value", gap_s=1800)
+    out = _fresh_dir(sf_dir, "customsession")
+    run_available_now(
+        sessions.writeStream.format("parquet").option("path", out).outputMode("append"),
+        _fresh_checkpoint(sf_dir, "customsession"),
+        state_partitions=8,
+    )
+    cutoff_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.unix_micros(F.max("ts")).alias("m"))
+        .head()["m"]
+        - 3600 * 1_000_000
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("end_us") < F.lit(cutoff_us))
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_micros(F.col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("user_id", "session_start")
     )
 
 

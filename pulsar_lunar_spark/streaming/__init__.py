@@ -9,6 +9,7 @@ from pulsar_lunar_spark.streaming.ops import (
     session_aggregate,
     stateful_high_watermark,
     stateful_running_count,
+    stateful_sessionize,
     stream_static_join,
     stream_stream_join,
     streaming_dedup,
@@ -28,5 +29,6 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "stateful_running_count",
+    "stateful_sessionize",
     "stateful_high_watermark",
 ]

@@ -374,6 +374,118 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def stateful_sessionize(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Custom sessionization via applyInPandasWithState with EVENT-TIME
+    TIMEOUT — the state-expiry half of the API that a plain running
+    counter never exercises.
+
+    State per key = the one open session (start_us, last_us, n, cents).
+    Data rows close prior sessions in-batch whenever the gap to the next
+    event is >= gap_s; the LAST session of a key has no next event, so it
+    is emitted by the timeout path instead: the timeout timestamp is set
+    to last_event + gap, and when the watermark passes it Spark calls the
+    function with hasTimedOut=True and no data — the session closes
+    exactly when no earlier event can still arrive. Value sums are exact
+    integer cents (floor(v*100+0.5)), so emission order cannot perturb
+    them. State is O(keys); both emission paths append complete sessions.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    gap_us = gap_s * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:
+            s0, s1, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [s0],
+                    "end_us": [s1],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        rows = pd.concat(parts).sort_values("__ts_us") if parts else None
+        cur = list(state.get) if state.exists else None
+        closed = []
+        if rows is not None:
+            ts_us = rows["__ts_us"].to_numpy(np.int64)
+            cents_arr = rows["__cents"].to_numpy(np.int64)
+            for t, c in zip(ts_us, cents_arr):
+                if cur is not None and t - cur[1] >= gap_us:
+                    closed.append(cur)
+                    cur = None
+                if cur is None:
+                    cur = [int(t), int(t), 0, 0]
+                cur[1] = int(t)
+                cur[2] += 1
+                cur[3] += int(c)
+        if cur is not None:
+            state.update(tuple(cur))
+            # event-time timeout: fire once the watermark proves no event
+            # can extend this session (ms epoch per the GroupState API)
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_s * 1000)
+        if closed:
+            arr = pd.DataFrame(
+                closed, columns=["start_us", "last_us", "n", "cents"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "start_us": arr["start_us"],
+                    "end_us": arr["last_us"],
+                    "n_events": arr["n"],
+                    "total_cents": arr["cents"],
+                }
+            )
+
+    prepared = stream.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.floor(F.col(value_col) * 100 + 0.5).cast("long").alias("__cents"),
+    )
+    return (
+        prepared.withWatermark("__ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(
     writer,
     checkpoint: str,
