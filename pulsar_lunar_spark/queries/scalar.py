@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
-from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.session import load_table, tables
 from pulsar_lunar_spark.queries.registry import register
 
 
@@ -313,4 +313,36 @@ def q_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("event_id")).alias("as_json"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT r_name,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           STRING_AGG(DISTINCT SUBSTR(n_name, 1, 8), '|' ORDER BY SUBSTR(n_name, 1, 8))
+               AS prefixes,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    tags=("agg", "string", "listagg"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP, Spark 4): the
+    order clause makes the concatenation deterministic — without it the
+    result depends on partial-aggregation arrival order and can never be
+    hash-checked. DISTINCT + ORDER BY covered on the second column."""
+    tables(spark, sf_dir, names=("nation", "region"))
+    return spark.sql(
+        """
+        SELECT r_name,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               LISTAGG(DISTINCT SUBSTR(n_name, 1, 8), '|')
+                   WITHIN GROUP (ORDER BY SUBSTR(n_name, 1, 8)) AS prefixes,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
     )
