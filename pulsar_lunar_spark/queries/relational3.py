@@ -744,3 +744,37 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sql", "parameterized"),
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): the parameters
+    bind as typed literals in the plan — the injection-safe interface an
+    application layer uses — and the filter still pushes to the scan like
+    any literal predicate."""
+    from pulsar_lunar_spark.session import tables
+
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 1000.0},
+    )
