@@ -138,66 +138,131 @@ def _category(v: int) -> tuple[int, int]:
     return (size, bits)
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 grayscale image as a baseline JPEG."""
-    px = np.asarray(pixels, dtype=np.uint8)
+# Chroma quantization table (coarser than luma, standard-style).
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+
+def _pad_plane(px: np.ndarray, bh: int, bw: int) -> np.ndarray:
     h, w = px.shape
-    if not h or not w or h > 0xFFFF or w > 0xFFFF:
-        raise ValueError("bad image dimensions")
-    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     padded = np.empty((bh, bw), dtype=np.float64)
     padded[:h, :w] = px
     padded[h:, :w] = px[-1:, :]  # edge-replicate padding
     padded[:, w:] = padded[:, w - 1 : w]
-    padded -= 128.0
+    return padded - 128.0
+
+
+def _encode_block(block, qtbl, prev_dc, dc_codes, ac_codes, bits) -> int:
+    coef = _C @ block @ _C.T
+    q = np.rint(coef / qtbl).astype(np.int64)
+    zz = [int(q[i, j]) for i, j in _ZIGZAG]
+    size, vb = _category(zz[0] - prev_dc)
+    c, ln = dc_codes[size]
+    bits.write(c, ln)
+    if size:
+        bits.write(vb, size)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            bits.write(c, ln)
+            run -= 16
+        size, vb = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bits.write(c, ln)
+        bits.write(vb, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        bits.write(c, ln)
+    return zz[0]
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> list[np.ndarray]:
+    """BT.601 full-range RGB -> [Y, Cb, Cr] float planes."""
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [y, cb, cr]
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Encode a uint8 image as a baseline JPEG: (h, w) grayscale -> single
+    component; (h, w, 3) RGB -> 4:4:4 YCbCr with a separate chroma
+    quantization table and chroma Huffman tables."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    color = px.ndim == 3
+    h, w = px.shape[:2]
+    if not h or not w or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("bad image dimensions")
+    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    if color:
+        planes = [
+            _pad_plane(np.clip(np.rint(p), 0, 255), bh, bw)
+            for p in _rgb_to_ycbcr(px)
+        ]
+        qtbls = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    else:
+        planes = [_pad_plane(px.astype(np.float64), bh, bw)]
+        qtbls = [QUANT_LUMA]
 
     dc_codes = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
     ac_codes = _canonical_codes(AC_COUNTS, AC_SYMBOLS)
     bits = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * len(planes)
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
-            block = padded[by : by + 8, bx : bx + 8]
-            coef = _C @ block @ _C.T
-            q = np.rint(coef / QUANT_LUMA).astype(np.int64)
-            zz = [int(q[i, j]) for i, j in _ZIGZAG]
-            # DC difference
-            size, vb = _category(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            c, ln = dc_codes[size]
-            bits.write(c, ln)
-            if size:
-                bits.write(vb, size)
-            # AC run-length
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                    bits.write(c, ln)
-                    run -= 16
-                size, vb = _category(v)
-                c, ln = ac_codes[(run << 4) | size]
-                bits.write(c, ln)
-                bits.write(vb, size)
-                run = 0
-            if run:
-                c, ln = ac_codes[0x00]  # EOB
-                bits.write(c, ln)
+            # MCU at 4:4:4 = one 8x8 block per component, interleaved
+            for ci, plane in enumerate(planes):
+                prev_dc[ci] = _encode_block(
+                    plane[by : by + 8, bx : bx + 8],
+                    qtbls[ci], prev_dc[ci], dc_codes, ac_codes, bits,
+                )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(QUANT_LUMA[i, j]) for i, j in _ZIGZAG))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(
-        0xFFC4,
-        b"\x00" + bytes(DC_COUNTS) + bytes(DC_SYMBOLS)
-        + b"\x10" + bytes(AC_COUNTS) + bytes(AC_SYMBOLS),
-    )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    zz_bytes = lambda t: bytes(int(t[i, j]) for i, j in _ZIGZAG)  # noqa: E731
+    if color:
+        dqt = seg(
+            0xFFDB,
+            b"\x00" + zz_bytes(QUANT_LUMA) + b"\x01" + zz_bytes(QUANT_CHROMA),
+        )
+        comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + comps)
+        # chroma reuses the same canonical table spec under ids (0,1)/(1,1)
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(DC_COUNTS) + bytes(DC_SYMBOLS)
+            + b"\x10" + bytes(AC_COUNTS) + bytes(AC_SYMBOLS)
+            + b"\x01" + bytes(DC_COUNTS) + bytes(DC_SYMBOLS)
+            + b"\x11" + bytes(AC_COUNTS) + bytes(AC_SYMBOLS),
+        )
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    else:
+        dqt = seg(0xFFDB, b"\x00" + zz_bytes(QUANT_LUMA))
+        sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(DC_COUNTS) + bytes(DC_SYMBOLS)
+            + b"\x10" + bytes(AC_COUNTS) + bytes(AC_SYMBOLS),
+        )
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
         b"\xff\xd8" + dqt + sof + dht + sos + bits.flush() + b"\xff\xd9"
     )
@@ -271,8 +336,8 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    comp_qs: list[int] = []
+    scan_tabs: list[tuple[int, int]] = []
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -306,64 +371,83 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError("multi-component JPEG requires PIL")
-            # component spec: id, sampling, quant-table id (after the
-            # 6-byte frame header)
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG requires PIL")
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError("unsupported component count")
+            # per-component spec after the 6-byte frame header:
+            # id, sampling, quant-table id
+            for ci in range(ncomp):
+                if body[6 + 3 * ci + 1] != 0x11:
+                    raise NotImplementedError("subsampled JPEG requires PIL")
+                comp_qs.append(body[6 + 3 * ci + 2])
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError("non-baseline JPEG requires PIL")
         elif marker == 0xFFDA:  # SOS — entropy data follows
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            for ci in range(ns):
+                tb = body[2 + 2 * ci]
+                scan_tabs.append((tb >> 4, tb & 0xF))
             break
     else:
         raise ValueError("no SOS marker")
-    if h is None or comp_q not in quant:
-        raise ValueError("JPEG missing SOF/DQT")
-    dc_tab = huff.get((0, dc_id))
-    ac_tab = huff.get((1, ac_id))
-    if dc_tab is None or ac_tab is None:
-        raise ValueError("JPEG missing DHT")
+    if h is None or not comp_qs or len(scan_tabs) != len(comp_qs):
+        raise ValueError("JPEG missing SOF/DQT/SOS")
+    ncomp = len(comp_qs)
+    tabs = []
+    for ci in range(ncomp):
+        if comp_qs[ci] not in quant:
+            raise ValueError("JPEG missing DQT")
+        dc_tab = huff.get((0, scan_tabs[ci][0]))
+        ac_tab = huff.get((1, scan_tabs[ci][1]))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("JPEG missing DHT")
+        tabs.append((quant[comp_qs[ci]].astype(np.float64), dc_tab, ac_tab))
 
     br = _BitReader(content, pos)
-    qtbl = quant[comp_q].astype(np.float64)
     bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    out = np.empty((bh, bw), dtype=np.float64)
-    prev_dc = 0
+    planes = [np.empty((bh, bw), dtype=np.float64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
-            zz = [0] * 64
-            size = _read_symbol(br, dc_tab)
-            prev_dc += _extend(br.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for idx, (i, j) in enumerate(_ZIGZAG):
-                coef[i, j] = zz[idx]
-            block = _C.T @ (coef * qtbl) @ _C
-            out[by : by + 8, bx : bx + 8] = block
-    return np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            for ci in range(ncomp):  # MCU at 4:4:4: one block per component
+                qtbl, dc_tab, ac_tab = tabs[ci]
+                zz = [0] * 64
+                size = _read_symbol(br, dc_tab)
+                prev_dc[ci] += _extend(br.bits(size), size)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k >= 64:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for idx, (i, j) in enumerate(_ZIGZAG):
+                    coef[i, j] = zz[idx]
+                block = _C.T @ (coef * qtbl) @ _C
+                planes[ci][by : by + 8, bx : bx + 8] = block
+    if ncomp == 1:
+        out = planes[0] + 128.0
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)[:h, :w]
+    y, cb, cr = (p + 128.0 for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)[:h, :w]
 
 
 def decode_jpeg(content: bytes) -> tuple[int, int, float]:
-    """Decode a baseline grayscale JPEG: (width, height, mean luma)."""
+    """Decode a baseline JPEG: (width, height, mean over all samples)."""
     px = decode_jpeg_pixels(content)
-    hh, ww = px.shape
+    hh, ww = px.shape[:2]
     return (ww, hh, float(px.astype(np.float64).mean()) if px.size else 0.0)

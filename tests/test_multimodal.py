@@ -187,3 +187,26 @@ def test_jpeg_rejects_corrupt_and_nonbaseline():
     sof2 = _struct.pack(">HH", 0xFFC2, 11) + _struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9\x00\x00")
+
+
+def test_jpeg_color_roundtrip_bounds():
+    """4:4:4 YCbCr color: constant colors within +/-2 (DC quantization +
+    color-space rounding), smooth gradients within small mean error,
+    odd dimensions exact."""
+    from pulsar_lunar_spark.operators.jpeg import encode_jpeg, decode_jpeg_pixels
+
+    for rgb in ((200, 30, 90), (0, 0, 0), (255, 255, 255), (12, 200, 64)):
+        px = np.zeros((16, 24, 3), np.uint8)
+        px[:] = rgb
+        dec = decode_jpeg_pixels(encode_jpeg(px))
+        assert dec.shape == (16, 24, 3)
+        assert np.abs(dec.astype(int) - np.array(rgb)).max() <= 2, rgb
+    x = np.linspace(0, 255, 48)
+    px = np.stack(
+        [np.add.outer(x, x) / 2, np.tile(x, (48, 1)), np.tile(x[:, None], (1, 48))],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(px))
+    assert np.abs(dec.astype(int) - px.astype(int)).mean() < 3.0
+    rng = np.random.default_rng(13)
+    assert decode_jpeg_pixels(encode_jpeg(rng.integers(0, 256, (5, 9, 3), np.uint8))).shape == (5, 9, 3)
