@@ -191,46 +191,53 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(pixels: np.ndarray, filters: "list[int] | None" = None) -> bytes:
-    """Encode an (h, w) uint8 grayscale image as a real PNG (color type 0,
-    bit depth 8, non-interlaced): per-scanline filtering, one zlib-deflated
-    IDAT, CRC-32 per chunk — pure stdlib zlib + struct.
+    """Encode a uint8 image as a real PNG — (h, w) grayscale (color type 0)
+    or (h, w, 3) RGB (color type 2) — bit depth 8, non-interlaced:
+    per-scanline filtering, one zlib-deflated IDAT, CRC-32 per chunk,
+    pure stdlib zlib + struct.
 
     ``filters`` gives the filter type per row (0=None 1=Sub 2=Up 3=Average
     4=Paeth); default cycles through all five so a decoder must implement
-    every unfilter path to get the pixels back."""
+    every unfilter path to get the pixels back. Filter neighbor offsets
+    are bpp-aware per the spec (the 'left' byte is bpp bytes back)."""
     import zlib
 
     pixels = np.asarray(pixels, dtype=np.uint8)
-    h, w = pixels.shape
+    color = pixels.ndim == 3
+    h, w = pixels.shape[:2]
+    bpp = 3 if color else 1
+    stride = w * bpp
+    flat = pixels.reshape(h, stride)
     if filters is None:
         filters = [y % 5 for y in range(h)]
     raw = bytearray()
-    prev = np.zeros(w, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    zeros = np.zeros(bpp, dtype=np.int32)
     for y in range(h):
-        row = pixels[y].astype(np.int32)
+        row = flat[y].astype(np.int32)
+        left = np.concatenate((zeros, row[:-bpp]))  # bpp bytes back
         f = filters[y]
         raw.append(f)
         if f == 0:
             out = row
-        elif f == 1:  # Sub: left neighbor (bpp=1)
-            out = row - np.concatenate(([0], row[:-1]))
+        elif f == 1:  # Sub
+            out = row - left
         elif f == 2:  # Up
             out = row - prev
         elif f == 3:  # Average
-            left = np.concatenate(([0], row[:-1]))
             out = row - (left + prev) // 2
         elif f == 4:  # Paeth (left-dependent: per-byte loop)
-            out = np.empty(w, dtype=np.int32)
-            for x in range(w):
-                a = int(row[x - 1]) if x else 0
+            out = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - 1]) if x else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 out[x] = row[x] - _paeth(a, b, c)
         else:
             raise ValueError(f"unknown PNG filter {f}")
         raw += (out % 256).astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 0)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (

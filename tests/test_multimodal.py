@@ -210,3 +210,15 @@ def test_jpeg_color_roundtrip_bounds():
     assert np.abs(dec.astype(int) - px.astype(int)).mean() < 3.0
     rng = np.random.default_rng(13)
     assert decode_jpeg_pixels(encode_jpeg(rng.integers(0, 256, (5, 9, 3), np.uint8))).shape == (5, 9, 3)
+
+
+def test_png_color_roundtrip_every_filter():
+    """RGB (color type 2) PNGs must round-trip pixel-exact for each filter
+    type — bpp-aware left offsets on both the filter and unfilter side."""
+    from pulsar_lunar_spark.operators.multimodal import encode_png, decode_png_pixels
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (11, 17, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png_pixels(encode_png(px, filters=[f] * 11)) == px).all(), f
+    assert (decode_png_pixels(encode_png(px)) == px).all()
