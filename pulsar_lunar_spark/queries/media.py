@@ -224,6 +224,79 @@ def q_media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_transcode",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id,
+           CAST(8 AS INT) AS out_width,
+           CAST(8 AS INT) AS out_height,
+           TRUE AS luma_ok,
+           TRUE AS transcode_ok
+    FROM media WHERE media_type = 'image'
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "transcode", "map-in-pandas"),
+)
+def q_media_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image transcode pipeline: color PNG in (zlib decode + full
+    unfilter) -> nearest-neighbor resize to 8x8 -> baseline JPEG out
+    (DCT + Huffman encode) -> JPEG decode to verify. Constant-color
+    inputs survive the whole lossy chain within the JPEG DC bound, so
+    the luma flag fails if ANY stage — either codec's encode or decode,
+    or the resample — corrupts a byte. Map-only stage, bytes cross
+    JVM->Python once per Arrow batch."""
+    from pulsar_lunar_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
+    d = d.filter(F.col("doc_id") % 3 == 0)
+
+    def _transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 31 + 2, did % 17 + 2
+                rgb = np.zeros((h, w, 3), dtype=np.uint8)
+                rgb[:, :, 0] = did % 256
+                rgb[:, :, 1] = (did * 7) % 256
+                rgb[:, :, 2] = (did * 13) % 256
+                png = M.encode_png(rgb)
+                src = M.decode_png_pixels(png)
+                yi = (np.arange(8) * src.shape[0]) // 8
+                xi = (np.arange(8) * src.shape[1]) // 8
+                thumb = src[np.ix_(yi, xi)]
+                jpg = encode_jpeg(thumb)
+                dec = decode_jpeg_pixels(jpg)
+                # chroma DC quant step is 17, so a constant color can move
+                # up to ceil(17/2/1.772)≈5 in a channel after the inverse
+                # color transform; 6 is the honest bound (worst measured
+                # over the whole doc_id color space: 4)
+                luma_ok = bool(
+                    np.abs(dec.astype(np.int64) - rgb[0, 0].astype(np.int64))
+                    .max() <= 6
+                )
+                rows.append(
+                    (f"m{did}", dec.shape[1], dec.shape[0], luma_ok,
+                     dec.shape == (8, 8, 3))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_width", "out_height", "luma_ok", "transcode_ok",
+                ],
+            )
+
+    out = d.mapInPandas(
+        _transcode,
+        schema=(
+            "media_id string, out_width int, out_height int, "
+            "luma_ok boolean, transcode_ok boolean"
+        ),
+    )
+    return out.orderBy("media_id")
+
+
+@register(
     "q_media_audio_features",
     oracle=f"""
     WITH media AS ({_MEDIA_SQL})
