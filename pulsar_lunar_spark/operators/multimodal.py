@@ -335,6 +335,39 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return riff + fmt + struct.pack("<4sI", b"data", len(data)) + data
 
 
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """G.711 mu-law companding: int16 PCM -> uint8 codes (vectorized)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = position of the MSB of mag within bits 7..14
+    exponent = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion: uint8 codes -> int16 PCM (vectorized)."""
+    u = (~np.asarray(codes, dtype=np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a mu-law WAV (fmt tag 7, 8 bits)."""
+    data = mulaw_encode(samples).tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, rate, rate, 1, 8)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return riff + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
 def decode_wav(content: bytes) -> tuple[int, float]:
     """Decode a PCM WAV: (duration_ms, rms) over the 16-bit samples.
 
@@ -358,6 +391,12 @@ def decode_wav(content: bytes) -> tuple[int, float]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if audio_fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt == 7 and bits == 8:  # G.711 mu-law: expand, then as PCM
+        samples = mulaw_decode(np.frombuffer(data, np.uint8)).astype(np.float64)
+        n_frames = len(samples) // max(channels, 1)
+        duration_ms = int(n_frames * 1000 // rate) if rate else 0
+        rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+        return (duration_ms, rms)
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits} needs soundfile")
     samples = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.float64)

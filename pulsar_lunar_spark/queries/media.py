@@ -322,6 +322,68 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_audio_mulaw",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    p AS (
+        SELECT media_id,
+               doc_id % 1000 + 1 AS amp,
+               doc_id % 500 + 10 AS n
+        FROM media WHERE media_type = 'audio'
+    ), mu AS (
+        SELECT media_id, amp, n,
+               LEAST(GREATEST(CAST(FLOOR(LOG2(LEAST(amp, 32635) + 132)) AS INT) - 7,
+                              0), 7) AS e
+        FROM p
+    )
+    SELECT media_id,
+           CAST(44 + n AS BIGINT) AS n_bytes,
+           CAST(n AS INT) AS duration_ms,
+           ROUND(CAST(((((((LEAST(amp, 32635) + 132) >> (e + 3)) & 15) * 8 + 132)
+                        * (1 << e)) - 132) AS DOUBLE), 4) AS rms,
+           TRUE AS decode_ok
+    FROM mu ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "mulaw", "map-in-pandas"),
+)
+def q_media_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law audio: square waves companded to 8-bit mu-law
+    codes (fmt tag 7), RIFF-walked and EXPANDED back in the decode stage.
+    Companding is deterministic integer math — sign, 3-bit exponent
+    segment, 4-bit mantissa — so the oracle replicates the entire
+    encode->decode round trip in SQL and the reported RMS is value-exact
+    (a square wave's RMS is the expanded magnitude itself)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
+    d = d.filter(F.col("doc_id") % 3 == 1)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp, n = did % 1000 + 1, did % 500 + 10
+                samples = np.full(n, amp, dtype=np.int16)
+                samples[1::2] *= -1
+                rows.append(
+                    (f"m{did}", "audio", M.encode_wav_mulaw(samples, rate=1000),
+                     "wav", None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    feats = M.audio_features(d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA))
+    return feats.select(
+        "media_id", "n_bytes", "duration_ms",
+        F.round("rms", 4).alias("rms"), "decode_ok",
+    ).orderBy("media_id")
+
+
+@register(
     "q_media_frame_sample",
     oracle=f"""
     WITH media AS (

@@ -222,3 +222,24 @@ def test_png_color_roundtrip_every_filter():
     for f in range(5):
         assert (decode_png_pixels(encode_png(px, filters=[f] * 11)) == px).all(), f
     assert (decode_png_pixels(encode_png(px)) == px).all()
+
+
+def test_mulaw_companding_bound_and_wav():
+    """G.711 mu-law: round-trip error within the segment-step bound
+    (|err| <= (|x|+BIAS)/16 + 1), zero maps to zero, and a mu-law WAV
+    decodes through the normal RIFF walk."""
+    from pulsar_lunar_spark.operators.multimodal import (
+        decode_wav, encode_wav_mulaw, mulaw_decode, mulaw_encode,
+    )
+
+    rng = np.random.default_rng(31)
+    x = rng.integers(-32000, 32000, 50000).astype(np.int16)
+    y = mulaw_decode(mulaw_encode(x)).astype(np.int64)
+    err = np.abs(y - x.astype(np.int64))
+    assert (err <= (np.abs(x.astype(np.int64)) + 132) / 16 + 1).all()
+    assert mulaw_decode(mulaw_encode(np.array([0])))[0] == 0
+    s = np.full(100, 500, np.int16)
+    s[1::2] *= -1
+    dur, rms = decode_wav(encode_wav_mulaw(s, rate=1000))
+    assert dur == 100
+    assert rms == 492.0  # the expanded magnitude of 500, exactly
