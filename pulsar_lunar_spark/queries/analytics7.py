@@ -232,3 +232,88 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist2") <= 2500)
         .orderBy("id_a", "id_b")
     )
+
+
+# CUSUM fold with packed state: acc = cusum + running_max * 2^31.
+# cusum' = max(0, cusum + (cents - TARGET)); max' = max(max, cusum').
+_CUSUM_TARGET = 50000  # cents
+_CUSUM_P = 1 << 31
+
+
+@register(
+    "q_cusum_drift",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               LIST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ORDER BY ts, event_id) AS cs
+        FROM events WHERE user_id <= 40 GROUP BY user_id
+    ), folded AS (
+        SELECT user_id, LEN(cs) AS n,
+               LIST_REDUCE(
+                   LIST_PREPEND(CAST(0 AS BIGINT), cs),
+                   (acc, c) -> (
+                     GREATEST(CAST(0 AS BIGINT),
+                              (acc & {_CUSUM_P - 1}) + c - {_CUSUM_TARGET})
+                     | (GREATEST(acc >> 31,
+                                 GREATEST(CAST(0 AS BIGINT),
+                                          (acc & {_CUSUM_P - 1}) + c - {_CUSUM_TARGET}))
+                        << 31))
+               ) AS acc
+        FROM seq
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(acc & {_CUSUM_P - 1} AS BIGINT) AS final_cusum,
+           CAST(acc >> 31 AS BIGINT) AS max_cusum,
+           (acc >> 31) > 2000000 AS drifted
+    FROM folded ORDER BY user_id
+    """,
+    tags=("analytics", "cusum", "drift", "fold"),
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per user: cusum_t = max(0, cusum_{t-1} +
+    (x_t - target)) — a running RECURRENCE no window frame can express
+    (each step depends nonlinearly on the previous). Realized as an
+    ordered in-group fold: collect the time-ordered cents, fold with a
+    packed integer state (cusum + running_max * 2^31) — exact BIGINT
+    arithmetic, so both engines produce identical values. Groups are
+    per-user bounded, the documented collect_list discipline."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("cs")
+    )
+    mask = F.lit(_CUSUM_P - 1).cast("long")
+
+    def _step(acc, c):
+        # shift/mask, never divide: acc can reach 2^62, beyond exact
+        # double-precision division
+        cus = F.greatest(
+            F.lit(0).cast("long"),
+            acc.bitwiseAND(mask) + c - F.lit(_CUSUM_TARGET),
+        )
+        mx = F.greatest(F.shiftright(acc, 31), cus)
+        return cus.bitwiseOR(F.shiftleft(mx, 31))
+
+    folded = seq.select(
+        "user_id",
+        F.size("cs").cast("bigint").alias("n_events"),
+        F.aggregate("cs", F.lit(0).cast("long"), _step).alias("acc"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("acc").bitwiseAND(mask).cast("bigint").alias("final_cusum"),
+        F.shiftright(F.col("acc"), 31).cast("bigint").alias("max_cusum"),
+        (F.shiftright(F.col("acc"), 31) > 2_000_000).alias("drifted"),
+    ).orderBy("user_id")
