@@ -367,3 +367,89 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SKEW_CONFS = {
+    # thresholds scaled to fixture size — the defaults (256MB/factor 5)
+    # trigger naturally on a real hot key at cluster scale
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    # the post-join aggregate adds a shuffle after the join, which the
+    # rule treats as invalidating unless forced
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def _skew_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_lunar_spark.session import ensure_parallelism
+
+    # 60% of fact rows collapse onto one hot key — the classic skewed join.
+    # ensure_parallelism gives the map side multiple output blocks; a
+    # single-mapper shuffle partition is indivisible and CANNOT be split
+    # (the skew reader's unit is one mapper's block of the hot partition).
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem")).select(
+        F.when(F.col("l_orderkey") % 5 < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 >= 3)
+        .select(F.col("o_orderkey").alias("k"))
+        .union(spark.range(1).select(F.lit(0).alias("k")))
+    )
+    return (
+        li.join(o, "k")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_aqe_skew_join",
+    oracle="""
+    WITH li AS (
+        SELECT CASE WHEN l_orderkey % 5 < 3 THEN 0 ELSE l_orderkey END AS k,
+               l_quantity
+        FROM lineitem
+    ), o AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 >= 3
+        UNION ALL SELECT 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM li JOIN o ON li.k = o.k
+    """,
+    tags=("pipeline", "optimizer", "aqe", "skew-join"),
+)
+def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting: 60% of the fact side lands on one
+    hot join key; at execution time AQE sees the oversized shuffle
+    partition and splits it across tasks, duplicating the matching build
+    rows — the runtime answer to skew that needs no manual salting
+    (the manual technique is covered separately by q_salted_join).
+    Executed under scoped thresholds (the defaults trigger naturally at
+    cluster scale) and returned localized so the overrides never leak;
+    the 'AQEShuffleRead ... skewed' node is plan-asserted in
+    tests/test_pipeline.py."""
+    prev = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _skew_join_df(spark, sf_dir)
+        rows = df.collect()
+        schema = df.schema
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)

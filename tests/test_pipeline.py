@@ -94,3 +94,24 @@ def test_bloom_filter_join_injected(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in txt
     assert "might_contain" in txt
+
+
+def test_aqe_skew_join_split(spark, sf_dir):
+    """After execution, the final adaptive plan must contain a skewed
+    AQEShuffleRead — proof the hot partition was actually split."""
+    from pulsar_lunar_spark.queries.pipeline import _SKEW_CONFS, _skew_join_df
+
+    prev = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _skew_join_df(spark, sf_dir)
+        df.collect()  # AQE decides at runtime; inspect the FINAL plan
+        txt = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skewed" in txt
