@@ -165,3 +165,41 @@ def test_corpus_ml_queries_broadcast_small_sides(name, spark, sf_dir):
         assert "BroadcastNestedLoopJoin" in plan_text(df), name
     else:
         assert uses_broadcast_join(df), name
+
+
+EXCHANGE_BUDGETS = {
+    # (max shuffle exchanges, max broadcast exchanges) per headline query —
+    # generous by 1 over the current plan so micro-changes pass, but a
+    # structural regression (a lost exchange reuse, a join that stopped
+    # broadcasting and doubled its shuffles) fails loudly.
+    "q1_pricing_summary": (3, 1),
+    "q3_shipping_priority": (2, 3),
+    "q5_local_supplier_volume": (3, 6),
+    "q9_product_profit": (3, 5),
+    "q21_waiting_suppliers": (3, 3),
+    "q_window_topk_per_group": (3, 2),
+    "q_tfidf_terms": (7, 3),
+    "q_dedup_exact": (3, 1),
+    "q_cumulative_distinct": (3, 1),
+    "q_events_session": (3, 1),
+    "q_funnel": (10, 4),
+    "q_lang_detect": (3, 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(name, spark, sf_dir):
+    """Shuffle/broadcast counts per headline plan stay within budget —
+    every Exchange is data movement the 100 TB run pays for."""
+    import re
+
+    from pulsar_lunar_spark.plans.inspect import executed_plan_text
+
+    txt = executed_plan_text(SPECS[name].fn(spark, sf_dir))
+    shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", txt)) + txt.count(
+        "Exchange SinglePartition"
+    )
+    broadcasts = txt.count("BroadcastExchange")
+    max_sh, max_bc = EXCHANGE_BUDGETS[name]
+    assert shuffles <= max_sh, f"{name}: {shuffles} shuffles (budget {max_sh})"
+    assert broadcasts <= max_bc, f"{name}: {broadcasts} broadcasts (budget {max_bc})"
