@@ -42,6 +42,8 @@ PYTHON_OK = {
     "q_media_resize",
     "q_media_png_features",
     "q_media_jpeg_features",
+    "q_media_transcode",
+    "q_media_audio_mulaw",
     # batch-6 declared Python/Arrow surfaces
     "q_map_in_arrow",
     "q_apply_in_arrow",
