@@ -317,3 +317,63 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("acc"), 31).cast("bigint").alias("max_cusum"),
         (F.shiftright(F.col("acc"), 31) > 2_000_000).alias("drifted"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_ewma_smooth",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               LIST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ORDER BY ts, event_id) AS cs
+        FROM events WHERE user_id <= 40 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEN(cs) AS BIGINT) AS n_events,
+           CAST(LIST_REDUCE(
+                    LIST_PREPEND(cs[1] * 256, cs),
+                    (acc, c) -> acc + (c * 256 - acc) // 8
+                ) AS BIGINT) AS ewma_x256
+    FROM seq ORDER BY user_id
+    """,
+    tags=("analytics", "ewma", "smoothing", "fold"),
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (alpha = 1/8) per user — like CUSUM, a recurrence no
+    window frame expresses. All-integer: values scale to cents x 256 so
+    the alpha step is an exact floor division (e' = e + (x - e) DIV 8),
+    seeded with the first value; both engines fold the identical
+    arithmetic over the time-ordered list, so the final smoothed level
+    hash-matches exactly."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("cs")
+    )
+
+    def _step(acc, c):
+        # DuckDB's // TRUNCATES toward zero on negatives (floor would
+        # differ when the level is above the new value): cast-after-divide
+        # truncates identically, and the operands stay far inside double
+        # exactness
+        return acc + ((c * 256 - acc) / 8).cast("long")
+
+    return seq.select(
+        "user_id",
+        F.size("cs").cast("bigint").alias("n_events"),
+        F.aggregate(
+            "cs",
+            (F.element_at("cs", 1) * 256).cast("long"),
+            _step,
+        ).cast("bigint").alias("ewma_x256"),
+    ).orderBy("user_id")
