@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_pagination",  # round 2: ORDER BY + OFFSET/LIMIT pagination
     "q_ewma_smooth",  # round 2: integer EWMA recurrence fold
     "q_aqe_skew_join",  # round 2: runtime skew-join splitting, plan-asserted
     "q_cusum_drift",  # round 2: CUSUM recurrence via ordered-list fold

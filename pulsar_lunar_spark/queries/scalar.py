@@ -346,3 +346,27 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name ORDER BY r_name
         """
     )
+
+
+@register(
+    "q_pagination",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("sort", "limit", "offset", "pagination"),
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pagination (page 3 of 20): ORDER BY ... LIMIT ... OFFSET via
+    DataFrame offset()/limit() — the total (acctbal, custkey) order makes
+    every page deterministic. Spark executes this as a single
+    top-(offset+limit) selection, not a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal"))
+        .orderBy(F.desc("acctbal"), F.asc("c_custkey"))
+        .offset(40)
+        .limit(20)
+    )
