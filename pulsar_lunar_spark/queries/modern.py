@@ -119,6 +119,79 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+_RECURSIVE_SPARK = """
+WITH RECURSIVE chain(orderkey, anc, depth) AS (
+    SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey <= 2000
+    UNION ALL
+    SELECT orderkey, anc DIV 10, depth + 1 FROM chain WHERE anc >= 10
+)
+SELECT depth, COUNT(*) AS n_orders, CAST(SUM(anc) AS BIGINT) AS sum_anc
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain(orderkey, anc, depth) AS (
+        SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey <= 2000
+        UNION ALL
+        SELECT orderkey, anc // 10, depth + 1 FROM chain WHERE anc >= 10
+    )
+    SELECT depth, COUNT(*) AS n_orders, CAST(SUM(anc) AS BIGINT) AS sum_anc
+    FROM chain GROUP BY depth ORDER BY depth
+    """,
+    tags=("sql", "recursive", "iteration"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): variable-depth ancestor walk
+    (parent(k) = k DIV 10, a digits-deep hierarchy derived from orderkeys),
+    aggregated into a per-depth distribution.
+
+    Spark executes the recursion as bounded iterative unions (guarded by
+    spark.sql.cteRecursionLevelLimit, default 100 — depth here is
+    log10(max key) ≈ 7 at any SF); each step is an ordinary shuffle-free
+    projection + filter over the previous frontier, so the pattern scales
+    with frontier size, not iteration count. DuckDB's `//` floors and
+    Spark's DIV truncates — identical on the all-positive keys, recorded in
+    COVERAGE.md's gotcha list."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(_RECURSIVE_SPARK)
+
+
+_PIPE_SPARK = """
+FROM lineitem
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> AGGREGATE CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             COUNT(*) AS n_rows
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, sum_qty, n_rows, sum_qty DIV n_rows AS avg_qty_floor
+|> ORDER BY l_returnflag
+|> LIMIT 10
+"""
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) // COUNT(*) AS avg_qty_floor
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 10
+    """,
+    tags=("sql", "pipe"),
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): WHERE -> AGGREGATE ->
+    SELECT -> ORDER BY -> LIMIT chained as pipeline stages. Pure surface
+    syntax — Catalyst lowers it to the identical aggregate plan as the
+    standard-SQL oracle (filter pushed to the scan, partial agg, top-level
+    sort under a limit), so there is no perf delta to the classic form."""
+    tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_PIPE_SPARK)
+
+
 @udtf(returnType="word string, pos int")
 class _SplitWords:
     """Python UDTF (table function): one input string -> one row per word.

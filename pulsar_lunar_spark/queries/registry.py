@@ -149,6 +149,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_recursive_cte",  # round 2: Spark 4 WITH RECURSIVE iterative hierarchy walk
+    "q_sql_pipe",  # round 2: Spark 4 SQL pipe (|>) operator chain
     "q_pagination",  # round 2: ORDER BY + OFFSET/LIMIT pagination
     "q_ewma_smooth",  # round 2: integer EWMA recurrence fold
     "q_aqe_skew_join",  # round 2: runtime skew-join splitting, plan-asserted
