@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.analytics5",
     "pulsar_lunar_spark.queries.analytics6",
     "pulsar_lunar_spark.queries.analytics7",
+    "pulsar_lunar_spark.queries.analytics8",
 )
 
 
@@ -149,6 +150,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_events_interpolate",  # round 2: linear gap-fill onto hourly grid
+    "q_time_weighted_avg",  # round 2: LOCF time-weighted average rollup
+    "q_snapshot_diff",  # round 2: CDC snapshot diff audit
     "q_recursive_cte",  # round 2: Spark 4 WITH RECURSIVE iterative hierarchy walk
     "q_sql_pipe",  # round 2: Spark 4 SQL pipe (|>) operator chain
     "q_pagination",  # round 2: ORDER BY + OFFSET/LIMIT pagination
