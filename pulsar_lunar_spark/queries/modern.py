@@ -192,6 +192,70 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PIPE_SPARK)
 
 
+_COLLATION_SPARK = """
+WITH m AS (
+    SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type)
+                ELSE LOWER(p_type) END AS t
+    FROM part
+)
+SELECT LOWER(t COLLATE UTF8_LCASE) AS type_ci,
+       COUNT(*) AS n,
+       COUNT(DISTINCT t COLLATE UTF8_LCASE) AS n_ci_variants,
+       COUNT(DISTINCT t) AS n_raw_variants
+FROM m GROUP BY t COLLATE UTF8_LCASE
+ORDER BY type_ci
+"""
+
+
+@register(
+    "q_collation",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type)
+                    ELSE LOWER(p_type) END AS t
+        FROM part
+    )
+    SELECT LOWER(t) AS type_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT LOWER(t)) AS n_ci_variants,
+           COUNT(DISTINCT t) AS n_raw_variants
+    FROM m GROUP BY LOWER(t)
+    ORDER BY type_ci
+    """,
+    tags=("sql", "collation", "string"),
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4 COLLATE): group and count-distinct under
+    UTF8_LCASE over a deterministically case-mixed derivation of p_type
+    (even keys upper, odd lower). The collation-aware group key hashes and
+    compares case-insensitively inside the JVM aggregate — no lower()
+    normalization pass — and the emitted key is re-lowered so the output
+    is deterministic regardless of which variant each engine surfaces.
+    Oracle is the LOWER()-normalized twin."""
+    tables(spark, sf_dir, names=("part",))
+    return spark.sql(_COLLATION_SPARK)
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT p_brand, p_type, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
+FROM part GROUP BY ALL ORDER BY ALL LIMIT 50
+"""
+
+
+@register(
+    "q_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("sql", "groupby"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 convenience syntax, shared
+    with DuckDB — the same SQL text runs on both engines): all
+    non-aggregate select items become the grouping key, and ORDER BY ALL
+    sorts left-to-right, so the LIMIT is total-order deterministic."""
+    tables(spark, sf_dir, names=("part",))
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
 @udtf(returnType="word string, pos int")
 class _SplitWords:
     """Python UDTF (table function): one input string -> one row per word.

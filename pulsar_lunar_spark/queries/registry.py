@@ -150,6 +150,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_collation",  # round 2: UTF8_LCASE collation-aware grouping
+    "q_group_by_all",  # round 2: GROUP BY ALL / ORDER BY ALL syntax
     "q_events_interpolate",  # round 2: linear gap-fill onto hourly grid
     "q_time_weighted_avg",  # round 2: LOCF time-weighted average rollup
     "q_snapshot_diff",  # round 2: CDC snapshot diff audit
