@@ -30,6 +30,19 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# InferFiltersFromGenerate turns explode(col) into a `size(col) > 0` filter;
+# when `col` aliases an expensive expression (the shingle HOF), filter
+# pushdown substitutes the definition and sinks it BELOW the parallelizing
+# exchange — the whole corpus's shingle transform then runs once on the
+# scan's single input split (serial) and AGAIN after the exchange.  Measured
+# on q_contamination at sf0.1: 4.4 s -> 0.94 s steady-state from excluding
+# the rule.  Semantics are unaffected (Generate with outer=false already
+# skips empty arrays); the inferred filter is purely an early-prune that
+# never helps our plans (derived arrays are non-empty by construction).
+_EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def get_spark(app_name: str = "pulsar-lunar-spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a tuned SparkSession.
@@ -50,6 +63,7 @@ def get_spark(app_name: str = "pulsar-lunar-spark", cpus: int | None = None) -> 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
@@ -66,6 +80,7 @@ def _configure(spark: SparkSession) -> None:
     raw nanos, re-typed in load_table the way DuckDB truncates to micros).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
