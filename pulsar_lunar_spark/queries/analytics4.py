@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.queries.registry import register
-from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
 
 
 @register(
@@ -146,7 +146,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two hash aggregates + one shuffle join on the trigram key; the
     trigram space dominates, so the join is hash-partitioned on g —
     never broadcast (df can be corpus-wide)."""
-    d = load_table(spark, sf_dir, "documents")
+    # scale-out BEFORE the interpreted trigram transform: the single-split
+    # parquet scan otherwise serializes the whole tokenize+shingle stage
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.filter(

@@ -106,6 +106,57 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_xml_source_roundtrip",
+    oracle=_NATION_AGG_ORACLE,
+    tags=("format", "xml", "sink", "source"),
+)
+def q_xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML files (Spark 4 native XML data source, rowTag
+    records) → read with explicit schema → join/agg. The file-level twin
+    of q_xml_roundtrip's to_xml/from_xml column serde: same lossless
+    contract, but through the writer/reader path a 100 TB XML feed would
+    use (per-partition streaming rewrite, no shuffle)."""
+    return _nation_roundtrip(spark, sf_dir, "xml", rowTag="nation")
+
+
+@register(
+    "q_binary_source",
+    oracle="""
+    SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           MD5(text) AS content_md5
+    FROM documents WHERE doc_id < 40 ORDER BY doc_id
+    """,
+    tags=("format", "binary", "source", "multimodal"),
+)
+def q_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile ingestion — the opaque-blob scan a multimodal pipeline
+    starts from (one row per object: path / length / content bytes, the
+    content column feeding the decode UDFs in operators/multimodal.py).
+    Fixture: 40 bounded per-doc files written from documents.text (UTF-8
+    bytes, overwrite-idempotent); the read path under test parses the id
+    from the file path and must recover byte length + md5 exactly — the
+    same (path, bytes) contract as an object-store image/audio bucket.
+    At scale the binaryFile source lists and splits by file, so the scan
+    parallelizes per object with no shuffle."""
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    path = _roundtrip_dir(sf_dir, "binary_docs")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    # bounded fixture build (40 rows) — the operator under test is the read
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(path, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(path)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "q_corrupt_records",
     oracle="""
     SELECT CASE WHEN doc_id % 7 = 0 THEN '__corrupt__' ELSE lang END AS bucket,

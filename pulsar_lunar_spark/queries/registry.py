@@ -150,6 +150,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_binary_source",  # round 2: binaryFile multimodal ingestion scan
+    "q_xml_source_roundtrip",  # round 2: Spark 4 native XML file source
     "q_collation",  # round 2: UTF8_LCASE collation-aware grouping
     "q_group_by_all",  # round 2: GROUP BY ALL / ORDER BY ALL syntax
     "q_events_interpolate",  # round 2: linear gap-fill onto hourly grid
