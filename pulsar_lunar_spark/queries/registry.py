@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.analytics6",
     "pulsar_lunar_spark.queries.analytics7",
     "pulsar_lunar_spark.queries.analytics8",
+    "pulsar_lunar_spark.queries.maintenance_q",
 )
 
 
@@ -150,6 +151,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_merge_upsert",  # round 2: CDC MERGE write path, driver-checked
+    "q_snapshot_timetravel",  # round 2: multi-version time travel read
+    "q_compact_files",  # round 2: small-file compaction integrity
     "q_binary_source",  # round 2: binaryFile multimodal ingestion scan
     "q_xml_source_roundtrip",  # round 2: Spark 4 native XML file source
     "q_collation",  # round 2: UTF8_LCASE collation-aware grouping
