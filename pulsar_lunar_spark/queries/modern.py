@@ -256,6 +256,70 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUP_BY_ALL_SQL)
 
 
+_BITMAP_SPARK = """
+WITH b AS (
+    SELECT o_orderpriority, bitmap_bucket_number(o_custkey) AS bucket,
+           bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct_cust
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "bitmap", "distinct"),
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-rollup exact distinct (Spark 4 bitmap_construct_agg /
+    bitmap_count): ids land as bits in fixed 4 KB bucket bitmaps —
+    (group, bucket) cells are mergeable partial states, and the rollup
+    sums bit counts per group. EXACT (unlike HLL, q_hll_distinct) yet
+    still O(id-range/8) bytes per cell instead of shuffling every id —
+    the roaring-bitmap pattern warehouses use for billion-row distinct
+    rollups; at 100 TB the cell layer is a reusable materialized rollup.
+    Oracle: plain COUNT(DISTINCT), value-equal by construction."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(_BITMAP_SPARK)
+
+
+@register(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE 10.0 / (o_orderkey % 3) END AS safe_div,
+           CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+                ELSE NULL END AS safe_add,
+           TRY_CAST(o_orderpriority AS INTEGER) AS safe_cast
+    FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey
+    """,
+    tags=("function", "try", "null-safety"),
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe SQL arithmetic (try_divide / try_add / try_cast):
+    division by zero, BIGINT overflow, and a non-numeric cast each yield
+    NULL instead of failing the job — the per-row error-tolerance contract
+    a 100 TB batch needs (one poison row must not kill a stage). The
+    oracle proves each NULL lands exactly where the guarded expression
+    says it must."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               try_divide(10, o_orderkey % 3) AS safe_div,
+               try_add(9223372036854775807, o_orderkey) AS safe_add,
+               try_cast(o_orderpriority AS INT) AS safe_cast
+        FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey
+        """
+    )
+
+
 @udtf(returnType="word string, pos int")
 class _SplitWords:
     """Python UDTF (table function): one input string -> one row per word.

@@ -151,6 +151,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_bitmap_distinct",  # round 2: bitmap-rollup exact distinct
+    "q_try_arithmetic",  # round 2: try_* error-safe arithmetic
     "q_merge_upsert",  # round 2: CDC MERGE write path, driver-checked
     "q_snapshot_timetravel",  # round 2: multi-version time travel read
     "q_compact_files",  # round 2: small-file compaction integrity
