@@ -320,6 +320,77 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(FLOOR(c.c_acctbal * 100) / 100 * 1.1), 4) AS taxed_balance,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey < 10
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    tags=("sql", "udf", "sql-function"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN): a
+    scalar SQL UDF (declarative expression — inlined by Catalyst into the
+    plan, full codegen, unlike Python UDFs) and a parameterized SQL table
+    function used as a FROM-clause relation. The oracle inlines both
+    bodies, so a hash match proves the function registry resolves to
+    exactly the declared expressions."""
+    tables(spark, sf_dir, names=("customer", "nation"))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed(b DOUBLE) RETURNS DOUBLE "
+        "RETURN FLOOR(b * 100) / 100 * 1.1"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION nations_below(k INT) "
+        "RETURNS TABLE(n_nationkey INT, n_name STRING) "
+        "RETURN SELECT CAST(n_nationkey AS INT), n_name FROM nation WHERE n_nationkey < k"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               ROUND(SUM(taxed(c.c_acctbal)), 4) AS taxed_balance,
+               COUNT(*) AS n_customers
+        FROM customer c JOIN nations_below(10) n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    )
+
+
+@register(
+    "q_sql_variables",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey % 10 < 3
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sql", "variables"),
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR): a
+    typed variable declared, reassigned, and referenced inside a query —
+    the session-scripting surface for parameterized jobs (the SQL-native
+    twin of q_sql_parameterized's named-parameter binding). Constant-
+    folded at plan time, so the filter still pushes to the scan."""
+    tables(spark, sf_dir, names=("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE key_mod_cutoff INT DEFAULT 1")
+    spark.sql("SET VAR key_mod_cutoff = 3")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE o_orderkey % 10 < key_mod_cutoff
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
 @udtf(returnType="word string, pos int")
 class _SplitWords:
     """Python UDTF (table function): one input string -> one row per word.
