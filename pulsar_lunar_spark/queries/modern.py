@@ -391,6 +391,38 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pandas_api",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("api", "pandas-on-spark"),
+)
+def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (pyspark.pandas): the drop-in pandas dialect a
+    data-science user writes — groupby/agg on a pandas-shaped frame —
+    executing as the SAME distributed Catalyst plan (pandas_api() is a
+    zero-copy view over the DataFrame; to_spark() hands the logical plan
+    back). Coverage for the third user-facing API alongside DataFrame
+    and SQL; no driver-side materialization anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    pdf = o.select("o_orderpriority", "o_orderkey").pandas_api()
+    g = pdf.groupby("o_orderpriority", as_index=False).agg(
+        n=("o_orderkey", "count"), key_sum=("o_orderkey", "sum")
+    )
+    return (
+        g.to_spark()
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("key_sum").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @udtf(returnType="word string, pos int")
 class _SplitWords:
     """Python UDTF (table function): one input string -> one row per word.
