@@ -461,7 +461,10 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(normalize_text(F.col("text")), " ")
     tok = d.select("doc_id", "lang", F.explode(words).alias("word"))
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
-    tot = tok.select(F.count(F.lit(1)).alias("n_tok"))
+    # total tokens = sum of the vocabulary's term frequencies — derived
+    # from the (tiny) freq aggregate instead of a third pass over the
+    # exploded corpus
+    tot = freq.agg(F.sum("tf").alias("n_tok"))
     wmic = F.floor(
         -F.log(F.col("tf").cast("double") / F.col("n_tok")) * 1000000 + 0.5
     ).cast("bigint")
