@@ -186,6 +186,14 @@ EXCHANGE_BUDGETS = {
     "q_events_session": (3, 1),
     "q_funnel": (10, 4),
     "q_lang_detect": (3, 1),
+    # round-2 additions
+    "q_events_interpolate": (4, 1),  # grid-bounds agg + shared window sort + output sort
+    "q_time_weighted_avg": (3, 1),  # LEAD window and groupBy share one user_id exchange
+    "q_snapshot_diff": (5, 1),  # full-outer join (2) + agg + sort
+    "q_bitmap_distinct": (4, 1),  # cell agg + rollup + sort
+    "q_contamination": (4, 2),  # bench side broadcasts; corpus shingles shuffle once
+    "q_hll_distinct": (7, 2),  # one corpus distinct exchange feeds both branches
+    "q_recursive_cte": (3, 1),  # per-depth agg + sort; iteration adds no exchanges
 }
 
 
