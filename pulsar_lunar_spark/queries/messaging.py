@@ -324,3 +324,61 @@ def q_seek_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sequence_id").cast("bigint").alias("last_seq"),
         F.countDistinct("key").cast("bigint").alias("n_keys"),
     )
+
+
+@register(
+    "q_payload_encryption",
+    oracle="""
+    SELECT 'AES/GCM/NoPadding' AS algo, 'k16-v1' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events WHERE event_id < 3000
+    """,
+    tags=("messaging", "encryption", "serde"),
+)
+def q_payload_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end payload encryption through the envelope: encrypt the
+    JSON payload bytes with JVM-side AES-GCM (F.aes_encrypt — random IV
+    per row, authenticated), carry the key name + algorithm in the
+    envelope ``properties`` map exactly as the reference producer passes
+    encryption_keys/encryption_algo through the wire
+    (/root/reference/src/message/producer.rs:43-48,
+    entity/producer.rs:552-585 — the client transports the metadata; the
+    cipher itself is app-level), then decrypt + decode and aggregate.
+    A hash match against the plaintext oracle proves the
+    encrypt->transport->decrypt path is lossless; the ciphertext itself
+    is never emitted (IVs are random), only its decryption.
+
+    Scale: both cipher directions are per-row JVM expressions inside the
+    scan/shuffle pipeline — no Python, no extra exchange."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    env = to_envelope(
+        e,
+        topic=F.lit("events.secure"),
+        payload_cols=["event_id", "value"],
+        key="user_id",
+        event_time="ts",
+        sequence_id="event_id",
+        publish_time="ts",
+    )
+    key = F.lit("pulsar-lunar-k16")
+    sealed = env.withColumn("value", F.aes_encrypt(F.col("value"), key)).withColumn(
+        "properties",
+        F.create_map(
+            F.lit("encryption_algo"), F.lit("AES/GCM/NoPadding"),
+            F.lit("encryption_key_name"), F.lit("k16-v1"),
+        ),
+    )
+    opened = sealed.withColumn("value", F.aes_decrypt(F.col("value"), key))
+    decoded = decode_payload(
+        opened,
+        StructType(
+            [StructField("event_id", LongType()), StructField("value", DoubleType())]
+        ),
+    )
+    return decoded.agg(
+        F.first(F.col("properties")["encryption_algo"]).alias("algo"),
+        F.first(F.col("properties")["encryption_key_name"]).alias("key_name"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("payload.value"), 4).alias("total_value"),
+    )

@@ -151,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_payload_encryption",  # round 2: AES payload seal/open via envelope
     "q_pandas_api",  # round 2: pandas-on-Spark API surface
     "q_sql_udf",  # round 2: CREATE FUNCTION scalar + table SQL UDFs
     "q_sql_variables",  # round 2: DECLARE VARIABLE / SET VAR scripting
