@@ -295,6 +295,47 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_asof_tolerance",
+    oracle="""
+    SELECT p.event_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CASE WHEN FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(c.ts)) <= 3600
+                THEN STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts,
+           CASE WHEN FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(c.ts)) <= 3600
+                THEN ROUND(c.value, 4) END AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof semantics):
+    the latest prior click counts only if it is within 1 hour of the
+    purchase — stale state older than the tolerance enriches as NULL
+    instead of carrying forward forever (the freshness contract a
+    feature-store lookup needs). Same single-shuffle union+window
+    machinery; the tolerance is a post-window predicate on floored epoch
+    seconds, replicated exactly in the oracle's CASE guard."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["value"], tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.round("value_asof", 4).alias("click_value"),
+    ).orderBy("event_id")
+
+
+@register(
     "q_events_asof_forward",
     oracle="""
     SELECT c.event_id,

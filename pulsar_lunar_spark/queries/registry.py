@@ -151,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # Queries added in the current round (reset each round after the driver
 # confirms them): ordered to the registry head.
 _NEWEST_FIRST = (
+    "q_events_asof_tolerance",  # round 2: tolerance-bounded as-of join
     "q_payload_encryption",  # round 2: AES payload seal/open via envelope
     "q_pandas_api",  # round 2: pandas-on-Spark API surface
     "q_sql_udf",  # round 2: CREATE FUNCTION scalar + table SQL UDFs
