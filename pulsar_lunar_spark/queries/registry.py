@@ -148,8 +148,13 @@ def all_queries() -> dict[str, QuerySpec]:
     return {s.name: s for s in first + rest + seen}
 
 
-# Queries added in the current round (reset each round after the driver
-# confirms them): ordered to the registry head.
+# Curated registry head: the driver samples ~50 queries head-first, so
+# the window is budgeted deliberately — (a) every query added this round
+# (the least-verified code), then (b) one representative per SURVEY §2B
+# row that has never had a driver-confirmed green row (function families,
+# UDF surface, envelope serde, text/LLM ops — all builder-verified at
+# sf0.01/sf0.1 but absent from CORRECTNESS_r01), then (c) the remaining
+# round-2 additions. Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
     "q_events_asof_tolerance",  # round 2: tolerance-bounded as-of join
     "q_payload_encryption",  # round 2: AES payload seal/open via envelope
@@ -170,6 +175,22 @@ _NEWEST_FIRST = (
     "q_snapshot_diff",  # round 2: CDC snapshot diff audit
     "q_recursive_cte",  # round 2: Spark 4 WITH RECURSIVE iterative hierarchy walk
     "q_sql_pipe",  # round 2: Spark 4 SQL pipe (|>) operator chain
+    # (b) §2B rows with no driver-confirmed row yet — one rep each
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_envelope_roundtrip",
+    "q_dedup_exact",
+    "q_lang_detect",
+    "q_text_stats",
+    "q_python_udf",
+    "q_pandas_udf_scalar",
+    "q_apply_in_pandas",
+    "q_udtf_split",
+    # (c) remaining round-2 additions
     "q_pagination",  # round 2: ORDER BY + OFFSET/LIMIT pagination
     "q_ewma_smooth",  # round 2: integer EWMA recurrence fold
     "q_aqe_skew_join",  # round 2: runtime skew-join splitting, plan-asserted
