@@ -423,6 +423,54 @@ def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRIPT_SPARK = """
+BEGIN
+  DECLARE k INT DEFAULT 0;
+  DECLARE n_high BIGINT DEFAULT 0;
+  DECLARE n_low BIGINT DEFAULT 0;
+  DECLARE classes_seen INT DEFAULT 0;
+  WHILE k < 5 DO
+    IF k % 2 = 0 THEN
+      SET n_high = n_high + (SELECT COUNT(*) FROM orders
+                             WHERE o_orderkey % 5 = k AND o_totalprice >= 100000);
+    ELSE
+      SET n_low = n_low + (SELECT COUNT(*) FROM orders
+                           WHERE o_orderkey % 5 = k AND o_totalprice < 100000);
+    END IF;
+    SET classes_seen = classes_seen + 1;
+    SET k = k + 1;
+  END WHILE;
+  SELECT classes_seen, n_high, n_low;
+END
+"""
+
+
+@register(
+    "q_sql_scripting",
+    oracle="""
+    SELECT 5 AS classes_seen,
+           CAST(COUNT(*) FILTER ((o_orderkey % 5) IN (0, 2, 4)
+                                 AND o_totalprice >= 100000)
+                AS BIGINT) AS n_high,
+           CAST(COUNT(*) FILTER ((o_orderkey % 5) IN (1, 3)
+                                 AND o_totalprice < 100000)
+                AS BIGINT) AS n_low
+    FROM orders
+    """,
+    tags=("sql", "scripting"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN...END procedural blocks): DECLARE'd
+    accumulators, a WHILE loop over modulo classes, IF/ELSE branching, and
+    SET assignments fed by scalar-subquery probes — the stored-procedure-
+    style control flow for multi-step SQL jobs. The oracle collapses the
+    loop analytically: the even-k iterations union to the predicate
+    `o_orderkey % 5 IN (0,2,4)` and the odd-k ones to `IN (1,3)`, so two
+    filtered counts must equal the script's accumulators exactly."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(_SCRIPT_SPARK)
+
+
 @udtf(returnType="word string, pos int")
 class _SplitWords:
     """Python UDTF (table function): one input string -> one row per word.
