@@ -65,6 +65,12 @@ FRAME_SAMPLE_SCHEMA = (
     "media_id string, frame_index int, frame_ms int, frame bytes"
 ).replace("bytes", "binary")
 
+#: Output schema of REAL (decoded) video frame sampling.
+AVI_FRAME_SCHEMA = (
+    "media_id string, frame_index int, frame_ms int, width int, height int, "
+    "luma_sum long, decode_ok boolean"
+)
+
 
 # -- real codecs (pure python + numpy; no external media libs needed) ------
 
@@ -327,6 +333,101 @@ def decode_png(content: bytes) -> tuple[int, int, float]:
     return (w, h, float(px.astype(np.float64).mean()) if px.size else 0.0)
 
 
+def encode_avi(frames: np.ndarray, usec_per_frame: int = 500_000) -> bytes:
+    """Encode (n, h, w) uint8 luma frames as an uncompressed RIFF AVI
+    ('vids'/'DIB ' stream, 24-bpp BI_RGB '00db' frames — the raw-DIB
+    container every AVI reader accepts). Pure stdlib struct packing:
+    hdrl(avih + strl(strh/strf)) + movi(per-frame chunks), chunks padded
+    to even length per the RIFF rules."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    dibs = []
+    for f in frames:
+        data = np.zeros((h, row_size), dtype=np.uint8)
+        data[:, : w * 3] = np.repeat(f[::-1], 3, axis=1)  # bottom-up BGR
+        dibs.append(data.tobytes())
+    frame_bytes = len(dibs[0]) if dibs else 0
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<14I", usec_per_frame, frame_bytes * 1_000_000 // max(usec_per_frame, 1),
+        0, 0, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, usec_per_frame, 1_000_000, 0, n,
+        frame_bytes, -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(content: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+    """Decode an uncompressed RIFF AVI to (width, height, usec_per_frame,
+    [per-frame (h, w) uint8 luma]). Raises ValueError for corrupt bytes
+    and NotImplementedError for compressed streams (non-DIB handler or
+    biCompression != 0 — those genuinely need ffmpeg)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_lo = pos + 8
+            body_hi = body_lo + size
+            if body_hi > end:
+                raise ValueError("truncated AVI chunk")
+            yield fourcc, body_lo, body_hi
+            pos = body_hi + (size % 2)  # RIFF even-byte padding
+
+    usec = w = h = None
+    dib_frames: list[bytes] = []
+
+    def scan(lo: int, hi: int) -> None:
+        nonlocal usec, w, h
+        for fourcc, b_lo, b_hi in walk(content, lo, hi):
+            if fourcc == b"LIST":
+                scan(b_lo + 4, b_hi)  # skip the list-subtype fourcc
+            elif fourcc == b"avih":
+                (usec,) = struct.unpack_from("<I", content, b_lo)
+            elif fourcc == b"strh":
+                fcc_type, handler = struct.unpack_from("<4s4s", content, b_lo)
+                if fcc_type == b"vids" and handler not in (b"DIB ", b"\x00" * 4, b"    "):
+                    raise NotImplementedError(f"AVI codec {handler!r} needs ffmpeg")
+            elif fourcc == b"strf":
+                _, w_, h_, _, bpp, comp = struct.unpack_from("<IiiHHI", content, b_lo)
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(f"AVI {bpp}-bpp compression={comp} unsupported")
+                w, h = w_, abs(h_)
+            elif fourcc in (b"00db", b"00dc"):
+                dib_frames.append(content[b_lo:b_hi])
+
+    scan(12, 8 + struct.unpack_from("<I", content, 4)[0])
+    if usec is None or w is None:
+        raise ValueError("AVI missing avih/strf headers")
+    row_size = (w * 3 + 3) // 4 * 4
+    frames = []
+    for d in dib_frames:
+        if len(d) < row_size * h:
+            raise ValueError("truncated AVI frame")
+        px = np.frombuffer(d, np.uint8, count=row_size * h).reshape(h, row_size)
+        frames.append(px[:, : w * 3].reshape(h, w, 3)[:, :, 0][::-1])  # luma, top-down
+    return (w, h, int(usec), frames)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """Encode int16 mono samples as a canonical PCM WAV (RIFF/fmt /data)."""
     data = np.asarray(samples, dtype="<i2").tobytes()
@@ -528,6 +629,48 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     return df.filter(F.col("media_type") == "video").mapInPandas(
         _sample, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def sample_avi_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling over uncompressed AVI content: decode the
+    RIFF container (decode_avi), pick every k-th frame where
+    k = every_ms·1000 // usec_per_frame, and emit per-sampled-frame
+    dimensions + the exact integer luma sum of the DECODED pixels.
+    One video row fans out to N frame rows inside mapInPandas — bytes
+    never cross a Python row boundary, and the stage is map-only (no
+    shuffle); at 100 TB the fan-out parallelism is the scan's file
+    splits. Compressed streams surface as decode_ok=false rows (one per
+    video) rather than failing the batch."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                try:
+                    w, h, usec, frames = decode_avi(content)
+                except (ValueError, NotImplementedError):
+                    rows.append((r["media_id"], -1, -1, None, None, None, False))
+                    continue
+                step = max(1, every_ms * 1000 // max(usec, 1))
+                for j, idx in enumerate(range(0, len(frames), step)):
+                    rows.append(
+                        (
+                            r["media_id"], j, idx * usec // 1000, w, h,
+                            int(frames[idx].astype(np.int64).sum()), True,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "frame_ms", "width", "height",
+                    "luma_sum", "decode_ok",
+                ],
+            )
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(
+        _sample, schema=AVI_FRAME_SCHEMA
     )
 
 

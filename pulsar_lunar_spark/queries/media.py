@@ -79,10 +79,16 @@ def _media_df(spark: SparkSession, sf_dir: str, only: str | None = None) -> Data
                          None, None, None)
                     )
                 else:
-                    content = (text or "").encode("utf-8")
+                    # real uncompressed AVI: gradient frames
+                    # pixel(y, x, f) = (x + y + 3f) % 256 — max 44, so the
+                    # modulo is the identity and luma sums have closed form
+                    w, h, n = did % 13 + 2, did % 11 + 2, did % 6 + 2
+                    y, x = np.mgrid[0:h, 0:w]
+                    frames = np.stack([(x + y + 3 * f) % 256 for f in range(n)])
                     rows.append(
-                        (f"m{did}", "video", content, "mp4", None, None,
-                         len(content) % 4000 + 1)
+                        (f"m{did}", "video",
+                         M.encode_avi(frames.astype(np.uint8), usec_per_frame=500_000),
+                         "avi", None, None, n * 500)
                     )
             yield pd.DataFrame(
                 rows,
@@ -386,30 +392,45 @@ def q_media_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_media_frame_sample",
     oracle=f"""
-    WITH media AS (
-      SELECT media_id, text_bytes % 4000 + 1 AS duration_ms
+    WITH vid AS (
+      SELECT media_id,
+             doc_id % 13 + 2 AS w, doc_id % 11 + 2 AS h, doc_id % 6 + 2 AS n
       FROM ({_MEDIA_SQL}) WHERE media_type = 'video'
     )
     SELECT media_id,
-           CAST(i AS INT) AS frame_index,
-           CAST(i * 1000 AS INT) AS frame_ms
+           CAST(j AS INT) AS frame_index,
+           CAST(j * 1000 AS INT) AS frame_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(h * (w * (w - 1)) // 2 + w * (h * (h - 1)) // 2
+                + 3 * (2 * j) * w * h AS BIGINT) AS luma_sum,
+           TRUE AS decode_ok
     FROM (
-      SELECT media_id,
-             UNNEST(RANGE(0, CAST(CEIL(GREATEST(duration_ms, 1) / 1000.0) AS BIGINT))) AS i
-      FROM media
+      SELECT media_id, w, h, n,
+             UNNEST(RANGE(0, (n - 1) // 2 + 1)) AS j
+      FROM vid
     )
     ORDER BY media_id, frame_index
     """,
-    tags=("multimodal", "video", "fanout"),
+    tags=("multimodal", "video", "fanout", "decode"),
 )
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: 1 video row fans out to N frame rows from
-    mapInPandas (1 frame per second of metadata duration; the frame-byte
-    extraction itself stays stubbed — video codecs need ffmpeg)."""
-    frames = M.sample_frames(_media_df(spark, sf_dir, only="video"), every_ms=1000)
-    return frames.select("media_id", "frame_index", "frame_ms").orderBy(
-        "media_id", "frame_index"
-    )
+    """REAL video frame sampling: gradient videos are packed as genuine
+    uncompressed RIFF AVI containers (multimodal.encode_avi — 24-bpp DIB
+    '00db' frames, 2 fps), then mapInPandas decodes the container
+    (decode_avi: RIFF chunk walk + DIB unpack), samples one frame per
+    second (every 2nd frame), and emits each sampled frame's decoded
+    dimensions + exact integer luma sum.
+
+    The oracle is the closed form of the gradient: pixel(y,x,f) =
+    x + y + 3f (all < 256, so no modulo), hence luma_sum(f) =
+    h·w(w−1)/2 + w·h(h−1)/2 + 3f·w·h with f = 2j — any mis-parse of the
+    container (row padding, bottom-up order, chunk offsets) breaks the
+    hash. Compressed codecs still raise honestly (ffmpeg territory)."""
+    frames = M.sample_avi_frames(_media_df(spark, sf_dir, only="video"), every_ms=1000)
+    return frames.select(
+        "media_id", "frame_index", "frame_ms", "width", "height",
+        "luma_sum", "decode_ok",
+    ).orderBy("media_id", "frame_index")
 
 
 @register(

@@ -243,3 +243,68 @@ def test_mulaw_companding_bound_and_wav():
     dur, rms = decode_wav(encode_wav_mulaw(s, rate=1000))
     assert dur == 100
     assert rms == 492.0  # the expanded magnitude of 500, exactly
+
+
+def test_avi_roundtrip_pixel_exact():
+    """encode_avi -> decode_avi recovers every frame bit-exactly,
+    including odd widths (row padding) and bottom-up re-flip."""
+    import numpy as np
+
+    from pulsar_lunar_spark.operators.multimodal import decode_avi, encode_avi
+
+    y, x = np.mgrid[0:5, 0:7]
+    frames = np.stack([(x + y + 3 * f) % 256 for f in range(4)]).astype(np.uint8)
+    w, h, usec, out = decode_avi(encode_avi(frames, usec_per_frame=500_000))
+    assert (w, h, usec, len(out)) == (7, 5, 500_000, 4)
+    for f in range(4):
+        assert np.array_equal(out[f], frames[f])
+    odd = np.arange(9, dtype=np.uint8).reshape(1, 3, 3)
+    w2, h2, u2, o2 = decode_avi(encode_avi(odd, usec_per_frame=40_000))
+    assert (w2, h2, u2) == (3, 3, 40_000) and np.array_equal(o2[0], odd[0])
+
+
+def test_avi_rejects_corrupt_and_compressed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pulsar_lunar_spark.operators.multimodal import decode_avi, encode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"not an avi at all")
+    avi = bytearray(encode_avi(np.zeros((1, 2, 2), dtype=np.uint8)))
+    pos = bytes(avi).find(b"DIB ")
+    avi[pos : pos + 4] = b"H264"
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(avi))
+
+
+def test_sample_avi_frames_fanout(spark):
+    """1 AVI row -> N sampled-frame rows with decoded dims + luma sums;
+    a non-AVI payload yields a single decode_ok=false row, not a crash."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_lunar_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        sample_avi_frames,
+    )
+
+    frames = np.stack([np.full((2, 2), f, dtype=np.uint8) for f in range(5)])
+    rows = [
+        ("v1", "video", encode_avi(frames, usec_per_frame=500_000), "avi",
+         None, None, 2500),
+        ("v2", "video", b"garbage-bytes", "avi", None, None, 10),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA,
+    )
+    out = {(r["media_id"], r["frame_index"]): r for r in sample_avi_frames(df).collect()}
+    # every_ms=1000 at 2 fps -> frames 0, 2, 4
+    assert [k for k in out if k[0] == "v1"] == [("v1", 0), ("v1", 1), ("v1", 2)]
+    assert [out[("v1", j)]["luma_sum"] for j in range(3)] == [0, 8, 16]
+    assert out[("v1", 1)]["frame_ms"] == 1000
+    assert out[("v2", -1)]["decode_ok"] is False
