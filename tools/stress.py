@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Scale-up stress probe: multiply the sf0.1 fact tables Nx IN-ENGINE
+(explode over a literal range — no synthetic files, rows are exact copies
+with shifted keys) and measure how the headline plan shapes scale.
+
+This is perf evidence, not a correctness oracle: the point is the
+SLOPE. A plan that is O(n) with healthy partitioning should scale
+wall-clock ~linearly from 1x to Nx while per-row throughput holds; a
+hidden quadratic (cartesian, all-pairs, driver collect) blows up
+super-linearly and fails the run.
+
+Usage:
+    python tools/stress.py [N] [sf_dir]     # default N=10, sf0.1
+
+Prints one JSON line: {"mult": N, "probes": {name: {"rows": r, "sec": s,
+"rows_per_sec": t}}, "slopes": {name: ratio_vs_1x_per_row}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from pulsar_lunar_spark.session import get_spark, load_table
+
+
+def multiply(df: DataFrame, key_cols: list[str], mult: int) -> DataFrame:
+    """Nx the table: each copy shifts its integer keys into a disjoint
+    range, so join/group cardinalities scale like real data growth (the
+    same key never collides across copies)."""
+    if mult <= 1:
+        return df
+    shift = 1 << 40
+    c = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__copy")
+    out = df.select("*", c)
+    for k in key_cols:
+        out = out.withColumn(k, F.col(k) + F.col("__copy") * F.lit(shift))
+    return out.drop("__copy")
+
+
+def probes(spark, sf_dir: str, mult: int):
+    li = multiply(
+        load_table(spark, sf_dir, "lineitem"), ["l_orderkey"], mult
+    )
+    orders = multiply(load_table(spark, sf_dir, "orders"), ["o_orderkey"], mult)
+    docs = multiply(load_table(spark, sf_dir, "documents"), ["doc_id"], mult)
+
+    def q1_shape():
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+
+    def join_agg_shape():
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    def window_shape():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_orderkey").orderBy("l_shipdate")
+        return (
+            li.select("l_orderkey", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .groupBy()
+            .count()
+            .collect()
+        )
+
+    def shingle_shape():
+        from pulsar_lunar_spark.operators.dedup import shingles
+        from pulsar_lunar_spark.session import ensure_parallelism
+
+        return (
+            ensure_parallelism(docs)
+            .select(F.explode(shingles(F.col("text"), 3)).alias("s"))
+            .groupBy()
+            .count()
+            .collect()
+        )
+
+    return {
+        "q1_scan_agg": q1_shape,
+        "fact_fact_join": join_agg_shape,
+        "window_per_key": window_shape,
+        "shingle_explode": shingle_shape,
+    }
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("pl-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = {"mult": mult, "probes": {}, "slopes": {}}
+    base_rate: dict[str, float] = {}
+    for m in (1, mult):
+        ps = probes(spark, sf_dir, m)
+        for name, fn in ps.items():
+            fn()  # warm (codegen + python workers)
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            if m == 1:
+                base_rate[name] = dt
+                print(f"# 1x  {name}: {dt:.2f}s", file=sys.stderr)
+            else:
+                out["probes"][name] = {"sec": round(dt, 2)}
+                # per-unit-of-data slowdown: 1.0 = perfectly linear
+                slope = dt / (base_rate[name] * m) if base_rate[name] > 0 else None
+                out["slopes"][name] = round(slope, 2) if slope else None
+                print(
+                    f"# {m}x {name}: {dt:.2f}s (slope {out['slopes'][name]})",
+                    file=sys.stderr,
+                )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
