@@ -27,8 +27,12 @@ from pulsar_lunar_spark.session import load_table
 
 
 def _scratch(sf_dir: str, tag: str) -> str:
+    # per-process path: a concurrently running harness (pytest + parity on
+    # the same sf) must never rmtree a directory another process is writing
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), "pulsar_lunar_maint", sf_tag, tag)
+    path = os.path.join(
+        tempfile.gettempdir(), "pulsar_lunar_maint", f"{sf_tag}-{os.getpid()}", tag
+    )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
