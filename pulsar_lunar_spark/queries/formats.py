@@ -35,8 +35,12 @@ ORDER BY r_name
 
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    # per-process path: concurrent harnesses on the same sf must not
+    # overwrite each other's roundtrip fixtures mid-read
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), "pulsar_lunar_formats", tag, fmt)
+    return os.path.join(
+        tempfile.gettempdir(), "pulsar_lunar_formats", f"{tag}-{os.getpid()}", fmt
+    )
 
 
 def _nation_roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **read_opts) -> DataFrame:
