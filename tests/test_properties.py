@@ -88,3 +88,27 @@ def test_minhash_estimates_jaccard(spark, shingle_sets):
             true_j = len(a & b) / len(a | b)
             est = sum(x == y for x, y in zip(sigs[i], sigs[j])) / 128.0
             assert abs(est - true_j) <= 5 * math.sqrt(max(true_j * (1 - true_j), 0.01) / 128)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    n=st.integers(min_value=1, max_value=6),
+    usec=st.integers(min_value=1000, max_value=2_000_000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_roundtrip_property(w, h, n, usec, seed):
+    """encode_avi -> decode_avi is the identity on arbitrary frame stacks
+    (any dims incl. padded odd widths, any frame count, any frame rate).
+    Pure-python codec — no Spark job, so per-example cost is micro."""
+    import numpy as np
+
+    from pulsar_lunar_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    w2, h2, usec2, out = decode_avi(encode_avi(frames, usec_per_frame=usec))
+    assert (w2, h2, usec2, len(out)) == (w, h, usec, n)
+    for f in range(n):
+        assert np.array_equal(out[f], frames[f])
