@@ -41,6 +41,12 @@ def multiply(df: DataFrame, key_cols: list[str], mult: int) -> DataFrame:
     out = df.select("*", c)
     for k in key_cols:
         out = out.withColumn(k, F.col(k) + F.col("__copy") * F.lit(shift))
+    # NOTE: deliberately NOT repartitioned after the explode. Measured: a
+    # round-robin exchange of the multiplied full-width rows costs more
+    # than every probe it was meant to help (50x fact join 14.7 s -> 57.8 s
+    # with the extra shuffle — it doubles the data movement and spills).
+    # The probes' own joins/windows/aggregations shuffle anyway, which is
+    # where Nx-real-files parallelism re-appears on a cluster.
     return out.drop("__copy")
 
 
