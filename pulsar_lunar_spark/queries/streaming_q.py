@@ -815,3 +815,51 @@ def q_topics_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("events", n, int(last["entry_id"]), listed)],
         "topic string, n_messages long, last_sequence_id long, listed boolean",
     )
+
+
+@register(
+    "q_multi_topic_read",
+    oracle="""
+    SELECT 'events.' || event_type AS topic,
+           CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(MAX(event_id) AS BIGINT) AS last_sequence_id
+    FROM events
+    GROUP BY 1 ORDER BY topic
+    """,
+    tags=("messaging", "multi-topic", "pattern"),
+)
+def q_multi_topic_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern (multi-topic) subscription — Pulsar's topicsPattern
+    consumer: events are produced into one topic per event_type
+    ('events.click', 'events.purchase', ...), then ONE read_pattern scan
+    over the regex '^events\\.' unions every matching topic's envelope log
+    and demultiplexes by the envelope's own topic column. Per-topic
+    counts, key cardinality, and last sequence id must all match the
+    source exactly — a lost or double-read topic breaks the hash.
+
+    Scale: the union is a multi-source parquet scan (each topic brings
+    its own file splits, no shuffle before the final demux aggregate)."""
+    log = _shared_log(spark, sf_dir)
+    probe_base = _fresh_dir(sf_dir, "multitopic_probe")
+    probe = MessageLog(spark, probe_base)
+    e = load_table(spark, sf_dir, "events")
+    for etype in [r["event_type"] for r in e.select("event_type").distinct().collect()]:
+        probe.produce(
+            e.filter(F.col("event_type") == etype),
+            topic=f"events.{etype}",
+            payload_cols=["event_id", "event_type", "value"],
+            key="user_id",
+            sequence_id="event_id",
+            publish_time="ts",
+        )
+    back = probe.read_pattern(r"^events\.")
+    return (
+        back.groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+            F.countDistinct(F.col("key").cast("long")).cast("bigint").alias("n_keys"),
+            F.max("sequence_id").cast("bigint").alias("last_sequence_id"),
+        )
+        .orderBy("topic")
+    )

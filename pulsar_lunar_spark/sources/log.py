@@ -183,6 +183,24 @@ class MessageLog:
         stored inside the struct — __partition is only the directory layout)."""
         return self.spark.read.parquet(self.topic_path(topic)).drop("__partition", "__pdate")
 
+    def read_pattern(self, pattern: str) -> DataFrame:
+        """Multi-topic (regex pattern) read — Pulsar's pattern
+        subscription (topicsPattern; topic listing per
+        GetTopicsOfNamespace, /root/reference/src/PulsarApi.proto:656-678)
+        as one unioned envelope scan. The envelope already carries its
+        ``topic`` column, so consumers demultiplex by plain grouping.
+
+        Scale shape: the union of parquet scans is a single multi-source
+        read (no shuffle, no driver data) — each matching topic
+        contributes its own file splits, exactly like subscribing N
+        consumers would."""
+        from functools import reduce
+
+        names = self.topics(pattern)
+        if not names:
+            raise FileNotFoundError(f"no topics match pattern {pattern!r}")
+        return reduce(DataFrame.unionByName, (self.read(t) for t in names))
+
     def _raw(self, topic: str) -> DataFrame:
         return self.spark.read.parquet(self.topic_path(topic))
 
