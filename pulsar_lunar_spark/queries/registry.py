@@ -192,6 +192,8 @@ _NEWEST_FIRST = (
     "q_pandas_udf_scalar",
     "q_apply_in_pandas",
     "q_udtf_split",
+    "q_dedup_minhash",  # flagship LSH — keep inside the sample window
+    "q_stream_sliding",  # second streaming rep inside the window
     # (c) remaining round-2 additions
     "q_pagination",  # round 2: ORDER BY + OFFSET/LIMIT pagination
     "q_ewma_smooth",  # round 2: integer EWMA recurrence fold
