@@ -318,3 +318,32 @@ class MessageLog:
         if payload_schema is not None:
             stream = decode_payload(stream, payload_schema)
         return stream
+
+    def subscribe_pattern(
+        self,
+        pattern: str,
+        payload_schema: StructType | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
+        """Streaming pattern subscription (Pulsar topicsPattern consumer):
+        one streaming union over every topic matching the regex — each
+        topic is its own file-stream source with its own offsets inside
+        the shared checkpoint, so the cursor semantics per topic are
+        identical to N single-topic subscriptions. Like Pulsar's pattern
+        consumers, all matched topics must share a payload schema (pass
+        ``payload_schema`` or let the FIRST matching topic's registered
+        schema apply); a conflicting topic fails analysis loudly rather
+        than silently corrupting the union. Topic expansion happens at
+        subscribe time (the reference's GetTopicsOfNamespace poll,
+        /root/reference/src/PulsarApi.proto:656-678)."""
+        from functools import reduce
+
+        names = self.topics(pattern)
+        if not names:
+            raise FileNotFoundError(f"no topics match pattern {pattern!r}")
+        if payload_schema is None:
+            payload_schema = self.get_schema(names[0])
+        streams = [
+            self.subscribe(t, payload_schema, max_files_per_trigger) for t in names
+        ]
+        return reduce(DataFrame.unionByName, streams)

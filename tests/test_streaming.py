@@ -719,3 +719,42 @@ def test_rocksdb_state_store_matches_default(spark, log, tmp_path):
         }
     assert results["rocks"] == results["hdfs"]
     assert len(results["rocks"]) > 0
+
+
+def test_subscribe_pattern_unions_matching_topics(spark, sf_dir, tmp_path):
+    """Streaming pattern subscription: two topics matching the regex are
+    drained by ONE query; counts demux by the envelope topic column and
+    no message is lost or double-read across the union."""
+    from pulsar_lunar_spark.session import load_table
+
+    ml = MessageLog(spark, str(tmp_path / "plog"))
+    e = load_table(spark, sf_dir, "events").limit(400)
+    for name, pred in (("ev.low", F.col("event_id") % 2 == 0),
+                       ("ev.high", F.col("event_id") % 2 == 1)):
+        ml.produce(
+            e.filter(pred),
+            topic=name,
+            payload_cols=["event_id", "value"],
+            key="user_id",
+            sequence_id="event_id",
+            publish_time="ts",
+        )
+    # a non-matching topic that must NOT be drained
+    ml.produce(
+        e.limit(10), topic="other.noise", payload_cols=["event_id", "value"],
+        key="user_id", sequence_id="event_id", publish_time="ts",
+    )
+    stream = ml.subscribe_pattern(r"^ev\.").select("topic", "sequence_id")
+    out = str(tmp_path / "pattern_out")
+    run_available_now(
+        stream.writeStream.format("parquet").option("path", out).outputMode("append"),
+        str(tmp_path / "pattern_ckpt"),
+    ).awaitTermination(300)
+    got = {
+        r["topic"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("topic").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(got) == {"ev.low", "ev.high"}
+    assert sum(got.values()) == 400
+    with pytest.raises(FileNotFoundError):
+        ml.subscribe_pattern(r"^nomatch\.")
