@@ -471,6 +471,48 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCRIPT_SPARK)
 
 
+@register(
+    "q_catalog_ctas",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           TRUE AS table_listed, TRUE AS dropped
+    FROM nation WHERE n_nationkey < 10 OR n_nationkey >= 20
+    """,
+    tags=("catalog", "ddl", "ctas"),
+)
+def q_catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table DDL lifecycle (the catalog surface a warehouse user
+    drives daily): CREATE TABLE ... USING PARQUET AS SELECT, INSERT INTO
+    appending a second slice, a catalog-visibility check, an aggregate
+    over the MANAGED files, and DROP TABLE. The result is materialized
+    eagerly before the drop (a lazy plan over a dropped table would fail
+    at collect — that ordering is part of the contract being exercised).
+    The oracle aggregates the same two slices straight from parquet, so
+    the hash proves CTAS + INSERT wrote exactly one copy of each."""
+    tables(spark, sf_dir, names=("nation",))
+    spark.sql("DROP TABLE IF EXISTS pl_ctas_nation")
+    spark.sql(
+        "CREATE TABLE pl_ctas_nation USING PARQUET AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 10"
+    )
+    spark.sql(
+        "INSERT INTO pl_ctas_nation "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 20"
+    )
+    listed = spark.catalog.tableExists("pl_ctas_nation")
+    row = spark.sql(
+        "SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+        "FROM pl_ctas_nation"
+    ).head()
+    spark.sql("DROP TABLE pl_ctas_nation")
+    dropped = not spark.catalog.tableExists("pl_ctas_nation")
+    return spark.createDataFrame(
+        [(row["n_rows"], row["key_sum"], listed, dropped)],
+        "n_rows long, key_sum long, table_listed boolean, dropped boolean",
+    )
+
+
 @udtf(returnType="word string, pos int")
 class _SplitWords:
     """Python UDTF (table function): one input string -> one row per word.
