@@ -135,7 +135,10 @@ def kmeans_fit(
     for it in range(iterations):
         assigned = kmeans_assign(vectors, centroids)
         if it < iterations - 1:
-            assigned = assigned.localCheckpoint(eager=True)
+            # checkpointing the UPDATED CENTROIDS truncates the lineage for
+            # the next round (both kmeans_assign inputs are then
+            # checkpoints), so a separate checkpoint of `assigned` is a
+            # wasted job — the update's aggregate consumes it exactly once
             centroids = kmeans_update(assigned).localCheckpoint(eager=True)
     cols = ["__id", "cluster", "dist"] if keep_dist else ["__id", "cluster"]
     return assigned.select(*cols)
