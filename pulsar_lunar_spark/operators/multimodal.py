@@ -8,13 +8,16 @@ Partitioning discipline: media tables are written with
 ``maxRecordsPerFile`` tuned so (rows x avg_media_size) fits an executor;
 the decode stage is a map-only stage — no shuffle.
 
-Codecs: BMP (24-bpp BI_RGB) and WAV (16-bit PCM) are decoded FOR REAL in
-pure python + numpy — header parse, pixel/sample extraction, luma/RMS.
-Formats that genuinely need external libraries (png/jpeg -> PIL,
-mp3/flac -> soundfile, video -> ffmpeg) raise NotImplementedError and are
-flagged ``decode_ok=false`` instead of crashing the batch; 'fake' keeps a
-deterministic stub for plumbing tests. The Spark-side schema, UDF
-signature and Arrow batch shape are identical across all paths.
+Codecs decoded FOR REAL in pure python + numpy: BMP (24-bpp BI_RGB), PNG
+(zlib + scanline filters, via this module), WAV (16-bit PCM + G.711
+mu-law), and uncompressed RIFF AVI video (encode_avi/decode_avi —
+24-bpp DIB frames; baseline JPEG lives in operators/jpeg.py). Formats
+that genuinely need external libraries (mp3/flac -> soundfile,
+compressed video -> ffmpeg, progressive/subsampled JPEG -> PIL) raise
+NotImplementedError and are flagged ``decode_ok=false`` instead of
+crashing the batch; 'fake' keeps a deterministic stub for plumbing
+tests. The Spark-side schema, UDF signature and Arrow batch shape are
+identical across all paths.
 """
 
 from __future__ import annotations
