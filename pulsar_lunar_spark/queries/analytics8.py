@@ -269,3 +269,80 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_GINI_ORACLE = """
+WITH x AS (
+    SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+           ROW_NUMBER() OVER (ORDER BY FLOOR(o_totalprice * 100), o_orderkey) AS i
+    FROM orders
+), s AS (
+    SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS tot,
+           CAST(SUM(i * v) AS BIGINT) AS iv
+    FROM x
+)
+SELECT n, tot,
+       CAST((2 * iv - (n + 1) * tot) // ((n * tot) // 1000000) AS BIGINT)
+           AS gini_ppm
+FROM s
+"""
+
+
+@register("q_gini_index", oracle=_GINI_ORACLE, tags=("analytics", "inequality"))
+def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values (the inequality / concentration
+    audit a curation pipeline runs on source contributions): the exact
+    rank formula G = (2·Σi·x_(i) − (n+1)·Σx) / (n·Σx) over integer cents
+    with a total (value, key) tiebreak rank — all-BIGINT, emitted as a
+    floor ppm ratio so both engines agree bit-exactly.
+
+    One global sort (range exchange) + one aggregate; at 100 TB the same
+    statistic is computed per-source with the sort partitioned by
+    source."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.orderBy(v, "o_orderkey")
+    x = o.select(v.alias("v"), F.row_number().over(w).alias("i"))
+    return x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("bigint").alias("tot"),
+        # denominator scaled FIRST: the 1e6-scaled numerator would pass
+        # 2^63 (DuckDB silently widens SUM to int128; Spark does not) —
+        # (n*tot) DIV 1e6 keeps every intermediate in int64 on BOTH
+        # engines with identical floor semantics (all terms positive)
+        F.expr(
+            "cast((2 * sum(i * v) - (count(1) + 1) * sum(v))"
+            " div ((count(1) * sum(v)) div 1000000) as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS INT) AS digit
+    FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, COUNT(*) AS n,
+       CAST(1000000 * COUNT(*) // SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm
+FROM d GROUP BY digit ORDER BY digit
+"""
+
+
+@register("q_benford_digits", oracle=_BENFORD_ORACLE, tags=("analytics", "dq", "benford"))
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (the anomaly screen for fabricated or
+    truncated numeric feeds): leading-digit distribution of order values
+    as exact counts + floor-ppm shares. A synthetic/capped price feed
+    flattens the curve; the per-digit counts are the evidence. One scan +
+    one 9-group aggregate — nothing at any scale beyond the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "digit",
+        "n",
+        F.expr("cast(1000000 * n div sum(n) over () as bigint)").alias("share_ppm"),
+    ).orderBy("digit")

@@ -156,6 +156,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # sf0.01/sf0.1 but absent from CORRECTNESS_r01), then (c) the remaining
 # round-2 additions. Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
+    "q_gini_index",  # round 2: exact-rank Gini concentration audit
+    "q_benford_digits",  # round 2: Benford first-digit DQ screen
     "q_catalog_ctas",  # round 2: managed-table CTAS/INSERT/DROP lifecycle
     "q_multi_topic_read",  # round 2: pattern (multi-topic) subscription read
     "q_sql_scripting",  # round 2: BEGIN/END procedural SQL blocks
