@@ -1,0 +1,228 @@
+"""Spark SQL surface breadth, batch 2: Theta set-operation sketches,
+aggregate-function breadth (bit/bool/count_if/any_value), the mask()
+redaction function, XPath extraction, and the parse_url family.
+
+Each query exercises a function family that had no registered coverage;
+oracles are value-exact DuckDB twins (regex/replace replicas for the
+Spark-only string functions) or flag-style bounds where the operator is
+sketch-approximate by design (theta estimates above the exact-mode
+threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import load_table, tables
+
+_THETA_SPARK = """
+WITH a AS (SELECT theta_sketch_agg(o_custkey) AS sk FROM orders WHERE o_orderkey % 2 = 0),
+     b AS (SELECT theta_sketch_agg(o_custkey) AS sk FROM orders WHERE o_orderkey % 3 = 0),
+     est AS (
+       SELECT CAST(theta_sketch_estimate(theta_union(a.sk, b.sk)) AS BIGINT) AS u_est,
+              CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS BIGINT) AS i_est,
+              CAST(theta_sketch_estimate(theta_difference(a.sk, b.sk)) AS BIGINT) AS d_est
+       FROM a, b
+     ),
+     exact AS (
+       SELECT COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+                                  THEN o_custkey END) AS u_x,
+              (SELECT COUNT(*) FROM (
+                 SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+                 INTERSECT
+                 SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)) AS i_x
+       FROM orders
+     )
+SELECT exact.u_x AS union_exact, exact.i_x AS intersect_exact,
+       ABS(est.u_est - exact.u_x) <= GREATEST(5, CAST(exact.u_x * 0.05 AS BIGINT))
+           AS union_ok,
+       ABS(est.i_est - exact.i_x) <= GREATEST(5, CAST(exact.u_x * 0.05 AS BIGINT))
+           AS intersect_ok,
+       est.d_est <= est.u_est AS difference_bounded
+FROM est, exact
+"""
+
+
+@register(
+    "q_theta_sketch_ops",
+    oracle="""
+    WITH exact AS (
+        SELECT COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+                                   THEN o_custkey END) AS u_x,
+               (SELECT COUNT(*) FROM (
+                  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+                  INTERSECT
+                  SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)) AS i_x
+        FROM orders
+    )
+    SELECT CAST(u_x AS BIGINT) AS union_exact, CAST(i_x AS BIGINT) AS intersect_exact,
+           TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS difference_bounded
+    FROM exact
+    """,
+    tags=("sketch", "theta", "set-ops"),
+)
+def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches): the MERGEABLE SET-ALGEBRA
+    sketch family — unlike HLL (union-only, q_hll_distinct), theta
+    supports union AND intersection AND difference of distinct-sets, the
+    audience-overlap primitive (customers in segment A ∩ segment B
+    across a 100 TB log, one pass per segment, sketches merged
+    anywhere). Exact mode below k=4096 entries, sampling above; the
+    oracle pins the exact union/intersection cardinalities plus 5%-bound
+    flags on the estimates (tight at any SF: rse ≈ 1/sqrt(4096))."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(_THETA_SPARK)
+
+
+@register(
+    "q_agg_breadth",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_bit_and,
+           CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_bit_or,
+           CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_bit_xor,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_totalprice > 400000) AS any_jumbo,
+           CAST(COUNT_IF(o_orderkey % 2 = 0) AS BIGINT) AS n_even,
+           ANY_VALUE(o_orderstatus) AS status_again
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "bitwise", "boolean"),
+)
+def q_agg_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth: bitwise AND/OR/XOR folds (the
+    permission-mask / parity-audit aggregates), BOOL_AND/BOOL_OR
+    (EVERY/SOME), COUNT_IF, and ANY_VALUE — identical names and
+    semantics on both engines, all order-insensitive. ANY_VALUE is
+    emitted over a column functionally dependent on the group key, the
+    only form in which it is deterministic (and exactly the hint it
+    gives the optimizer in real queries)."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               BIT_AND(o_orderkey) AS key_bit_and,
+               BIT_OR(o_orderkey) AS key_bit_or,
+               BIT_XOR(o_orderkey) AS key_bit_xor,
+               BOOL_AND(o_totalprice > 0) AS all_positive,
+               BOOL_OR(o_totalprice > 400000) AS any_jumbo,
+               COUNT_IF(o_orderkey % 2 = 0) AS n_even,
+               ANY_VALUE(o_orderstatus) AS status_again
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "q_mask_redact",
+    oracle="""
+    SELECT c_custkey,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_default,
+           REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked_digits_only
+    FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+    """,
+    tags=("function", "mask", "pii"),
+)
+def q_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mask() redaction function (the built-in PII scrubber — the
+    JVM-codegen sibling of the regex chains in operators/text.py):
+    default masking (upper->X, lower->x, digit->n) and a digits-only
+    variant that preserves letter structure. The oracle is the exact
+    regexp_replace chain, so every masked character position must
+    match."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("masked_default"),
+        F.mask(
+            F.col("c_name"),
+            F.lit(None).cast("string"),  # keep uppercase
+            F.lit(None).cast("string"),  # keep lowercase
+            F.lit("#"),  # digits -> '#'
+            F.lit(None).cast("string"),  # keep other chars
+        ).alias("masked_digits_only"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q_xpath_extract",
+    oracle="""
+    WITH x AS (
+        SELECT n_nationkey,
+               '<nation><name>' || n_name || '</name><region>'
+                   || CAST(n_regionkey AS INT) || '</region></nation>' AS doc
+        FROM nation
+    )
+    SELECT n_nationkey,
+           REGEXP_EXTRACT(doc, '<name>(.*?)</name>', 1) AS name_x,
+           CAST(REGEXP_EXTRACT(doc, '<region>(.*?)</region>', 1) AS INT) AS region_x
+    FROM x ORDER BY n_nationkey
+    """,
+    tags=("function", "xpath", "xml"),
+)
+def q_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction (xpath_string / xpath_int — the path-query layer
+    over XML payloads, complementing from_xml's whole-schema decode in
+    q_xml_roundtrip): XML docs are built from nation rows, then fields
+    are pulled back out by path. The oracle re-extracts the same fields
+    with regexes, so a namespace/escaping bug in either direction breaks
+    the hash."""
+    n = load_table(spark, sf_dir, "nation")
+    doc = F.concat(
+        F.lit("<nation><name>"), F.col("n_name"),
+        F.lit("</name><region>"), F.col("n_regionkey").cast("int").cast("string"),
+        F.lit("</region></nation>"),
+    )
+    x = n.select("n_nationkey", doc.alias("doc"))
+    return x.select(
+        "n_nationkey",
+        F.xpath_string(F.col("doc"), F.lit("/nation/name")).alias("name_x"),
+        F.xpath_int(F.col("doc"), F.lit("/nation/region")).alias("region_x"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "q_url_funcs",
+    oracle="""
+    WITH u AS (
+        SELECT n_nationkey, n_name,
+               'https://data.example.org:8443/corpus/' || n_nationkey
+                   || '?lang=en&name=' || REPLACE(n_name, ' ', '+') || '#part' AS url
+        FROM nation
+    )
+    SELECT n_nationkey,
+           'data.example.org' AS host,
+           '/corpus/' || n_nationkey AS path,
+           REPLACE(n_name, ' ', '+') AS name_param,
+           REPLACE(n_name, ' ', '+') AS encoded,
+           n_name AS decoded
+    FROM u ORDER BY n_nationkey
+    """,
+    tags=("function", "url", "parsing"),
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parse_url family (HOST/PATH/QUERY-key extraction) plus
+    url_encode/url_decode round-trip — the log-ingestion URL toolkit
+    (the structured sibling of q_url_domains' regex parsing). Nation
+    names are all [A-Z ] so form-encoding is exactly space->'+', which
+    the oracle replicates with REPLACE; the decode leg must return the
+    original name bit-exactly."""
+    n = load_table(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://data.example.org:8443/corpus/"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("?lang=en&name="), F.url_encode(F.col("n_name")), F.lit("#part"),
+    )
+    u = n.select("n_nationkey", "n_name", url.alias("url"))
+    return u.select(
+        "n_nationkey",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("name")).alias("name_param"),
+        F.url_encode(F.col("n_name")).alias("encoded"),
+        F.url_decode(F.url_encode(F.col("n_name"))).alias("decoded"),
+    ).orderBy("n_nationkey")

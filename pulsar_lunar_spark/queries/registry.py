@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.analytics7",
     "pulsar_lunar_spark.queries.analytics8",
     "pulsar_lunar_spark.queries.maintenance_q",
+    "pulsar_lunar_spark.queries.modern2",
 )
 
 
@@ -156,6 +157,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # sf0.01/sf0.1 but absent from CORRECTNESS_r01), then (c) the remaining
 # round-2 additions. Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
+    "q_theta_sketch_ops",  # round 2: theta sketch set algebra
+    "q_agg_breadth",  # round 2: bit/bool/count_if/any_value aggregates
+    "q_mask_redact",  # round 2: built-in mask() PII scrubber
+    "q_xpath_extract",  # round 2: XPath field extraction
+    "q_url_funcs",  # round 2: parse_url + url_encode/decode
     "q_gini_index",  # round 2: exact-rank Gini concentration audit
     "q_benford_digits",  # round 2: Benford first-digit DQ screen
     "q_catalog_ctas",  # round 2: managed-table CTAS/INSERT/DROP lifecycle
