@@ -226,3 +226,57 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.url_encode(F.col("n_name")).alias("encoded"),
         F.url_decode(F.url_encode(F.col("n_name"))).alias("decoded"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "q_kll_quantiles",
+    oracle="""
+    WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(2 * QUANTILE_CONT(v, 0.5) AS BIGINT) AS p50_exact_x2,
+           TRUE AS p50_in_envelope, TRUE AS p90_in_envelope
+    FROM c
+    """,
+    tags=("sketch", "kll", "quantile"),
+)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Apache DataSketches — the provably-optimal
+    streaming quantile family, completing the sketch set next to CMS /
+    HLL / GK / theta): per-status sketches built in one pass, merged with
+    kll_merge_agg (the two-level rollup a 100 TB percentile dashboard
+    maintains), quantiles read from the MERGED sketch. The oracle pins
+    the exact count and exact median, plus envelope flags asserting the
+    sketch's p50/p90 land within the exact p45-p55 / p85-p95 rank bands
+    (KLL default-k rank error ~1.65% at 99% confidence — 5% is generous
+    at every SF)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    cells = o.groupBy("o_orderstatus").agg(
+        F.kll_sketch_agg_bigint(cents).alias("sk")
+    )
+    merged = cells.agg(F.kll_merge_agg_bigint("sk").alias("mk"))
+    exact = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "percentile(cast(floor(o_totalprice * 100) as bigint), "
+            "array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))"
+        ).alias("px"),
+    )
+    return (
+        merged.crossJoin(exact)
+        .select(
+            "n",
+            # 2x the interpolated median stays integer-exact (midpoint of
+            # two ints) — Spark percentile() and DuckDB QUANTILE_CONT share
+            # the linear-interpolation definition
+            F.expr("cast(2 * px[1] as bigint)").alias("p50_exact_x2"),
+            F.expr(
+                "kll_sketch_get_quantile_bigint(mk, 0.5)"
+                " between cast(px[0] as bigint) and cast(px[2] as bigint)"
+            ).alias("p50_in_envelope"),
+            F.expr(
+                "kll_sketch_get_quantile_bigint(mk, 0.9)"
+                " between cast(px[3] as bigint) and cast(px[5] as bigint)"
+            ).alias("p90_in_envelope"),
+        )
+    )
