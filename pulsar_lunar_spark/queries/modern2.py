@@ -280,3 +280,59 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_in_envelope"),
         )
     )
+
+
+@register(
+    "q_regr_aggregates",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderstatus,
+               CAST(o_orderkey % 100 AS BIGINT) AS x,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+           TRUE AS slope_ok, TRUE AS intercept_ok, TRUE AS r2_in_range
+    FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "regression"),
+)
+def q_regr_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL linear-regression aggregates (regr_count/slope/intercept/r2 —
+    the built-in OLS family, the declarative sibling of
+    q_group_regression's hand-built exact-rational slope): fitted per
+    order status over integer-valued (key-mod, floor-price) pairs.
+
+    Float regression internals are accumulation-order sensitive, so the
+    emitted columns are the EXACT integer moment sums (n, Σx, Σy, Σxy,
+    Σx² — value-identical on both engines) plus flags asserting the
+    built-in estimates agree with the closed-form rational slope
+    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) to 1e-6 relative and that R² ∈ [0,1].
+    The DuckDB twin recomputes the same anchors and emits literal TRUE."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH d AS (
+            SELECT o_orderstatus,
+                   CAST(o_orderkey % 100 AS BIGINT) AS x,
+                   CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+               ABS(regr_slope(y, x)
+                   - (COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                     / CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE))
+                 <= 1e-6 * ABS(regr_slope(y, x)) AS slope_ok,
+               ABS(regr_intercept(y, x)
+                   - (SUM(y) - regr_slope(y, x) * SUM(x)) / COUNT(*))
+                 <= GREATEST(1e-6 * ABS(regr_intercept(y, x)), 1e-6) AS intercept_ok,
+               regr_r2(y, x) BETWEEN 0.0 AND 1.0 AS r2_in_range
+        FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
