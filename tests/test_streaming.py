@@ -758,3 +758,55 @@ def test_subscribe_pattern_unions_matching_topics(spark, sf_dir, tmp_path):
     assert sum(got.values()) == 400
     with pytest.raises(FileNotFoundError):
         ml.subscribe_pattern(r"^nomatch\.")
+
+
+def test_subscribe_pattern_expands_at_subscribe_time(spark, sf_dir, tmp_path):
+    """Documented semantics: the topic set is expanded when
+    subscribe_pattern is called (the GetTopicsOfNamespace poll), and the
+    CHECKPOINT PINS THE SOURCE SET — re-subscribing the same
+    subscription after a new topic appears fails loudly (Spark refuses a
+    source-count change under an existing checkpoint) rather than
+    silently skipping the new topic; draining the grown set takes a new
+    subscription (fresh checkpoint), which reads everything."""
+    from pulsar_lunar_spark.session import load_table
+
+    ml = MessageLog(spark, str(tmp_path / "plog2"))
+    e = load_table(spark, sf_dir, "events").limit(100)
+
+    def produce(topic, df):
+        ml.produce(df, topic=topic, payload_cols=["event_id", "value"],
+                   key="user_id", sequence_id="event_id", publish_time="ts")
+
+    produce("pt.a", e.filter(F.col("event_id") % 2 == 0))
+    out = str(tmp_path / "pt_out")
+    ckpt = str(tmp_path / "pt_ckpt")
+    stream1 = ml.subscribe_pattern(r"^pt\.").select("topic", "sequence_id")
+    run_available_now(
+        stream1.writeStream.format("parquet").option("path", out).outputMode("append"),
+        ckpt,
+    ).awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 50
+
+    produce("pt.b", e.filter(F.col("event_id") % 2 == 1))
+    # same subscription, grown topic set: must FAIL (source set is pinned
+    # at the checkpoint), never silently skip the new topic
+    stream2 = ml.subscribe_pattern(r"^pt\.").select("topic", "sequence_id")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="sources"):
+        run_available_now(
+            stream2.writeStream.format("parquet")
+            .option("path", out).outputMode("append"),
+            ckpt,
+        ).awaitTermination(300)
+    # a NEW subscription (fresh checkpoint + sink) drains the grown set
+    out2 = str(tmp_path / "pt_out2")
+    run_available_now(
+        ml.subscribe_pattern(r"^pt\.").select("topic", "sequence_id")
+        .writeStream.format("parquet").option("path", out2).outputMode("append"),
+        str(tmp_path / "pt_ckpt2"),
+    ).awaitTermination(300)
+    got = spark.read.parquet(out2)
+    by_topic = {r["topic"]: r["count"] for r in got.groupBy("topic").count().collect()}
+    assert by_topic == {"pt.a": 50, "pt.b": 50}
