@@ -335,7 +335,12 @@ class MessageLog:
         schema apply); a conflicting topic fails analysis loudly rather
         than silently corrupting the union. Topic expansion happens at
         subscribe time (the reference's GetTopicsOfNamespace poll,
-        /root/reference/src/PulsarApi.proto:656-678)."""
+        /root/reference/src/PulsarApi.proto:656-678), and the CHECKPOINT
+        PINS THE SOURCE SET: resuming the same subscription after new
+        topics appeared fails loudly (Spark refuses a source-count change
+        under an existing checkpoint — never a silent skip); draining a
+        grown topic set takes a new subscription. Pinned by
+        tests/test_streaming.py::test_subscribe_pattern_expands_at_subscribe_time."""
         from functools import reduce
 
         names = self.topics(pattern)
