@@ -81,6 +81,25 @@ def _configure(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
+    # Analytics defaults that are runtime-settable: applied so a session the
+    # CALLER owns (the verification driver, a notebook) gets the same tuned
+    # behavior as get_spark() sessions. Shuffle partitions sized to the
+    # machine instead of Spark's default 200 — at bench scale 200 partitions
+    # means 200 sub-ms tasks per exchange, pure scheduling overhead.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(spark.sparkContext.defaultParallelism, 8)),
+            )
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
