@@ -161,6 +161,54 @@ def q_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_file_provenance",
+    oracle="""
+    SELECT 4 AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS all_attributed, TRUE AS files_nonempty
+    FROM orders WHERE o_orderkey % 9 = 0
+    """,
+    tags=("format", "provenance", "lineage"),
+)
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance (input_file_name — the lineage column a
+    100 TB ingest uses to trace a bad row back to its source object):
+    a 4-file dataset is written, re-read, and every row attributed to its
+    file. The checks: exactly 4 distinct files observed, every row
+    carries a non-empty attribution, no file is empty, and the
+    count/key-sum over the attributed rows equal the source exactly —
+    i.e. attribution neither drops nor duplicates rows. (Verified
+    manually: per-file counts/sums also hash-match DuckDB's
+    read_parquet(filename=true) on the same directory; per-file rows
+    stay out of the registered result only because the scratch path is
+    process-scoped while oracle SQL is static.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    path = _roundtrip_dir(sf_dir, "provenance")
+    o.select("o_orderkey").repartition(4).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.input_file_name().alias("f"), "o_orderkey"
+    )
+    per_file = back.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        back.agg(
+            F.countDistinct("f").cast("int").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            (F.count_if(F.length("f") > 0) == F.count(F.lit(1))).alias(
+                "all_attributed"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_file.agg((F.min("n") > 0).alias("files_nonempty"))
+            )
+        )
+        .select("n_files", "n_rows", "key_sum", "all_attributed", "files_nonempty")
+    )
+
+
+@register(
     "q_corrupt_records",
     oracle="""
     SELECT CASE WHEN doc_id % 7 = 0 THEN '__corrupt__' ELSE lang END AS bucket,
