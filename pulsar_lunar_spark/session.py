@@ -81,25 +81,31 @@ def _configure(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
-    # Analytics defaults that are runtime-settable: applied so a session the
-    # CALLER owns (the verification driver, a notebook) gets the same tuned
-    # behavior as get_spark() sessions. Shuffle partitions sized to the
-    # machine instead of Spark's default 200 — at bench scale 200 partitions
-    # means 200 sub-ms tasks per exchange, pure scheduling overhead.
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    spark.conf.set(
-        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-    )
-    try:
-        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(max(spark.sparkContext.defaultParallelism, 8)),
-            )
-    except Exception:
-        pass
+    # Analytics defaults that are runtime-settable: applied ONCE per session
+    # so a session the CALLER owns (the verification driver, a notebook)
+    # gets the same tuned behavior as get_spark() sessions — and never
+    # re-applied, so a query that deliberately scopes a conf (the bloom /
+    # DPP demos set autoBroadcastJoinThreshold=-1 around their own
+    # load_table calls) is not clobbered mid-flight. Shuffle partitions are
+    # sized to the machine instead of Spark's default 200 — at bench scale
+    # 200 partitions means 200 sub-ms tasks per exchange, pure overhead.
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _CONFIGURED_APPS:
+        _CONFIGURED_APPS.add(app_id)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        try:
+            if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(max(spark.sparkContext.defaultParallelism, 8)),
+                )
+        except Exception:
+            pass
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -130,6 +136,10 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 # Keyed by applicationId so a restarted SparkSession never sees plans bound
 # to a dead JVM context.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+# Sessions (by applicationId) whose one-time analytics defaults have been
+# applied — see _configure.
+_CONFIGURED_APPS: set[str] = set()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
