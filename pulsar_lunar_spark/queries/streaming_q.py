@@ -840,19 +840,32 @@ def q_multi_topic_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the union is a multi-source parquet scan (each topic brings
     its own file splits, no shuffle before the final demux aggregate)."""
-    log = _shared_log(spark, sf_dir)
-    probe_base = _fresh_dir(sf_dir, "multitopic_probe")
+    # the per-type topics are a deterministic function of the input table —
+    # produce them ONCE per sf (the _shared_log pattern) and let every rep
+    # replay the same directory
+    probe_base = os.path.join(
+        _tmp_root(), "pulsar_lunar_streamq",
+        os.path.basename(os.path.normpath(sf_dir)), "multitopic_probe",
+    )
     probe = MessageLog(spark, probe_base)
-    e = load_table(spark, sf_dir, "events")
-    for etype in [r["event_type"] for r in e.select("event_type").distinct().collect()]:
-        probe.produce(
-            e.filter(F.col("event_type") == etype),
-            topic=f"events.{etype}",
-            payload_cols=["event_id", "event_type", "value"],
-            key="user_id",
-            sequence_id="event_id",
-            publish_time="ts",
-        )
+    marker = os.path.join(probe_base, "_PRODUCED")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(probe_base, ignore_errors=True)
+        probe = MessageLog(spark, probe_base)
+        e = load_table(spark, sf_dir, "events")
+        types = [r["event_type"] for r in e.select("event_type").distinct().collect()]
+        for etype in types:
+            probe.produce(
+                e.filter(F.col("event_type") == etype),
+                topic=f"events.{etype}",
+                payload_cols=["event_id", "event_type", "value"],
+                key="user_id",
+                sequence_id="event_id",
+                publish_time="ts",
+            )
+        open(marker, "w").close()
     back = probe.read_pattern(r"^events\.")
     return (
         back.groupBy("topic")
