@@ -336,3 +336,38 @@ def q_regr_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@register(
+    "q_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           STRFTIME(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS ist,
+           STRFTIME(ts - INTERVAL 480 MINUTE, '%Y-%m-%d %H:%M:%S') AS pst_fixed,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS roundtrip
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+    tags=("function", "timezone", "datetime"),
+)
+def q_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family (convert_timezone /
+    from_utc_timestamp / to_utc_timestamp — the event-time localization
+    step of a multi-region pipeline). Fixed numeric offsets keep the
+    check deterministic across IANA tzdata versions: the oracle applies
+    the equivalent interval shifts, and the to/from round-trip must
+    return the original instant bit-exactly. All three are JVM scan
+    expressions — zero shuffle."""
+    tables(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_id,
+               date_format(convert_timezone('UTC', '+05:30', ts),
+                           'yyyy-MM-dd HH:mm:ss') AS ist,
+               date_format(from_utc_timestamp(ts, '-08:00'),
+                           'yyyy-MM-dd HH:mm:ss') AS pst_fixed,
+               date_format(to_utc_timestamp(from_utc_timestamp(ts, '+02:00'),
+                                            '+02:00'),
+                           'yyyy-MM-dd HH:mm:ss') AS roundtrip
+        FROM events WHERE event_id < 500 ORDER BY event_id
+        """
+    )
