@@ -371,3 +371,34 @@ def q_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id < 500 ORDER BY event_id
         """
     )
+
+
+@register(
+    "q_width_bucket",
+    oracle="""
+    WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+    SELECT CASE WHEN v < 0 THEN 0 WHEN v >= 60000000 THEN 13
+                ELSE 1 + (v * 12) // 60000000 END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_cents
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+    tags=("function", "histogram", "bucketing"),
+)
+def q_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket equi-width histogram assignment (the SQL-standard
+    bucketing primitive behind q_value_histogram's hand-rolled floor
+    bins): 12 buckets over [0, 600k) cents, with the under/overflow
+    buckets 0 and n+1. Integer cents keep the bucket arithmetic exact;
+    the oracle replicates width_bucket's exact boundary semantics with
+    integer floor division."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+        SELECT width_bucket(v, 0, 60000000, 12) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS BIGINT) AS sum_cents
+        FROM c GROUP BY 1 ORDER BY 1
+        """
+    )
