@@ -402,3 +402,57 @@ def q_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c GROUP BY 1 ORDER BY 1
         """
     )
+
+
+@register(
+    "q_map_hof",
+    oracle="""
+    SELECT o_orderkey,
+           CAST((o_orderkey % 10) * 2 AS INT) AS c_doubled,
+           CAST(CASE WHEN o_orderkey % 10 = 2 THEN 1 ELSE 2 END AS INT) AS n_kept,
+           11 AS a_zip,
+           4 AS n_ext,
+           '2' AS b_up
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    tags=("function", "map", "hof"),
+)
+def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (str_to_map, transform_keys/values,
+    map_filter, map_zip_with, map_concat — the config/properties
+    manipulation toolkit for the envelope's properties column): a
+    delimited string parses to a map, values double, entries filter,
+    two maps zip, a key upcases — and the emitted scalars extracted from
+    each result have closed forms the oracle computes directly
+    (c-value = 2·(key mod 10), the filter drops 'b' always and 'c'
+    exactly when its value is '2', the zip adds the broadcast literal
+    map). Everything is JVM expression territory — no shuffle, no
+    Python."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT o_orderkey,
+                 str_to_map('a:1,b:2,c:' || CAST(o_orderkey % 10 AS STRING),
+                            ',', ':') AS kv
+          FROM orders WHERE o_orderkey < 500
+        ), t AS (
+          SELECT o_orderkey,
+                 transform_values(kv, (k, v) -> CAST(v AS INT) * 2) AS doubled,
+                 map_filter(kv, (k, v) -> v <> '2') AS kept,
+                 map_zip_with(kv, map('a', 10, 'b', 20, 'c', 30),
+                              (k, v1, v2) -> coalesce(CAST(v1 AS INT), 0)
+                                             + coalesce(v2, 0)) AS zipped,
+                 map_concat(kv, map('d', '9')) AS extended,
+                 transform_keys(kv, (k, v) -> upper(k)) AS upcased
+          FROM m
+        )
+        SELECT o_orderkey,
+               element_at(doubled, 'c') AS c_doubled,
+               size(kept) AS n_kept,
+               element_at(zipped, 'a') AS a_zip,
+               size(extended) AS n_ext,
+               element_at(upcased, 'B') AS b_up
+        FROM t ORDER BY o_orderkey
+        """
+    )
