@@ -456,3 +456,46 @@ def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "q_array_hof2",
+    oracle="""
+    SELECT o_orderkey,
+           TRUE AS all_pos,
+           (o_orderkey % 5) + 2 >= 3 AS has_mult3,
+           CAST((o_orderkey % 5) + 2 AS INT) AS n_zip,
+           CAST((o_orderkey % 5) + 2 AS INT) AS n_compact,
+           CAST(2 AS BIGINT) AS pos2
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    tags=("function", "array", "hof"),
+)
+def q_array_hof2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order breadth beyond transform/filter/aggregate
+    (q_array_funcs): forall / exists predicates, arrays_zip struct
+    pairing, array_insert + array_compact (null-tolerant editing), and
+    array_position — over sequence-generated arrays of key-derived
+    length, so every emitted scalar has a closed form the oracle
+    computes arithmetically (xs = 1..(key mod 5)+2: always positive, a
+    multiple of 3 exists iff len >= 3, the inserted NULL compacts away,
+    and 2 sits at position 2). All JVM expressions in the scan."""
+    tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH a AS (
+          SELECT o_orderkey,
+                 sequence(1, CAST(o_orderkey % 5 AS INT) + 2) AS xs
+          FROM orders WHERE o_orderkey < 500
+        )
+        SELECT o_orderkey,
+               forall(xs, x -> x > 0) AS all_pos,
+               exists(xs, x -> x % 3 = 0) AS has_mult3,
+               size(arrays_zip(xs, reverse(xs))) AS n_zip,
+               size(array_compact(
+                   array_insert(cast(xs AS array<int>), 1, CAST(NULL AS INT))
+               )) AS n_compact,
+               array_position(xs, 2) AS pos2
+        FROM a ORDER BY o_orderkey
+        """
+    )

@@ -157,6 +157,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # sf0.01/sf0.1 but absent from CORRECTNESS_r01), then (c) the remaining
 # round-2 additions. Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
+    "q_array_hof2",  # round 2: forall/exists/arrays_zip array breadth
     "q_map_hof",  # round 2: map higher-order function toolkit
     "q_width_bucket",  # round 2: SQL-standard equi-width bucketing
     "q_timezone_convert",  # round 2: convert_timezone / utc-timestamp family
