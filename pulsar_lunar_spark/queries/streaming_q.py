@@ -24,11 +24,7 @@ from pyspark.sql import functions as F
 from pulsar_lunar_spark.queries.registry import register
 from pulsar_lunar_spark.session import load_table
 from pulsar_lunar_spark.sources.log import MessageLog
-from pulsar_lunar_spark.streaming import (
-    run_available_now,
-    stateful_sessionize,
-    tumbling_counts,
-)
+from pulsar_lunar_spark.streaming import run_available_now, stateful_sessionize
 
 
 def _tmp_root() -> str:
