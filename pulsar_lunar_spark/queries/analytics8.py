@@ -277,11 +277,10 @@ WITH x AS (
            ROW_NUMBER() OVER (ORDER BY FLOOR(o_totalprice * 100), o_orderkey) AS i
     FROM orders
 ), s AS (
-    SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS tot,
-           CAST(SUM(i * v) AS BIGINT) AS iv
+    SELECT COUNT(*) AS n, SUM(v) AS tot, SUM(i * v) AS iv
     FROM x
 )
-SELECT n, tot,
+SELECT n, CAST(tot AS BIGINT) AS tot,
        CAST((2 * iv - (n + 1) * tot) // ((n * tot) // 1000000) AS BIGINT)
            AS gini_ppm
 FROM s
@@ -293,8 +292,9 @@ def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order values (the inequality / concentration
     audit a curation pipeline runs on source contributions): the exact
     rank formula G = (2·Σi·x_(i) − (n+1)·Σx) / (n·Σx) over integer cents
-    with a total (value, key) tiebreak rank — all-BIGINT, emitted as a
-    floor ppm ratio so both engines agree bit-exactly.
+    with a total (value, key) tiebreak rank — moment sums widened to
+    decimal(38,0) (int128 on the DuckDB side), emitted as a floor ppm
+    ratio so both engines agree bit-exactly at any scale factor.
 
     One global sort (range exchange) + one aggregate; at 100 TB the same
     statistic is computed per-source with the sort partitioned by
@@ -306,13 +306,18 @@ def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").cast("bigint").alias("tot"),
-        # denominator scaled FIRST: the 1e6-scaled numerator would pass
-        # 2^63 (DuckDB silently widens SUM to int128; Spark does not) —
-        # (n*tot) DIV 1e6 keeps every intermediate in int64 on BOTH
-        # engines with identical floor semantics (all terms positive)
+        # moment sums in decimal(38,0): sum(i*v) ~ n^2/2 * avg_cents passes
+        # 2^63 once orders exceed ~8e5 rows (sf0.5), and n*tot follows near
+        # sf1 — DuckDB widens SUM to int128 automatically, Spark needs the
+        # explicit decimal widening. `div` (IntegralDivide) on decimals is
+        # exact integral division, identical to DuckDB's `//` on hugeint
+        # (all terms positive), so the ppm value matches bit-exactly at any
+        # scale factor.
         F.expr(
-            "cast((2 * sum(i * v) - (count(1) + 1) * sum(v))"
-            " div ((count(1) * sum(v)) div 1000000) as bigint)"
+            "cast((2 * sum(cast(i as decimal(38,0)) * cast(v as decimal(38,0)))"
+            "      - (count(1) + 1) * sum(cast(v as decimal(38,0))))"
+            " div ((count(1) * sum(cast(v as decimal(38,0)))) div 1000000)"
+            " as bigint)"
         ).alias("gini_ppm"),
     )
 

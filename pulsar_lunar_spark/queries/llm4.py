@@ -97,10 +97,10 @@ _PII_ORACLE = (
            COUNT(*) AS n_docs,
            COUNT(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 END)
                AS docs_with_pii,
-           SUM(n_emails) AS n_emails,
-           SUM(n_phones) AS n_phones,
-           SUM(n_ips) AS n_ips,
-           SUM(LEN(t) - LEN(red)) AS chars_redacted
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+           CAST(SUM(LEN(t) - LEN(red)) AS BIGINT) AS chars_redacted
     FROM scrub GROUP BY lang ORDER BY lang
     """
 )
@@ -508,8 +508,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_total,
-           SUM(keep) AS n_kept,
-           SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS chars_kept
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept
     FROM flagged GROUP BY source ORDER BY source
     """,
     tags=("llm", "sampling", "mixture"),
@@ -558,7 +559,8 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS shard_id
         FROM toks
     )
-    SELECT lang, shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    SELECT lang, shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM packed GROUP BY lang, shard_id ORDER BY lang, shard_id
     """,
     tags=("llm", "packing"),

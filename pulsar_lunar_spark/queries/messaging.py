@@ -273,8 +273,12 @@ def _seek_log(spark: SparkSession, sf_dir: str) -> "MessageLog":
     from pulsar_lunar_spark.sources.log import MessageLog
 
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    # per-process segment: concurrent harnesses must not race on the marker
+    # (same TOCTOU reasoning as streaming_q._sf_tag)
     base = os.path.join(
-        root, "pulsar_lunar_seeklog", os.path.basename(os.path.normpath(sf_dir))
+        root,
+        "pulsar_lunar_seeklog",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
     )
     log = MessageLog(spark, base)
     marker = os.path.join(base, "_PRODUCED")
@@ -320,6 +324,41 @@ def q_seek_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = log.replay("events", start_message_id=(0, mid))
     return tail.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.min("sequence_id").cast("bigint").alias("first_seq"),
+        F.max("sequence_id").cast("bigint").alias("last_seq"),
+        F.countDistinct("key").cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
+    "q_individual_ack",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pending,
+           CAST(MIN(event_id) AS BIGINT) AS first_seq,
+           CAST(MAX(event_id) AS BIGINT) AS last_seq,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events WHERE event_id % 3 = 0
+    """,
+    tags=("messaging", "ack"),
+)
+def q_individual_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse individual acknowledgment (CommandAck AckType.Individual,
+    /root/reference/src/PulsarApi.proto:479-507; ack_set BitSet :57):
+    ack every message whose sequence id is NOT divisible by 3 — an
+    out-of-order, hole-filled ack pattern — then read the subscription's
+    pending (redelivery) view: exactly the unacked third must replay.
+
+    The ledger stores one bigint BitSet per 64-message block per
+    partition (the proto's ack_set shape), so it is backlog-bounded and
+    merge-by-OR idempotent (bench reps re-ack the same set harmlessly);
+    the pending view is one block-key left join + bit test — ledger side
+    broadcast-sized for any sane backlog."""
+    log = _seek_log(spark, sf_dir)
+    env = log.read("events")
+    log.ack("events", "q_individual_ack", env.filter(F.col("sequence_id") % 3 != 0))
+    p = log.pending("events", "q_individual_ack")
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pending"),
         F.min("sequence_id").cast("bigint").alias("first_seq"),
         F.max("sequence_id").cast("bigint").alias("last_seq"),
         F.countDistinct("key").cast("bigint").alias("n_keys"),

@@ -328,7 +328,7 @@ def q_regr_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                ABS(regr_slope(y, x)
                    - (COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
                      / CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE))
-                 <= 1e-6 * ABS(regr_slope(y, x)) AS slope_ok,
+                 <= GREATEST(1e-6 * ABS(regr_slope(y, x)), 1e-9) AS slope_ok,
                ABS(regr_intercept(y, x)
                    - (SUM(y) - regr_slope(y, x) * SUM(x)) / COUNT(*))
                  <= GREATEST(1e-6 * ABS(regr_intercept(y, x)), 1e-6) AS intercept_ok,

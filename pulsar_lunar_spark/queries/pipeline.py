@@ -444,6 +444,10 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(k, v)
     try:
         df = _skew_join_df(spark, sf_dir)
+        # _skew_join_df ends in a global aggregate: the join output never
+        # leaves the executors — the only thing collected here is the
+        # single (n_rows, sum_qty) row, so scoping the AQE confs around
+        # the action costs nothing at any scale.
         rows = df.collect()
         schema = df.schema
     finally:

@@ -83,12 +83,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Queries already driver-confirmed green (CORRECTNESS_r01.json): pushed to
-# the back of the registry order so a head-first correctness sample spends
-# its budget on queries that have no driver-side green row yet. Union over
-# rounds => every family ends up driver-confirmed.
+# Queries already driver-confirmed green (CORRECTNESS_r01.json union
+# CORRECTNESS_r02.json): pushed to the back of the registry order so a
+# head-first correctness sample spends its budget on queries that have no
+# driver-side green row yet. Union over rounds => every family ends up
+# driver-confirmed. This set is the single source of truth for
+# "driver-green" claims (COVERAGE.md cites it).
 _DRIVER_CONFIRMED = frozenset(
     {
+        # round 1 (CORRECTNESS_r01.json, 49 green)
         "q1_pricing_summary", "q2_stats_by_segment", "q3_shipping_priority",
         "q5_local_supplier_volume", "q_join_semi", "q_join_anti", "q_join_outer",
         "q_join_full_outer", "q_join_cross", "q_join_theta_range",
@@ -105,6 +108,24 @@ _DRIVER_CONFIRMED = frozenset(
         "q15_top_supplier", "q17_small_quantity_revenue",
         "q18_large_volume_customers", "q20_part_volume_suppliers",
         "q21_waiting_suppliers", "q22_idle_rich_customers",
+        # round 2 (CORRECTNESS_r02.json, 49 green; q_math_funcs was the one
+        # red — type skew, fixed and deliberately NOT listed here so the r3
+        # sample re-checks it)
+        "q_array_hof2", "q_map_hof", "q_width_bucket", "q_timezone_convert",
+        "q_file_provenance", "q_regr_aggregates", "q_kll_quantiles",
+        "q_theta_sketch_ops", "q_agg_breadth", "q_mask_redact",
+        "q_xpath_extract", "q_url_funcs", "q_gini_index", "q_benford_digits",
+        "q_catalog_ctas", "q_multi_topic_read", "q_sql_scripting",
+        "q_events_asof_tolerance", "q_payload_encryption", "q_pandas_api",
+        "q_sql_udf", "q_sql_variables", "q_bitmap_distinct",
+        "q_try_arithmetic", "q_merge_upsert", "q_snapshot_timetravel",
+        "q_compact_files", "q_binary_source", "q_xml_source_roundtrip",
+        "q_collation", "q_group_by_all", "q_events_interpolate",
+        "q_time_weighted_avg", "q_snapshot_diff", "q_recursive_cte",
+        "q_sql_pipe", "q_string_funcs", "q_date_funcs", "q_array_funcs",
+        "q_map_funcs", "q_json_funcs", "q_envelope_roundtrip",
+        "q_dedup_exact", "q_lang_detect", "q_text_stats", "q_python_udf",
+        "q_pandas_udf_scalar", "q_apply_in_pandas", "q_udtf_split",
     }
 )
 
@@ -149,99 +170,70 @@ def all_queries() -> dict[str, QuerySpec]:
     return {s.name: s for s in first + rest + seen}
 
 
-# Curated registry head: the driver samples ~50 queries head-first, so
-# the window is budgeted deliberately — (a) every query added this round
-# (the least-verified code), then (b) one representative per SURVEY §2B
-# row that has never had a driver-confirmed green row (function families,
-# UDF surface, envelope serde, text/LLM ops — all builder-verified at
-# sf0.01/sf0.1 but absent from CORRECTNESS_r01), then (c) the remaining
-# round-2 additions. Reset each round as CORRECTNESS rows come back.
+# Curated registry head: the driver samples ~50 queries head-first, so the
+# window is budgeted deliberately — (a) the four r2 type-skew fixes (the one
+# driver red + its three latent twins, now cast-aligned), (b) queries added
+# this round, then (c) the never-sampled crown jewels: the whole LSH-dedup /
+# ANN family, all 16 streaming queries, and the corpus/messaging analytics —
+# the operators this engine exists for (VERDICT r2 next-steps #2). Reset
+# each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
-    "q_array_hof2",  # round 2: forall/exists/arrays_zip array breadth
-    "q_map_hof",  # round 2: map higher-order function toolkit
-    "q_width_bucket",  # round 2: SQL-standard equi-width bucketing
-    "q_timezone_convert",  # round 2: convert_timezone / utc-timestamp family
-    "q_file_provenance",  # round 2: input_file_name row lineage
-    "q_regr_aggregates",  # round 2: built-in OLS regression aggregates
-    "q_kll_quantiles",  # round 2: KLL mergeable quantile sketches
-    "q_theta_sketch_ops",  # round 2: theta sketch set algebra
-    "q_agg_breadth",  # round 2: bit/bool/count_if/any_value aggregates
-    "q_mask_redact",  # round 2: built-in mask() PII scrubber
-    "q_xpath_extract",  # round 2: XPath field extraction
-    "q_url_funcs",  # round 2: parse_url + url_encode/decode
-    "q_gini_index",  # round 2: exact-rank Gini concentration audit
-    "q_benford_digits",  # round 2: Benford first-digit DQ screen
-    "q_catalog_ctas",  # round 2: managed-table CTAS/INSERT/DROP lifecycle
-    "q_multi_topic_read",  # round 2: pattern (multi-topic) subscription read
-    "q_sql_scripting",  # round 2: BEGIN/END procedural SQL blocks
-    "q_events_asof_tolerance",  # round 2: tolerance-bounded as-of join
-    "q_payload_encryption",  # round 2: AES payload seal/open via envelope
-    "q_pandas_api",  # round 2: pandas-on-Spark API surface
-    "q_sql_udf",  # round 2: CREATE FUNCTION scalar + table SQL UDFs
-    "q_sql_variables",  # round 2: DECLARE VARIABLE / SET VAR scripting
-    "q_bitmap_distinct",  # round 2: bitmap-rollup exact distinct
-    "q_try_arithmetic",  # round 2: try_* error-safe arithmetic
-    "q_merge_upsert",  # round 2: CDC MERGE write path, driver-checked
-    "q_snapshot_timetravel",  # round 2: multi-version time travel read
-    "q_compact_files",  # round 2: small-file compaction integrity
-    "q_binary_source",  # round 2: binaryFile multimodal ingestion scan
-    "q_xml_source_roundtrip",  # round 2: Spark 4 native XML file source
-    "q_collation",  # round 2: UTF8_LCASE collation-aware grouping
-    "q_group_by_all",  # round 2: GROUP BY ALL / ORDER BY ALL syntax
-    "q_events_interpolate",  # round 2: linear gap-fill onto hourly grid
-    "q_time_weighted_avg",  # round 2: LOCF time-weighted average rollup
-    "q_snapshot_diff",  # round 2: CDC snapshot diff audit
-    "q_recursive_cte",  # round 2: Spark 4 WITH RECURSIVE iterative hierarchy walk
-    "q_sql_pipe",  # round 2: Spark 4 SQL pipe (|>) operator chain
-    # (b) §2B rows with no driver-confirmed row yet — one rep each
-    "q_string_funcs",
-    "q_date_funcs",
+    # (a) r2 type-skew fixes — need a green driver row to retire the red
     "q_math_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_envelope_roundtrip",
-    "q_dedup_exact",
-    "q_lang_detect",
-    "q_text_stats",
-    "q_python_udf",
-    "q_pandas_udf_scalar",
-    "q_apply_in_pandas",
-    "q_udtf_split",
-    "q_dedup_minhash",  # flagship LSH — keep inside the sample window
-    "q_stream_sliding",  # second streaming rep inside the window
-    # (c) remaining round-2 additions
-    "q_pagination",  # round 2: ORDER BY + OFFSET/LIMIT pagination
-    "q_ewma_smooth",  # round 2: integer EWMA recurrence fold
-    "q_aqe_skew_join",  # round 2: runtime skew-join splitting, plan-asserted
-    "q_cusum_drift",  # round 2: CUSUM recurrence via ordered-list fold
-    "q_media_audio_mulaw",  # round 2: G.711 mu-law companding (value-exact)
-    "q_media_transcode",  # round 2: PNG->resize->JPEG transcode pipeline
-    "q_sql_parameterized",  # round 2: named-parameter SQL binding
-    "q_string_agg",  # round 2: LISTAGG WITHIN GROUP (ordered string agg)
-    "q_stream_custom_session",  # round 2: event-time-timeout sessionizer
-    "q_events_asof_forward",  # round 2: forward (next-event) as-of join
-    "q_bloom_join_filter",  # round 2: runtime bloom-filter join pruning
-    "q_dynamic_partition_prune",  # round 2: runtime DPP from a join
-    "q_retrieval_metrics",  # round 2: ANN-vs-exact recall/MRR eval harness
-    "q_media_jpeg_features",  # round 2: real baseline JPEG decode
-    "q_spatial_grid_join",  # round 2: 2D bin-then-verify radius self-join
-    "q_media_png_features", # round 2: real PNG decode (zlib + unfilter)
-    "q_stream_sliding",     # round 2: streaming sliding windows driver-checked
-    "q_events_session_dynamic",  # round 2: per-event dynamic-gap session windows
-    "q_stream_dedup_ttl",   # round 2: TTL-bounded dedup (dropDuplicatesWithinWatermark)
-    "q_stream_outer_join",  # round 2: left-outer stream-stream join (state eviction)
-    "q_dedup_incremental",  # round 2: new asymmetric ingest-vs-corpus LSH
-    "q_dedup_minhash",   # round 2: gained full md5-portable LSH oracle
-    "q_dedup_simhash",   # round 2: gained full md5-portable signature oracle
+    "q_pii_redact",
+    "q_source_mixture",
+    "q_token_packing",
+    # (b) round-3 additions
+    "q_individual_ack",  # round 3: sparse ack_set replay emulation
+    # (c) LSH-dedup / similarity family — zero driver rows so far
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_incremental",
+    "q_dedup_embedding",
+    "q_semdedup",
+    "q_similarity_topk",
+    "q_knn_join",
+    "q_ivf_topk",
     "q_pq_adc_topk",
+    "q_ann_topk",
+    "q_retrieval_metrics",
+    "q_dedup_bloom",
+    "q_fuzzy_neighbors",
+    "q_ngram_jaccard",
+    "q_passage_dedup",
+    "q_dedup_cluster",
+    # streaming family — zero driver rows so far
+    "q_stream_tumbling",
+    "q_stream_tumbling_sink",
+    "q_stream_sliding",
+    "q_stream_sliding_sink",
+    "q_stream_dedup",
+    "q_stream_dedup_ttl",
+    "q_stream_session",
+    "q_stream_session_sink",
+    "q_stream_stream_join",
+    "q_stream_outer_join",
+    "q_stream_enrich",
+    "q_stream_enrich_sink",
     "q_stream_stateful_count",
-    "q_duplicate_spans",
-    "q_media_resize",
-    "q_curation_funnel",
-    "q_corrupt_records",
-    "q_schema_evolution",
+    "q_stream_stateful_sink",
+    "q_stream_custom_session",
     "q_stream_backpressure",
+    # corpus / messaging analytics — zero driver rows so far
+    "q_contamination",
+    "q_tfidf_terms",
+    "q_bm25_search",
+    "q_funnel",
+    "q_events_compacted",
+    "q_seek_message_id",
+    "q_chunked_reassembly",
     "q_compressed_topic",
     "q_topics_metadata",
+    "q_delayed_delivery",
+    "q_envelope_partition_routing",
+    "q_quality_gopher",
+    "q_unigram_surprisal",
+    "q_kmeans_clusters",
+    "q_bpe_encode",
 )
+

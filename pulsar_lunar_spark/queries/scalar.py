@@ -114,8 +114,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 0)                         AS price_r0,
-           FLOOR(l_quantity)                                 AS qty_floor,
-           CEIL(l_discount * 100)                            AS disc_pct_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)                 AS qty_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT)            AS disc_pct_ceil,
            ABS(l_quantity - 25)                              AS qty_dev,
            ROUND(POWER(l_quantity, 2), 4)                    AS qty_sq,
            ROUND(SQRT(l_extendedprice), 4)                   AS price_sqrt,
@@ -124,7 +124,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(EXP(l_discount), 4)                         AS disc_exp,
            CAST(l_orderkey % 7 AS BIGINT)                    AS mod7,
            CAST(((l_orderkey - 100) % 7 + 7) % 7 AS BIGINT)  AS pmod7,
-           SIGN(l_quantity - 25)                             AS qty_sign,
+           CAST(SIGN(l_quantity - 25) AS BIGINT)             AS qty_sign,
            GREATEST(l_quantity, l_discount * 100)            AS g,
            LEAST(l_quantity, l_discount * 100)               AS l
     FROM lineitem
@@ -151,7 +151,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l_discount"), 4).alias("disc_exp"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
         F.pmod(F.col("l_orderkey") - 100, F.lit(7)).cast("bigint").alias("pmod7"),
-        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        F.signum(F.col("l_quantity") - 25).cast("bigint").alias("qty_sign"),
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
         F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l"),
     ).orderBy("l_orderkey", "l_linenumber")

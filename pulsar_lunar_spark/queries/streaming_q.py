@@ -36,8 +36,17 @@ def _tmp_root() -> str:
     return tempfile.gettempdir()
 
 
+def _sf_tag(sf_dir: str) -> str:
+    # per-process path segment: two concurrent harnesses (pytest + the
+    # driver on the same sf) must never rmtree/produce into a directory the
+    # other is mid-read on — the marker-file check alone is a TOCTOU race
+    # (same reasoning as formats._roundtrip_dir / maintenance_q._scratch)
+    return f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}"
+
+
 def _shared_log(spark: SparkSession, sf_dir: str, copies: int = 1) -> MessageLog:
-    """Produce the events topic ONCE per (sf_dir, copies) and reuse it.
+    """Produce the events topic ONCE per (process, sf_dir, copies) and
+    reuse it.
 
     The produced log is a deterministic function of the input table, so
     every query (and every bench rep) can replay the same directory —
@@ -49,7 +58,7 @@ def _shared_log(spark: SparkSession, sf_dir: str, copies: int = 1) -> MessageLog
     base = os.path.join(
         _tmp_root(),
         "pulsar_lunar_streamq",
-        os.path.basename(os.path.normpath(sf_dir)),
+        _sf_tag(sf_dir),
         f"log_x{copies}",
     )
     log = MessageLog(spark, base)
@@ -81,7 +90,7 @@ def _fresh_checkpoint(sf_dir: str, tag: str) -> str:
     ck = os.path.join(
         _tmp_root(),
         "pulsar_lunar_streamq",
-        os.path.basename(os.path.normpath(sf_dir)),
+        _sf_tag(sf_dir),
         "ck",
         tag,
     )
@@ -96,7 +105,7 @@ def _fresh_dir(sf_dir: str, tag: str) -> str:
     out = os.path.join(
         _tmp_root(),
         "pulsar_lunar_streamq",
-        os.path.basename(os.path.normpath(sf_dir)),
+        _sf_tag(sf_dir),
         "out",
         tag,
     )
@@ -840,8 +849,7 @@ def q_multi_topic_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produce them ONCE per sf (the _shared_log pattern) and let every rep
     # replay the same directory
     probe_base = os.path.join(
-        _tmp_root(), "pulsar_lunar_streamq",
-        os.path.basename(os.path.normpath(sf_dir)), "multitopic_probe",
+        _tmp_root(), "pulsar_lunar_streamq", _sf_tag(sf_dir), "multitopic_probe",
     )
     probe = MessageLog(spark, probe_base)
     marker = os.path.join(probe_base, "_PRODUCED")

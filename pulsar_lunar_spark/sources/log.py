@@ -71,6 +71,12 @@ class MessageLog:
     def dlq_path(self, topic: str) -> str:
         return self.topic_path(f"{topic}.DLQ")
 
+    def ack_path(self, topic: str, subscription: str) -> str:
+        """Ledger of individually-acked message positions for one
+        (topic, subscription) — the durable sibling of the broker's
+        per-cursor individually-deleted-messages range set."""
+        return os.path.join(self.root, "acks", _safe_topic(topic), subscription)
+
     def schema_path(self, topic: str) -> str:
         return os.path.join(self.root, "schemas", _safe_topic(topic) + ".json")
 
@@ -287,6 +293,93 @@ class MessageLog:
             ["publish_time", "sequence_id"],
         )
 
+    # -- individual ack / sparse replay --------------------------------
+    # CommandAck with AckType.Individual (/root/reference/src/
+    # PulsarApi.proto:479-507) acknowledges single positions out of order;
+    # ack_set (:57) is the BitSet marking acked indices inside a batch.
+    # The emulation stores exactly that shape: one bigint BitSet per
+    # 64-message block per partition, so the ledger is backlog-bounded
+    # (one row covers 64 sequence ids) and merges by bitwise OR.
+
+    def ack(self, topic: str, subscription: str, message_ids: DataFrame) -> None:
+        """Individually acknowledge messages (sparse, out-of-order OK).
+
+        ``message_ids`` is any DataFrame carrying the envelope's
+        ``message_id`` struct + ``sequence_id`` (e.g. a filtered
+        ``read(topic)``). Positions compact to (partition, block, BitSet)
+        rows before the append, so an ack of N messages writes at most
+        N/64 rows per partition; re-acking is a bitwise-OR no-op
+        (idempotent, like the broker's range-set union)."""
+        acked = (
+            message_ids.select(
+                F.col("message_id.partition").alias("partition"),
+                F.expr("sequence_id div 64").alias("block_id"),
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(pmod(sequence_id, 64) as int))"
+                ).alias("bits"),
+            )
+            .groupBy("partition", "block_id")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        acked.write.mode("append").parquet(self.ack_path(topic, subscription))
+
+    def _ack_bits(self, topic: str, subscription: str) -> DataFrame | None:
+        path = self.ack_path(topic, subscription)
+        if not os.path.isdir(path):
+            return None
+        return (
+            self.spark.read.parquet(path)
+            .groupBy("partition", "block_id")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+
+    def pending(self, topic: str, subscription: str) -> DataFrame:
+        """The redelivery view: every message NOT individually acked on
+        this subscription — acking message 3 of 1..5 replays exactly
+        {1,2,4,5}. One left join on the compacted (partition, block)
+        ledger + a bit test; the ledger side is backlog-bounded (64
+        messages per row) so at scale it is broadcast-sized unless the
+        backlog itself is huge, in which case the block-key shuffle join
+        is the right plan anyway — AQE picks."""
+        df = self.read(topic)
+        acks = self._ack_bits(topic, subscription)
+        if acks is None:
+            return df
+        env = df.withColumn("__part", F.col("message_id.partition")).withColumn(
+            "__block", F.expr("sequence_id div 64")
+        )
+        joined = env.join(
+            acks,
+            (env["__part"] == acks["partition"]) & (env["__block"] == acks["block_id"]),
+            "left",
+        )
+        mask = F.expr(
+            "shiftleft(cast(1 as bigint), cast(pmod(sequence_id, 64) as int))"
+        )
+        return (
+            joined.filter(
+                F.col("bits").isNull() | (F.col("bits").bitwiseAND(mask) == 0)
+            )
+            .drop("__part", "__block", "partition", "block_id", "bits")
+        )
+
+    def compact_acks(self, topic: str, subscription: str) -> None:
+        """Fold the append-only ack ledger down to one row per
+        (partition, block) — the cursor-ledger compaction the broker runs
+        on its individually-deleted ranges. Safe to skip: ``pending``
+        bit-ORs per block either way; this just bounds ledger file
+        count."""
+        acks = self._ack_bits(topic, subscription)
+        if acks is None:
+            return
+        path = self.ack_path(topic, subscription)
+        tmp = path + ".compact"
+        acks.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
     # -- consume: streaming subscription -------------------------------
     def subscribe(
         self,
@@ -330,10 +423,14 @@ class MessageLog:
         topic is its own file-stream source with its own offsets inside
         the shared checkpoint, so the cursor semantics per topic are
         identical to N single-topic subscriptions. Like Pulsar's pattern
-        consumers, all matched topics must share a payload schema (pass
-        ``payload_schema`` or let the FIRST matching topic's registered
-        schema apply); a conflicting topic fails analysis loudly rather
-        than silently corrupting the union. Topic expansion happens at
+        consumers, all matched topics must share a payload schema: when no
+        explicit ``payload_schema`` is given, every matched topic's
+        REGISTERED schema is compared against the first one at subscribe
+        time and a mismatch raises IncompatibleSchema loudly — without
+        that check, from_json's permissive decode would silently turn a
+        conflicting topic's payload fields into NULLs (an explicit
+        ``payload_schema`` is the caller opting into exactly that
+        permissive decode). Topic expansion happens at
         subscribe time (the reference's GetTopicsOfNamespace poll,
         /root/reference/src/PulsarApi.proto:656-678), and the CHECKPOINT
         PINS THE SOURCE SET: resuming the same subscription after new
@@ -348,6 +445,14 @@ class MessageLog:
             raise FileNotFoundError(f"no topics match pattern {pattern!r}")
         if payload_schema is None:
             payload_schema = self.get_schema(names[0])
+            for t in names[1:]:
+                other = self.get_schema(t)
+                if other != payload_schema:
+                    raise IncompatibleSchema(
+                        f"pattern {pattern!r}: topic '{t}' registered schema "
+                        f"{other} conflicts with '{names[0]}' schema "
+                        f"{payload_schema}"
+                    )
         streams = [
             self.subscribe(t, payload_schema, max_files_per_trigger) for t in names
         ]

@@ -13,14 +13,21 @@ SPECS = all_queries()
 
 
 def _canon(v):
+    # Type-class preserving: an int 25 and a float 25.0 must NOT collapse to
+    # the same canonical string — the driver's value hash distinguishes them
+    # (the r2 q_math_funcs red: Spark FLOOR -> BIGINT vs DuckDB FLOOR ->
+    # DOUBLE hashed differently while every value was identical). Floats get
+    # an explicit "f" suffix and bools a "b" prefix so any engine-side output
+    # dtype skew fails HERE at sf0.001, before the driver sees it.
     if v is None:
         return "<null>"
     if isinstance(v, bool):
-        return str(int(v))
+        return "b" + str(int(v))
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return f"{v:.6g}" if v == int(v) else repr(round(v, 6))
+        s = f"{v:.6g}" if v == int(v) else repr(round(v, 6))
+        return s + "f"
     return str(v)
 
 

@@ -810,3 +810,78 @@ def test_subscribe_pattern_expands_at_subscribe_time(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out2)
     by_topic = {r["topic"]: r["count"] for r in got.groupBy("topic").count().collect()}
     assert by_topic == {"pt.a": 50, "pt.b": 50}
+
+
+def test_individual_ack_sparse_replay(spark, tmp_path):
+    """Sparse individual ack (CommandAck AckType.Individual + ack_set,
+    reference PulsarApi.proto:479-507 / :57): produce 5, ack {1,2,4}
+    (a hole at 3) -> pending is exactly {3,5}; ack {3} -> {5}; re-acking
+    an already-acked id is an idempotent no-op; ledger compaction
+    changes nothing observable."""
+    ml = MessageLog(spark, str(tmp_path / "acklog"))
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(1, 6)], "event_id long, user string"
+    )
+    ml.produce(df, topic="t", payload_cols=["event_id"], key="user",
+               sequence_id="event_id")
+
+    def pending_ids():
+        return sorted(
+            r["sequence_id"] for r in ml.pending("t", "subA").collect()
+        )
+
+    assert pending_ids() == [1, 2, 3, 4, 5]
+    env = ml.read("t")
+    ml.ack("t", "subA", env.filter(F.col("sequence_id").isin(1, 2, 4)))
+    assert pending_ids() == [3, 5]
+    ml.ack("t", "subA", env.filter(F.col("sequence_id") == 3))
+    assert pending_ids() == [5]
+    # idempotent re-ack
+    ml.ack("t", "subA", env.filter(F.col("sequence_id") == 1))
+    assert pending_ids() == [5]
+    # another subscription has its own cursor state
+    assert sorted(r["sequence_id"] for r in ml.pending("t", "subB").collect()) == [1, 2, 3, 4, 5]
+    # compaction folds the append-only ledger, observable state unchanged
+    ml.compact_acks("t", "subA")
+    assert pending_ids() == [5]
+
+
+def test_individual_ack_blocks_span_partitions(spark, sf_dir, tmp_path):
+    """ack_set BitSets are per (partition, 64-message block): acks on a
+    multi-partition topic with sequence ids crossing block boundaries
+    must replay exactly the unacked ids."""
+    from pulsar_lunar_spark.session import load_table
+
+    ml = MessageLog(spark, str(tmp_path / "acklog2"))
+    e = load_table(spark, sf_dir, "events").limit(300)
+    ml.produce(e, topic="t", payload_cols=["event_id"], key="user_id",
+               sequence_id="event_id", publish_time="ts")
+    env = ml.read("t")
+    all_ids = sorted(r["sequence_id"] for r in env.collect())
+    ml.ack("t", "s", env.filter(F.col("sequence_id") % 7 != 0))
+    got = sorted(r["sequence_id"] for r in ml.pending("t", "s").collect())
+    assert got == [i for i in all_ids if i % 7 == 0]
+
+
+def test_subscribe_pattern_schema_conflict_raises(spark, sf_dir, tmp_path):
+    """Pattern subscription with no explicit payload schema must compare
+    every matched topic's REGISTERED schema against the first match and
+    raise IncompatibleSchema on conflict — otherwise the permissive
+    from_json decode would silently null out the conflicting topic's
+    payload fields. An explicit payload_schema opts into the permissive
+    decode and must still work."""
+    from pulsar_lunar_spark.session import load_table
+    from pulsar_lunar_spark.sources.log import IncompatibleSchema
+
+    ml = MessageLog(spark, str(tmp_path / "plog3"))
+    e = load_table(spark, sf_dir, "events").limit(20)
+    ml.produce(e, topic="sc.a", payload_cols=["event_id", "value"],
+               key="user_id", sequence_id="event_id", publish_time="ts")
+    ml.produce(e, topic="sc.b", payload_cols=["event_id", "event_type"],
+               key="user_id", sequence_id="event_id", publish_time="ts")
+    with pytest.raises(IncompatibleSchema, match="sc.b"):
+        ml.subscribe_pattern(r"^sc\.")
+    # explicit schema: caller-chosen permissive decode is still allowed
+    explicit = ml.get_schema("sc.a")
+    stream = ml.subscribe_pattern(r"^sc\.", payload_schema=explicit)
+    assert stream.isStreaming
