@@ -491,6 +491,7 @@ def run_available_now(
     checkpoint: str,
     state_partitions: int | None = None,
     state_store: str | None = None,
+    no_data_batches: bool = True,
 ):
     """Start a bounded run (end-of-topic semantics, PulsarApi.proto:548-550):
     trigger(availableNow) drains everything currently in the log and stops.
@@ -512,13 +513,24 @@ def run_available_now(
     instead of the executor heap (the default HDFSBackedStateStore keeps
     every store's full map in memory), and each micro-batch uploads only
     the changelog, not a full snapshot. Like the partition count, the
-    provider is pinned at the first checkpoint."""
+    provider is pinned at the first checkpoint.
+
+    ``no_data_batches=False`` skips the trailing no-data micro-batch.
+    ONLY valid when the query's final answer does not depend on applying
+    the final watermark after the last data batch — i.e. complete-mode
+    aggregations, append-mode emissions that happen on match/first-sight
+    (inner stream-stream join, dropDuplicates), and stateless streams.
+    Keep the default for anything whose output is produced by STATE
+    EVICTION or TIMEOUT: outer-join null emission, TTL eviction
+    observability, event-time-timeout session closure."""
     from pyspark.sql import SparkSession
 
     writer = writer.option("checkpointLocation", checkpoint).trigger(availableNow=True)
     overrides: dict[str, str] = {}
     if state_partitions is not None:
         overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if not no_data_batches:
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     if state_store == "rocksdb":
         overrides["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB_PROVIDER
         overrides[
