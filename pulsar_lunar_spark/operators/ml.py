@@ -86,6 +86,46 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_assign_literal(
+    vectors: DataFrame, centroid_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Zero-exchange assign: the centroids are embedded as LITERAL arrays
+    and the argmin is ``array_min`` over a per-row array of (dist, cid)
+    structs — the whole assignment is one projection inside the scan's
+    stage, no crossJoin, no groupBy, no shuffle of the corpus.
+
+    Value-identical to :func:`kmeans_assign` (same left-to-right distance
+    fold, same (dist, cid) struct ordering => same lowest-cid tiebreak);
+    pinned by tests/test_ml.py::test_kmeans_assign_literal_matches_join.
+
+    This is the 100 TB path whenever K·dim is expression-sized (the
+    codegen budget comfortably takes ~64k literal doubles): a Lloyd pass
+    then touches the corpus exactly once with NO exchange — only the
+    O(K·dim) mean-update reduce shuffles. For K·dim beyond that, fall
+    back to the broadcast-join form."""
+    dcs = F.array(
+        *[
+            F.struct(
+                _sq_dist(
+                    F.col("__v"), F.array(*[F.lit(float(x)) for x in cv])
+                ).alias("dist"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in centroid_rows
+        ]
+    )
+    return vectors.select(
+        "__id",
+        "__v",
+        F.array_min(dcs).alias("best"),
+    ).select(
+        "__id",
+        "__v",
+        F.col("best.cid").alias("cluster"),
+        F.col("best.dist").alias("dist"),
+    )
+
+
 def kmeans_update(assigned: DataFrame) -> DataFrame:
     """Recompute centroids as the element-wise mean of assigned vectors:
     posexplode by dimension -> (cluster, dim) mean -> re-assemble arrays.
@@ -118,27 +158,51 @@ def kmeans_fit(
     centroid when ``keep_dist`` (the outlier-filtering signal).
 
     Fixed-iteration + fixed-init keeps the whole computation reproducible
-    and SQL-expressible (the oracle unrolls the same two passes). Each
-    round is localCheckpoint-ed so the logical plan stays constant-size
-    (same iterative-join hazard as connected_components).
+    and SQL-expressible (the oracle unrolls the same two passes).
+
+    Assign path: when K·dim fits the expression budget (<= 65536 literal
+    doubles — any sane IVF codebook) the centroids travel as LITERALS in
+    a zero-exchange argmin projection (:func:`kmeans_assign_literal`),
+    so each Lloyd pass shuffles ONLY the O(K·dim) mean update, never the
+    corpus; the per-iteration centroid collect is K rows — bounded by
+    design, like the BPE vocab. Literal centroids also end the iterative
+    plan-growth hazard (every round's plan is projection(checkpointed
+    vectors) — constant size, no per-round checkpoint jobs). Beyond the
+    budget the broadcast-join assign + checkpoint loop takes over.
     """
     vectors = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     ).localCheckpoint(eager=True)
-    centroids = (
-        vectors.filter(F.col("__id").isin([int(i) for i in init_ids]))
-        .select(F.col("__id").cast("int").alias("cid"), F.col("__v").alias("cv"))
-        .localCheckpoint(eager=True)
+    init = vectors.filter(F.col("__id").isin([int(i) for i in init_ids])).select(
+        F.col("__id").cast("int").alias("cid"), F.col("__v").alias("cv")
     )
+    cent_rows = sorted(
+        ((int(r["cid"]), list(r["cv"])) for r in init.collect()),
+        key=lambda t: t[0],
+    )
+    dim = len(cent_rows[0][1]) if cent_rows else 0
     assigned = None
-    for it in range(iterations):
-        assigned = kmeans_assign(vectors, centroids)
-        if it < iterations - 1:
-            # checkpointing the UPDATED CENTROIDS truncates the lineage for
-            # the next round (both kmeans_assign inputs are then
-            # checkpoints), so a separate checkpoint of `assigned` is a
-            # wasted job — the update's aggregate consumes it exactly once
-            centroids = kmeans_update(assigned).localCheckpoint(eager=True)
+    if len(cent_rows) * dim <= 65536:
+        for it in range(iterations):
+            assigned = kmeans_assign_literal(vectors, cent_rows)
+            if it < iterations - 1:
+                cent_rows = sorted(
+                    (
+                        (int(r["cid"]), list(r["cv"]))
+                        for r in kmeans_update(assigned).collect()
+                    ),
+                    key=lambda t: t[0],
+                )
+    else:
+        centroids = init.localCheckpoint(eager=True)
+        for it in range(iterations):
+            assigned = kmeans_assign(vectors, centroids)
+            if it < iterations - 1:
+                # checkpointing the UPDATED CENTROIDS truncates the lineage
+                # for the next round (both kmeans_assign inputs are then
+                # checkpoints), so a separate checkpoint of `assigned` is a
+                # wasted job — the update's aggregate consumes it once
+                centroids = kmeans_update(assigned).localCheckpoint(eager=True)
     cols = ["__id", "cluster", "dist"] if keep_dist else ["__id", "cluster"]
     return assigned.select(*cols)

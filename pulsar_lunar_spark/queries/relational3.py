@@ -492,21 +492,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt/commit dates): the sole late supplier in multi-supplier
     finished orders.
 
-    Single-shuffle form, one lineitem pass (the EXISTS/NOT-EXISTS are
-    per-order facts):
+    Single-shuffle, window-free form, one lineitem pass (the
+    EXISTS/NOT-EXISTS are per-order facts):
 
-    1. orders pre-filtered to status 'F' BEFORE the join — the status is
-       constant per order, and non-F orders can contribute nothing to
-       either the outer rows or the EXISTS facts, so the filter pushes to
-       the orders scan and halves the join input;
-    2. li⋈orders shuffles lineitem ONCE on l_orderkey; the subsequent
-       groupBy(l_orderkey, l_suppkey) and the window over l_orderkey both
-       reuse that partitioning (HashPartitioning on a key subset satisfies
-       the clustering requirement) — zero additional exchanges, verified
-       in the plan;
-    3. the per-(order, supplier) dedupe shrinks rows ~4x BEFORE the
-       window, whose aggregates are then plain count/sum — no per-row
-       collect_set materialization.
+    1. orders pre-filtered to status 'F' BEFORE the (broadcast) join —
+       the status is constant per order, and non-F orders can contribute
+       nothing to either the outer rows or the EXISTS facts;
+    2. groupBy(l_orderkey, l_suppkey) shuffles lineitem ONCE, with
+       map-side partial aggregation compressing ~4x before the exchange;
+       the second groupBy(l_orderkey) reuses that partitioning (hash on
+       a key subset satisfies the clustering requirement) — no further
+       full-width exchange and, unlike a window over l_orderkey, NO sort:
+       because a waiting order has EXACTLY ONE late supplier,
+       max(when(late, ..)) inside the per-order hash aggregate recovers
+       that supplier's key and late-row count directly;
+    3. what remains is order-count-sized: a broadcast supplier join and
+       a 25-row TakeOrdered.
 
     waiting ⇔ supplier is late, order has ≥2 suppliers, exactly 1 late
     supplier; numwait sums that supplier's late rows in the order (the
@@ -525,30 +526,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         li.join(o_f, li.l_orderkey == o_f.o_orderkey)
         .select("l_orderkey", "l_suppkey", late.alias("is_late"))
-        # one explicit hash partition on the order key: the groupBy below
-        # (key superset) and the window (same key) both reuse it — ONE
-        # exchange total instead of groupBy+window each paying their own
+        # one explicit hash partition on the order key: hash(l_orderkey)
+        # satisfies the clustering requirement of BOTH groupBys below
+        # (a subset-key partitioning clusters any superset key), so the
+        # whole aggregate chain runs on a single exchange
         .repartition("l_orderkey")
     )
     per_supp = base.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_late").alias("late"),
         F.sum(F.col("is_late").cast("long")).alias("n_late_rows"),
     )
-    w = Window.partitionBy("l_orderkey")
-    flagged = per_supp.select(
-        "l_suppkey",
-        "late",
-        "n_late_rows",
-        F.count(F.lit(1)).over(w).alias("n_supp"),
-        F.sum(F.col("late").cast("long")).over(w).alias("n_late_supp"),
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late_supp"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_suppkey"),
+        F.max(F.when(F.col("late"), F.col("n_late_rows"))).alias("late_rows"),
     )
-    waiting = flagged.filter(
-        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
-        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(s, F.col("late_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
+        .agg(F.sum("late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )

@@ -42,6 +42,33 @@ def test_kmeans_assign_tiebreak_lowest_cid(spark):
     assert rows[0]["cluster"] == 0
 
 
+def test_kmeans_assign_literal_matches_join(spark):
+    """The zero-exchange literal-argmin assign must be value-identical to
+    the broadcast-join assign — same distance fold, same lowest-cid
+    tiebreak — and its plan must contain NO Exchange."""
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, [rng.uniform(-5, 5) for _ in range(4)]) for i in range(50)]
+    # plus an exact-tie probe
+    vectors = spark.createDataFrame(
+        pts + [(99, [5.0, 0.0, 0.0, 0.0])], "__id long, __v array<double>"
+    )
+    cent_rows = [(0, [4.0, 0.0, 0.0, 0.0]), (1, [6.0, 0.0, 0.0, 0.0]),
+                 (2, [0.0, 0.0, 0.0, 0.0])]
+    centroids = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
+    via_join = {
+        r["__id"]: (r["cluster"], r["dist"])
+        for r in M.kmeans_assign(vectors, centroids).collect()
+    }
+    lit_df = M.kmeans_assign_literal(vectors, cent_rows)
+    via_lit = {r["__id"]: (r["cluster"], r["dist"]) for r in lit_df.collect()}
+    assert via_join == via_lit
+    assert via_lit[99][0] == 0  # equidistant -> lowest cid
+    plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_projection_matrix_deterministic_and_scaled():
     a = M.projection_matrix(64, 8, seed=42)
     b = M.projection_matrix(64, 8, seed=42)
