@@ -176,6 +176,68 @@ def shingle_table(
     return sh
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Directional containment join — the boilerplate/excerpt detector.
+
+    Resemblance (Jaccard, the MinHash family above) misses the case where
+    a SHORT document is wholly contained in a long one (a quoted passage,
+    a syndicated excerpt): the union term drowns the overlap. Containment
+    C(a ⊆ b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| is the
+    asymmetric fix (Broder's containment measure).
+
+    Plan shape (the only one that survives 100 TB): distinct (doc,
+    shingle) postings; shingles with document frequency > ``df_cap`` are
+    dropped (stopword shingles — exactly the postings whose self-join
+    explodes quadratically; at web scale this cap is what bounds the
+    join, same role as the band count in LSH); the capped postings
+    self-join on the shingle (both sides share ONE hash exchange via an
+    explicit repartition — exchange reuse, the fuzzy_neighbors trick),
+    then a per-ordered-pair overlap count joins the subject's shingle
+    count. Returns (a_id, b_id, overlap, size_a, containment_ppm) for
+    every co-shingled ordered pair; callers threshold on ppm.
+    """
+    posts = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+        )
+        # shingles() is per-doc distinct already; keep it explicit for
+        # callers that pass pre-exploded text
+        .distinct()
+    )
+    sizes = posts.groupBy("__id").agg(F.count(F.lit(1)).alias("size_a"))
+    capped = (
+        posts.groupBy("__sh")
+        .agg(F.collect_list("__id").alias("__ids"), F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("__sh", "__ids")
+    )
+    # pairs from within each posting list: explode twice is equivalent to
+    # the postings self-join but does it from ONE aggregate (no second
+    # scan of the postings table)
+    pairs = (
+        capped.select(
+            F.explode("__ids").alias("a_id"), F.col("__ids").alias("__ids")
+        )
+        .select("a_id", F.explode("__ids").alias("b_id"))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return pairs.join(
+        sizes.withColumnRenamed("__id", "a_id"), "a_id"
+    ).withColumn(
+        "containment_ppm", F.expr("(1000000 * overlap) div size_a")
+    )
+
+
 def _banded_buckets(
     sh: DataFrame,
     n_hashes: int,

@@ -111,6 +111,73 @@ def merge_upsert(
     shutil.rmtree(old)
 
 
+def cdc_apply(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    op_col: str = "op",
+) -> None:
+    """Apply a CDC change batch — upserts (``op='u'``) AND deletes
+    (``op='d'``) — to a keyed parquet table: the foreachBatch half of a
+    streaming MERGE (what table formats spell ``WHEN MATCHED AND s.op='d'
+    THEN DELETE``).
+
+    Per key, the row with the highest (version_cols..., source-side) wins;
+    a winning delete removes the key. Version precedence makes the apply
+    idempotent under replayed batches and correct under out-of-order
+    delivery ACROSS batches (an older change arriving late can never
+    overwrite a newer applied state) — the same guarantee merge_upsert
+    gives, extended with tombstones. The target keeps its version columns
+    precisely so later batches can lose to it.
+
+    One union + per-key max-struct aggregate + atomic directory swap; at
+    scale, bucketing the target by the key makes the rewrite
+    shuffle-free on the target side."""
+    cols = changes.columns
+    for c in key_cols + version_cols + [op_col]:
+        if c not in cols:
+            raise ValueError(f"changes missing column {c!r}")
+    exists = os.path.isdir(target_path) and any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(target_path)
+        for f in fs
+    )
+    src = changes.withColumn("__side", F.lit(1))
+    if exists:
+        target = spark.read.parquet(target_path).withColumn(
+            op_col, F.lit("u")
+        ).withColumn("__side", F.lit(0))
+        src = target.select(*cols, "__side").unionByName(src.select(*cols, "__side"))
+    payload = [c for c in cols if c not in key_cols]
+    order_then_payload = (
+        [F.col(c) for c in version_cols]
+        + [F.col("__side")]
+        + [F.col(c) for c in payload if c not in version_cols]
+    )
+    live = (
+        src.groupBy(*key_cols)
+        .agg(F.max(F.struct(*order_then_payload)).alias("__win"))
+        .select(
+            *key_cols,
+            *[F.col(f"__win.{c}").alias(c) for c in payload],
+        )
+        .filter(F.col(op_col) != "d")
+        .drop(op_col)
+    )
+    out_cols = [c for c in cols if c != op_col]
+    if not exists:
+        live.select(*out_cols).write.mode("overwrite").parquet(target_path)
+        return
+    tmp = f"{target_path.rstrip('/')}.__cdc_{uuid.uuid4().hex[:8]}"
+    live.select(*out_cols).write.mode("overwrite").parquet(tmp)
+    old = f"{target_path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old)
+
+
 # ---------------------------------------------------------------------------
 # Snapshot versioning: time travel + vacuum over plain parquet
 # ---------------------------------------------------------------------------

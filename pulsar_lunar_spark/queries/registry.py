@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm4",
     "pulsar_lunar_spark.queries.llm5",
     "pulsar_lunar_spark.queries.llm6",
+    "pulsar_lunar_spark.queries.llm7",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -185,6 +186,9 @@ _NEWEST_FIRST = (
     "q_token_packing",
     # (b) round-3 additions
     "q_individual_ack",  # round 3: sparse ack_set replay emulation
+    "q_containment_dedup",  # round 3: directional (excerpt) containment join
+    "q_stream_cdc_apply",  # round 3: foreachBatch CDC MERGE with tombstones
+    "q_stream_observed_metrics",  # round 3: per-batch consumer stats compose exactly
     # (c) LSH-dedup / similarity family — zero driver rows so far
     "q_dedup_minhash",
     "q_dedup_simhash",

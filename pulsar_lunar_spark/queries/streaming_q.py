@@ -899,3 +899,159 @@ def q_multi_topic_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+@register(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN event_id % 13 = 0 THEN 'd' ELSE 'u' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           cents AS last_cents
+    FROM ranked WHERE rn = 1 AND op = 'u'
+    ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "merge", "foreachBatch"),
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the foreachBatch MERGE that keeps a keyed
+    serving table in sync with a change stream (upserts + tombstone
+    deletes; every 13th sequence id is a delete). Each micro-batch flows
+    through maintenance.cdc_apply: per-key highest (event-time,
+    sequence-id) wins, a winning delete removes the key, version
+    precedence makes replayed/out-of-order batches harmless. The final
+    table must equal the batch latest-per-key view minus deleted keys —
+    streaming maintenance and batch semantics agree row-exactly.
+
+    Scale: each apply is one union + per-key max-struct aggregate over
+    (target + batch); bucketing the target by the key removes its side
+    of the shuffle. State lives in the TABLE, not the stream — no
+    watermark state at all."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pulsar_lunar_spark.operators.maintenance import cdc_apply
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    payload = StructType([StructField("value", DoubleType())])
+    changes = decode_payload(log.subscribe("events"), payload).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        F.col("sequence_id").alias("event_id"),
+        F.floor(F.col("payload.value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("sequence_id") % 13 == 0, F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    target = _fresh_dir(sf_dir, "cdc_target")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        cdc_apply(
+            bdf.sparkSession,
+            target,
+            bdf,
+            key_cols=["user_id"],
+            version_cols=["ts_us", "event_id"],
+            op_col="op",
+        )
+
+    run_available_now(
+        changes.writeStream.foreachBatch(apply_batch),
+        _fresh_checkpoint(sf_dir, "cdcapply"),
+        no_data_batches=False,  # stateless apply: the table is the state
+    )
+    return (
+        spark.read.parquet(target)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("cents").alias("last_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_stream_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(event_id) AS BIGINT) AS max_seq,
+           TRUE AS multi_batch
+    FROM events
+    """,
+    tags=("streaming", "observability", "consumer-stats"),
+)
+def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch consumer stats via observed metrics — the engine's
+    CommandConsumerStats surface (/root/reference/src/PulsarApi.proto:479-802
+    command family): counts/sums/max-position aggregated ON the flowing
+    stream itself (zero extra passes, no sink materialization — the sink
+    is the no-op writer) and read from each batch's progress events. The
+    drain is throttled to >=2 micro-batches, and the PER-BATCH stats must
+    compose to the exact batch totals: sum of per-batch counts = table
+    count, sum of per-batch cent-sums = table sum, max of per-batch max
+    positions = the last message id — not one message lost, duplicated,
+    or double-counted across batch boundaries."""
+    import math
+    import os as _os
+
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pulsar_lunar_spark.streaming.ops import observe_stats
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    n_files = sum(
+        1
+        for _r, _d, fs in _os.walk(log.topic_path("events"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    payload = StructType([StructField("value", DoubleType())])
+    stream = decode_payload(
+        log.subscribe(
+            "events", max_files_per_trigger=max(1, math.ceil(n_files / 3))
+        ),
+        payload,
+    ).select(
+        F.floor(F.col("payload.value") * 100 + 0.5).cast("long").alias("cents"),
+        "sequence_id",
+    )
+    obs = observe_stats(
+        stream,
+        "consumer_stats",
+        n=F.count(F.lit(1)),
+        cents=F.sum("cents"),
+        max_seq=F.max("sequence_id"),
+    )
+    q = run_available_now(
+        obs.writeStream.format("noop"),
+        _fresh_checkpoint(sf_dir, "observed"),
+        no_data_batches=False,  # metrics ride data batches only
+    )
+    q.awaitTermination(300)
+    n_messages = total_cents = 0
+    max_seq = None
+    n_batches = 0
+    for p in q.recentProgress:
+        m = p.get("observedMetrics", {}).get("consumer_stats")
+        if m is None:
+            continue
+        d = m.asDict() if hasattr(m, "asDict") else dict(m)
+        if not d.get("n"):
+            continue
+        n_batches += 1
+        n_messages += d["n"]
+        total_cents += d["cents"]
+        max_seq = d["max_seq"] if max_seq is None else max(max_seq, d["max_seq"])
+    return spark.createDataFrame(
+        [(n_messages, total_cents, max_seq, n_batches >= 2)],
+        "n_messages long, total_cents long, max_seq long, multi_batch boolean",
+    )

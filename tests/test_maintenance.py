@@ -162,3 +162,41 @@ def test_side_effect_queries_are_rerun_idempotent(spark, sf_dir):
         first = [tuple(r) for r in qs[name].fn(spark, sf_dir).collect()]
         second = [tuple(r) for r in qs[name].fn(spark, sf_dir).collect()]
         assert first == second, name
+
+
+def test_cdc_apply_upserts_deletes_and_replay(spark, tmp_path):
+    """CDC apply: latest version wins per key, a winning tombstone removes
+    the key, an out-of-order older change cannot overwrite applied state,
+    and replaying a batch is a no-op (idempotent)."""
+    from pulsar_lunar_spark.operators.maintenance import cdc_apply
+
+    target = str(tmp_path / "cdc_target")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, v long, ts long, op string"
+        )
+
+    def state():
+        return {
+            r["k"]: (r["v"], r["ts"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    b1 = batch([(1, 10, 100, "u"), (2, 20, 100, "u"), (3, 30, 100, "u")])
+    cdc_apply(spark, target, b1, ["k"], ["ts"], "op")
+    assert state() == {1: (10, 100), 2: (20, 100), 3: (30, 100)}
+
+    # upsert k=1, delete k=2, and an OLDER change for k=3 (must lose)
+    b2 = batch([(1, 11, 200, "u"), (2, 0, 200, "d"), (3, 99, 50, "u")])
+    cdc_apply(spark, target, b2, ["k"], ["ts"], "op")
+    assert state() == {1: (11, 200), 3: (30, 100)}
+
+    # replay the same batch: no change
+    cdc_apply(spark, target, b2, ["k"], ["ts"], "op")
+    assert state() == {1: (11, 200), 3: (30, 100)}
+
+    # resurrect a deleted key with a newer upsert
+    b3 = batch([(2, 22, 300, "u")])
+    cdc_apply(spark, target, b3, ["k"], ["ts"], "op")
+    assert state() == {1: (11, 200), 2: (22, 300), 3: (30, 100)}

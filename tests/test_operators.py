@@ -186,3 +186,31 @@ def test_knn_join_gemm_matches_jvm_twin(spark, sf_dir):
     gemm = S.knn_join_gemm(queries, emb, k=4).select(*cols)
     assert jvm.exceptAll(gemm).count() == 0
     assert gemm.exceptAll(jvm).count() == 0
+
+
+def test_containment_pairs_finds_planted_excerpt(spark):
+    """An excerpt (prefix) of a long doc must score containment 1.0 in its
+    base doc; the base scores low in the excerpt; unrelated docs never
+    pair. A stopword shingle above the df cap must not create pairs."""
+    from pulsar_lunar_spark.operators.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    excerpt = "alpha beta gamma delta epsilon zeta"
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): (r["overlap"], r["size_a"], r["containment_ppm"])
+        for r in containment_pairs(df, "doc_id", "text").collect()
+    }
+    # excerpt has 4 shingles, all present in base -> containment 1.0
+    assert pairs[(2, 1)] == (4, 4, 1000000)
+    # base in excerpt: 4 of 8 shingles
+    assert pairs[(1, 2)] == (4, 8, 500000)
+    assert not any(3 in p for p in pairs)
+
+    # df cap: a shingle shared by MANY docs is dropped, so no pair forms
+    many = [(i, "x y z") for i in range(60)]
+    df2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert containment_pairs(df2, "doc_id", "text", df_cap=50).count() == 0

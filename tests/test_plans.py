@@ -156,15 +156,19 @@ def test_tpch_join_chains_broadcast_dimensions(name, spark, sf_dir):
 @pytest.mark.parametrize("name", ["q_tfidf_terms", "q_bm25_search", "q_kmeans_clusters"])
 def test_corpus_ml_queries_broadcast_small_sides(name, spark, sf_dir):
     """The tiny sides (term-df table, corpus stats, K centroids) must
-    broadcast — shuffling the corpus against a vocabulary/stats-sized table
-    would be a plan bug at 100 TB. The K-row centroid side has no equi key,
-    so its broadcast is a BroadcastNestedLoopJoin (still one-pass over the
-    corpus); the equi-keyed sides must be BroadcastHashJoin."""
+    never shuffle the corpus against them — at 100 TB that's a plan bug.
+    The equi-keyed sides must be BroadcastHashJoin; the K-centroid assign
+    goes further: centroids travel as LITERALS in an argmin projection
+    (ml.kmeans_assign_literal), so the assign stage has no join NODE at
+    all and zero Exchange."""
     from pulsar_lunar_spark.plans.inspect import plan_text
 
     df = SPECS[name].fn(spark, sf_dir)
     if name == "q_kmeans_clusters":
-        assert "BroadcastNestedLoopJoin" in plan_text(df), name
+        text = plan_text(df)
+        # literal-argmin assign: no centroid join of any kind in the plan
+        assert "BroadcastNestedLoopJoin" not in text, name
+        assert "array_min" in text, name
     else:
         assert uses_broadcast_join(df), name
 
