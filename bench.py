@@ -65,6 +65,10 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_events_session_dynamic",
     "q_cumulative_distinct",
+    # round-3 additions
+    "q_containment_dedup",
+    "q_individual_ack",
+    "q_stream_cdc_apply",
 ]
 
 

@@ -6,12 +6,15 @@ correct iff it is invisible to downstream aggregation).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from pulsar_lunar_spark.functions.envelope import decode_payload, to_envelope
 from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.sources.log import MessageLog
 from pulsar_lunar_spark.queries.registry import register
 
 _EVENT_PAYLOAD = StructType(
@@ -327,6 +330,74 @@ def q_seek_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sequence_id").cast("bigint").alias("first_seq"),
         F.max("sequence_id").cast("bigint").alias("last_seq"),
         F.countDistinct("key").cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
+    "q_topic_retention",
+    oracle="""
+    WITH c AS (
+        SELECT MIN(EPOCH_US(ts)) + (MAX(EPOCH_US(ts)) - MIN(EPOCH_US(ts))) // 2
+                   AS cut_us
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_remaining,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(MIN(EPOCH_US(ts)) AS BIGINT) AS min_us_remaining,
+           CAST((SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events, c
+                 WHERE CAST(ts AS DATE) < CAST(MAKE_TIMESTAMP(c.cut_us) AS DATE))
+               AS BIGINT) AS partitions_dropped
+    FROM events, c WHERE EPOCH_US(ts) >= c.cut_us
+    """,
+    tags=("messaging", "retention", "ttl"),
+)
+def q_topic_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic retention / message expiry (the broker's TTL policy; its
+    effect is the reference's msgRateExpired consumer stat,
+    /root/reference/src/PulsarApi.proto:639-640): expire everything
+    published before the topic's mid-point timestamp on a
+    time-partitioned probe topic. Every publish-date directory strictly
+    before the cutoff DATE must be DROPPED WHOLE (no read, no rewrite —
+    the count of dropped directories must equal the oracle's count of
+    expired dates exactly) and only the cutoff's own day is rewritten;
+    the surviving messages and the exact oldest remaining position are
+    hash-checked.
+
+    Scale: retention on a 3-year 100 TB topic touches directory metadata
+    plus at most ONE day of data. Single-partition probe so directory
+    count == date count (the partitioned layout multiplies dirs by the
+    partition fan-out; pytest covers multi-day drops)."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).head()
+    cut_us = int(row["lo"]) + (int(row["hi"]) - int(row["lo"])) // 2
+    cutoff = datetime(1970, 1, 1) + timedelta(microseconds=cut_us)
+    # retention MUTATES the topic, so the probe is produced fresh per
+    # call (mkdtemp — never a shared cache)
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    probe = MessageLog(spark, tempfile.mkdtemp(prefix="pl_retention_", dir=root))
+    probe.produce(
+        e,
+        topic="events",
+        payload_cols=["event_id"],
+        key="user_id",
+        sequence_id="event_id",
+        publish_time="ts",
+        num_partitions=1,
+        time_partition=True,
+    )
+    dropped = probe.apply_retention("events", cutoff)
+    back = probe.read("events")
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_remaining"),
+        F.countDistinct(F.col("key").cast("long")).cast("bigint").alias("n_keys"),
+        F.min(F.unix_micros("publish_time")).cast("bigint").alias("min_us_remaining"),
+        F.lit(dropped).cast("bigint").alias("partitions_dropped"),
     )
 
 

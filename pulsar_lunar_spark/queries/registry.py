@@ -189,6 +189,7 @@ _NEWEST_FIRST = (
     "q_containment_dedup",  # round 3: directional (excerpt) containment join
     "q_stream_cdc_apply",  # round 3: foreachBatch CDC MERGE with tombstones
     "q_stream_observed_metrics",  # round 3: per-batch consumer stats compose exactly
+    "q_topic_retention",  # round 3: TTL expiry = whole-directory drops
     # (c) LSH-dedup / similarity family — zero driver rows so far
     "q_dedup_minhash",
     "q_dedup_simhash",

@@ -293,6 +293,64 @@ class MessageLog:
             ["publish_time", "sequence_id"],
         )
 
+    # -- retention / message expiry ------------------------------------
+    def apply_retention(self, topic: str, older_than) -> int:
+        """Expire messages published BEFORE ``older_than`` — the broker's
+        topic retention / message-TTL policy (its effect is what
+        ``msgRateExpired`` reports in the reference's consumer stats,
+        /root/reference/src/PulsarApi.proto:639-640).
+
+        On a ``time_partition=True`` topic this is the 100 TB path:
+        every ``__pdate`` directory strictly before the cutoff DATE is
+        DROPPED whole (no read, no rewrite — retention on a 3-year log
+        touches only directory metadata), and only the cutoff's own day
+        is rewritten filtered (bounded by one day of data, atomic swap).
+        On an unpartitioned topic the whole log is rewritten filtered —
+        documented fallback, linear in the topic.
+
+        Returns the number of whole partition directories dropped.
+        ``older_than``: timestamp string or datetime.
+        """
+        import shutil
+        from datetime import datetime
+
+        cutoff = (
+            datetime.fromisoformat(older_than)
+            if isinstance(older_than, str)
+            else older_than
+        )
+        path = self.topic_path(topic)
+        df = self.spark.read.parquet(path)
+        dropped = 0
+        if "__pdate" in df.columns:
+            # layout is __partition=N/__pdate=D (produce partitionBy order)
+            cutoff_date = cutoff.date().isoformat()
+            date_dirs: list[tuple[str, str]] = []
+            for root_dir, dirs, _files in os.walk(path):
+                for d in dirs:
+                    if d.startswith("__pdate="):
+                        date_dirs.append((os.path.join(root_dir, d), d.split("=", 1)[1]))
+            for full, day_str in sorted(date_dirs):
+                if day_str < cutoff_date:
+                    shutil.rmtree(full)
+                    dropped += 1
+                elif day_str == cutoff_date:
+                    # the cutoff's own day: bounded partial rewrite
+                    day = self.spark.read.parquet(full).filter(
+                        F.col("publish_time") >= F.lit(cutoff)
+                    )
+                    tmp = full + ".__ret_tmp"
+                    day.write.mode("overwrite").parquet(tmp)
+                    shutil.rmtree(full)
+                    os.rename(tmp, full)
+        else:
+            kept = df.filter(F.col("publish_time") >= F.lit(cutoff))
+            tmp = path + ".__ret_tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        return dropped
+
     # -- individual ack / sparse replay --------------------------------
     # CommandAck with AckType.Individual (/root/reference/src/
     # PulsarApi.proto:479-507) acknowledges single positions out of order;

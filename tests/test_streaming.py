@@ -885,3 +885,40 @@ def test_subscribe_pattern_schema_conflict_raises(spark, sf_dir, tmp_path):
     explicit = ml.get_schema("sc.a")
     stream = ml.subscribe_pattern(r"^sc\.", payload_schema=explicit)
     assert stream.isStreaming
+
+
+def test_topic_retention_drops_whole_partitions(spark, tmp_path):
+    """Retention on a time-partitioned topic: date dirs strictly before
+    the cutoff date are DROPPED whole, the cutoff's own day is rewritten
+    filtered at the exact timestamp, later days untouched; an
+    unpartitioned topic falls back to a full filtered rewrite."""
+    import datetime as dt
+
+    rows = [
+        (i, f"u{i % 3}", dt.datetime(2026, 3, d, h, 0, 0))
+        for i, (d, h) in enumerate(
+            [(1, 5), (1, 18), (2, 6), (2, 12), (2, 20), (3, 7), (3, 15)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user string, ts timestamp")
+    ml = MessageLog(spark, str(tmp_path / "retlog"))
+    ml.produce(df, topic="t", payload_cols=["event_id"], key="user",
+               sequence_id="event_id", publish_time="ts",
+               num_partitions=2, time_partition=True)
+    # cutoff mid-day-2: day 1 dirs dropped (one per key-partition that
+    # has them), day 2 keeps only >= 10:00, day 3 intact
+    dropped = ml.apply_retention("t", dt.datetime(2026, 3, 2, 10, 0, 0))
+    assert dropped >= 1  # at least one whole day-dir removed, no rewrite
+    left = sorted(r["sequence_id"] for r in ml.read("t").collect())
+    assert left == [3, 4, 5, 6]
+    # per-partition order/read path still intact after the swap
+    assert ml.read("t").select("publish_time").count() == 4
+
+    # unpartitioned fallback: full filtered rewrite
+    ml2 = MessageLog(spark, str(tmp_path / "retlog2"))
+    ml2.produce(df, topic="t", payload_cols=["event_id"], key="user",
+                sequence_id="event_id", publish_time="ts")
+    d2 = ml2.apply_retention("t", dt.datetime(2026, 3, 2, 10, 0, 0))
+    assert d2 == 0
+    left2 = sorted(r["sequence_id"] for r in ml2.read("t").collect())
+    assert left2 == [3, 4, 5, 6]

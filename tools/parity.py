@@ -22,14 +22,19 @@ from pulsar_lunar_spark.session import TABLE_NAMES, get_spark
 
 
 def _canon(v):
+    # Type-class preserving (kept in lockstep with tests/test_parity.py):
+    # an int 25 and a float 25.0 must NOT collapse to the same canonical
+    # string — the driver's hash distinguishes them (the r2 q_math_funcs
+    # red), so an output-dtype skew must fail HERE, not at the driver.
     if v is None:
         return "<null>"
     if isinstance(v, bool):
-        return str(int(v))
+        return "b" + str(int(v))
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return f"{v:.6g}" if v == int(v) else repr(round(v, 6))
+        s = f"{v:.6g}" if v == int(v) else repr(round(v, 6))
+        return s + "f"
     return str(v)
 
 

@@ -100,11 +100,46 @@ def probes(spark, sf_dir: str, mult: int):
             .collect()
         )
 
+    def containment_shape():
+        # df-capped postings pair expansion (dedup.containment_pairs):
+        # the probe proves the df cap keeps the pair count bounded as the
+        # corpus multiplies (copies have disjoint doc ids but IDENTICAL
+        # text, so every shingle's df scales with mult — the worst case
+        # for an uncapped postings join)
+        from pulsar_lunar_spark.operators.dedup import containment_pairs
+
+        return (
+            containment_pairs(docs, "doc_id", "text", df_cap=50)
+            .groupBy()
+            .count()
+            .collect()
+        )
+
+    def gini_decimal_shape():
+        # the decimal(38,0) moment sums (q_gini_index): sum(i*v) passes
+        # 2^63 near 1e6 rows — this probe THROWS under ANSI if anyone
+        # regresses the widening back to int64
+        from pyspark.sql import Window
+
+        v = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        w = Window.orderBy(v, "o_orderkey")
+        x = orders.select(v.alias("v"), F.row_number().over(w).alias("i"))
+        return x.agg(
+            F.expr(
+                "cast((2 * sum(cast(i as decimal(38,0)) * cast(v as decimal(38,0)))"
+                "      - (count(1) + 1) * sum(cast(v as decimal(38,0))))"
+                " div ((count(1) * sum(cast(v as decimal(38,0)))) div 1000000)"
+                " as bigint)"
+            ).alias("gini_ppm")
+        ).collect()
+
     return {
         "q1_scan_agg": q1_shape,
         "fact_fact_join": join_agg_shape,
         "window_per_key": window_shape,
         "shingle_explode": shingle_shape,
+        "containment_dfcap": containment_shape,
+        "gini_decimal": gini_decimal_shape,
     }
 
 
