@@ -334,6 +334,71 @@ def q_seek_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_key_shared_ranges",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 65536 AS slot,
+               user_id
+        FROM events
+    )
+    SELECT CASE WHEN slot < 21845 THEN 0
+                WHEN slot < 43690 THEN 1
+                ELSE 2 END AS range_id,
+           CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM h GROUP BY 1 ORDER BY range_id
+    """,
+    tags=("messaging", "key-shared", "sticky"),
+)
+def q_key_shared_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STICKY Key_Shared hash ranges (KeySharedMeta,
+    /root/reference/src/PulsarApi.proto:286-295): three consumers own the
+    half-open slot ranges [0,21845), [21845,43690), [43690,65536) of the
+    64k key-slot space; each consumer's view is a scan-level range filter
+    on the key hash. The per-range message and DISTINCT-KEY counts must
+    match the oracle exactly — which pins all three contract properties
+    at once: the ranges are disjoint and exhaustive (message counts sum
+    to the topic total) and every key is sticky to exactly one consumer
+    (key counts sum to the global distinct-key count). Hash is the
+    md5-prefix slot (documented deviation from Pulsar's murmur32: the
+    md5 form is SQL-replicable bit-exactly; the contract is
+    hash-independent).
+
+    Scale: each consumer's plan is an independent source filter — range
+    subscription fan-out costs no shuffle at any scale."""
+    from functools import reduce
+
+    from pulsar_lunar_spark.streaming import key_shared_range
+
+    e = load_table(spark, sf_dir, "events")
+    env = to_envelope(
+        e,
+        topic=F.lit("events.ks"),
+        payload_cols=["event_id"],
+        key="user_id",
+        sequence_id="event_id",
+        publish_time="ts",
+    )
+    ranges = [(0, 0, 21845), (1, 21845, 43690), (2, 43690, 65536)]
+    views = [
+        key_shared_range(env, "key", lo, hi).select(
+            F.lit(rid).alias("range_id"), "key"
+        )
+        for rid, lo, hi in ranges
+    ]
+    return (
+        reduce(DataFrame.unionByName, views)
+        .groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+            F.countDistinct("key").cast("bigint").alias("n_keys"),
+        )
+        .orderBy("range_id")
+    )
+
+
+@register(
     "q_topic_retention",
     oracle="""
     WITH c AS (

@@ -4,7 +4,9 @@ DLQ/redelivery, delayed delivery, Key_Shared ordering (SURVEY §2C)."""
 from pulsar_lunar_spark.streaming.ops import (
     foreach_batch_with_dlq,
     idempotent_foreach_batch,
+    key_hash_sticky,
     key_shared,
+    key_shared_range,
     run_available_now,
     session_aggregate,
     stateful_high_watermark,
@@ -22,6 +24,8 @@ __all__ = [
     "session_aggregate",
     "streaming_dedup",
     "key_shared",
+    "key_hash_sticky",
+    "key_shared_range",
     "with_deliver_at",
     "foreach_batch_with_dlq",
     "idempotent_foreach_batch",

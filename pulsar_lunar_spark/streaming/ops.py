@@ -86,6 +86,36 @@ def key_shared(stream: DataFrame, key_col: str, num_partitions: int) -> DataFram
     return stream.repartition(num_partitions, F.col(key_col))
 
 
+def key_hash_sticky(key_col: str | Column, buckets: int = 65536) -> Column:
+    """STICKY Key_Shared hash (KeySharedMeta hash ranges,
+    /root/reference/src/PulsarApi.proto:286-295): map a key into the
+    [0, buckets) slot space that consumers carve into half-open ranges.
+    Pulsar uses murmur32 % 65536; this emulation uses the md5-prefix
+    bigint (documented deviation — the md5 form is what every SQL engine
+    can replicate bit-exactly, so range assignment is oracle-checkable;
+    the CONTRACT under test — disjoint ranges, exhaustive union, stable
+    per-key slot — is hash-independent)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def key_shared_range(
+    stream: DataFrame, key_col: str, lo: int, hi: int, buckets: int = 65536
+) -> DataFrame:
+    """One sticky consumer's view: the messages whose key-slot falls in
+    the half-open range [lo, hi) — KeySharedMeta STICKY mode, where each
+    consumer owns explicit hash ranges instead of auto mode's uniform
+    spread. A set of consumers with disjoint, exhaustive ranges receives
+    every message exactly once with per-key stickiness (a key never
+    moves between consumers while ranges are fixed). The filter is a
+    scan-level predicate — each consumer's plan prunes at the source."""
+    slot = key_hash_sticky(key_col, buckets)
+    return stream.filter((slot >= lo) & (slot < hi))
+
+
 def with_deliver_at(stream: DataFrame, deliver_at: Column) -> DataFrame:
     """Delayed delivery (deliver_at_time, PulsarApi.proto:126): tag rows
     with their visibility time; pair with a filter on the batch time in
