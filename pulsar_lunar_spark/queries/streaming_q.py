@@ -354,15 +354,21 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+    # complete-mode result lands DISTRIBUTED via foreachBatch overwrite —
+    # a memory sink would pull every session row through the driver once
+    # per batch (~95k rows at sf0.1), which is the anti-pattern at scale
+    out = _fresh_dir(sf_dir, "session_out")
+
+    def write_complete(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out)
+
     run_available_now(
-        sessions.writeStream.format("memory")
-        .queryName("q_stream_session_sink")
-        .outputMode("complete"),
+        sessions.writeStream.foreachBatch(write_complete).outputMode("complete"),
         _fresh_checkpoint(sf_dir, "session"),
         state_partitions=4,
         no_data_batches=False,  # complete-mode session agg
     )
-    return spark.table("q_stream_session_sink").orderBy("user_id", "session_start")
+    return spark.read.parquet(out).orderBy("user_id", "session_start")
 
 
 @register(
