@@ -78,7 +78,8 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound, playing the role the band count plays in LSH) → per-shingle
     pair expansion from ONE aggregate → per-ordered-pair overlap count →
     join the subject's shingle count, threshold at 800000 ppm. Shuffles:
-    one on shingle, one on (a, b) pair — never O(n²) over documents.
+    one on the shingle, one on the (a, b) pair, plus a doc-count-sized
+    one for the per-doc shingle sizes — never O(n²) over documents.
 
     Reference analog: none (the reference moves opaque payloads); this is
     the corpus-curation layer a training pipeline adds.

@@ -1061,3 +1061,73 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_messages, total_cents, max_seq, n_batches >= 2)],
         "n_messages long, total_cents long, max_seq long, multi_batch boolean",
     )
+
+
+@register(
+    "q_incremental_mv",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "materialized-view", "incremental-refresh"),
+)
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from a stream: the
+    replayed event stream is throttled into >=2 micro-batches, and each
+    batch refreshes a persisted per-user (count, cents) aggregate via
+    maintenance.incremental_agg_refresh — the distributive-aggregate
+    identity AGG(base ∪ delta) = AGG(AGG(base) ∪ AGG(delta)), so each
+    refresh costs O(delta + |view|) and NEVER rescans the base. The
+    final stored view must equal the batch GROUP BY exactly — which
+    proves the identity composes across real micro-batch deltas.
+
+    Scale: this is how a 100 TB fact table keeps a serving aggregate
+    fresh — the stream carries deltas, the view is the state, and the
+    refresh shuffle is keyed on the view's own grain."""
+    import math
+    import os as _os
+
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pulsar_lunar_spark.operators.maintenance import incremental_agg_refresh
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    n_files = sum(
+        1
+        for _r, _d, fs in _os.walk(log.topic_path("events"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    payload = StructType([StructField("value", DoubleType())])
+    stream = decode_payload(
+        log.subscribe(
+            "events", max_files_per_trigger=max(1, math.ceil(n_files / 3))
+        ),
+        payload,
+    ).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.floor(F.col("payload.value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mv = _fresh_dir(sf_dir, "mv")
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        incremental_agg_refresh(
+            bdf.sparkSession, mv, bdf, ["user_id"], count_col="n", sum_cols=("cents",)
+        )
+
+    run_available_now(
+        stream.writeStream.foreachBatch(refresh),
+        _fresh_checkpoint(sf_dir, "incmv"),
+        no_data_batches=False,  # stateless refresh: the view is the state
+    )
+    return (
+        spark.read.parquet(mv)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("user_id")
+    )
