@@ -334,6 +334,71 @@ def q_seek_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_geo_replication",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_messages,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+               CAST(MAX(event_id) AS BIGINT) AS last_seq
+        FROM events WHERE event_id < 3000
+    )
+    SELECT c.cluster, src.n_messages, src.n_keys, src.last_seq
+    FROM src, (VALUES ('cluster-a'), ('cluster-b')) c(cluster)
+    ORDER BY c.cluster
+    """,
+    tags=("messaging", "geo-replication"),
+)
+def q_geo_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-replication (the ``replicate_to`` field on every reference
+    message, /root/reference/src/message/producer.rs:11-24): a topic is
+    produced in one cluster and replicated to two replica clusters; each
+    replica's message count, key cardinality, and last sequence id must
+    equal the source exactly — a lost, duplicated, or reordered-id
+    message in any replica breaks the hash. The replicas' registered
+    schemas travel with the data (a replica consumer auto-decodes).
+
+    Scale: replication is one distributed scan + one partitioned write
+    per target cluster — no shuffle, bandwidth-bound like the broker's
+    replicator."""
+    import tempfile
+
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    src = MessageLog(spark, tempfile.mkdtemp(prefix="pl_georepl_src_", dir=root))
+    src.produce(
+        e,
+        topic="events",
+        payload_cols=["event_id", "value"],
+        key="user_id",
+        sequence_id="event_id",
+        publish_time="ts",
+    )
+    replicas = {
+        name: MessageLog(
+            spark, tempfile.mkdtemp(prefix=f"pl_georepl_{name}_", dir=root)
+        )
+        for name in ("cluster-a", "cluster-b")
+    }
+    src.replicate_topic("events", list(replicas.values()))
+    views = [
+        rl.read("events").select(F.lit(name).alias("cluster"), "key", "sequence_id")
+        for name, rl in replicas.items()
+    ]
+    from functools import reduce
+
+    return (
+        reduce(DataFrame.unionByName, views)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+            F.countDistinct(F.col("key").cast("long")).cast("bigint").alias("n_keys"),
+            F.max("sequence_id").cast("bigint").alias("last_seq"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
     "q_key_shared_ranges",
     oracle="""
     WITH h AS (

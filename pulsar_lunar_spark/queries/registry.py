@@ -192,6 +192,7 @@ _NEWEST_FIRST = (
     "q_topic_retention",  # round 3: TTL expiry = whole-directory drops
     "q_key_shared_ranges",  # round 3: sticky Key_Shared hash-range fan-out
     "q_incremental_mv",  # round 3: streaming incremental MV refresh
+    "q_geo_replication",  # round 3: replicate_to cluster fan-out
     # (c) LSH-dedup / similarity family — zero driver rows so far
     "q_dedup_minhash",
     "q_dedup_simhash",

@@ -293,6 +293,34 @@ class MessageLog:
             ["publish_time", "sequence_id"],
         )
 
+    # -- geo-replication -----------------------------------------------
+    def replicate_topic(self, topic: str, targets: Sequence["MessageLog"]) -> None:
+        """Geo-replication: forward a topic's messages to replica
+        clusters — the ``replicate_to`` field every reference message
+        carries (/root/reference/src/message/producer.rs:11-24; the
+        broker fans the message out to the named clusters).
+
+        Emulation: each target cluster is another MessageLog root; the
+        envelope log is copied preserving the partition layout and the
+        registered schema, so a consumer of the replica sees
+        byte-identical envelopes (same message ids, keys, payloads,
+        publish times). One distributed read + one partitioned write per
+        target — replication is a scan-shaped job, no shuffle."""
+        env = self._raw(topic)
+        layout = [c for c in ("__partition", "__pdate") if c in env.columns]
+        schema = self.get_schema(topic)
+        for t in targets:
+            writer = env.write.mode("append")
+            if layout:
+                writer = writer.partitionBy(*layout)
+            writer.parquet(t.topic_path(topic))
+            if schema is not None and t.get_schema(topic) is None:
+                os.makedirs(os.path.dirname(t.schema_path(topic)), exist_ok=True)
+                with open(self.schema_path(topic)) as src, open(
+                    t.schema_path(topic), "w"
+                ) as dst:
+                    dst.write(src.read())
+
     # -- retention / message expiry ------------------------------------
     def apply_retention(self, topic: str, older_than) -> int:
         """Expire messages published BEFORE ``older_than`` — the broker's
