@@ -112,3 +112,71 @@ def test_avi_roundtrip_property(w, h, n, usec, seed):
     assert (w2, h2, usec2, len(out)) == (w, h, usec, n)
     for f in range(n):
         assert np.array_equal(out[f], frames[f])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=500), max_size=60),
+    st.sets(st.integers(min_value=0, max_value=500), max_size=60),
+)
+def test_ack_bitset_property(spark, tmp_path_factory, acked1, acked2):
+    """For ANY two ack subsets applied in sequence: pending == produced
+    minus (acked1 ∪ acked2) — the BitSet ledger is exactly set union,
+    regardless of block boundaries, ordering, or overlap."""
+    from pulsar_lunar_spark.sources.log import MessageLog
+
+    produced = set(range(0, 501, 7)) | {63, 64, 65, 127, 128}  # block edges
+    root = tmp_path_factory.mktemp("ackprop")
+    ml = MessageLog(spark, str(root))
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}") for i in sorted(produced)], "event_id long, user string"
+    )
+    ml.produce(df, topic="t", payload_cols=["event_id"], key="user",
+               sequence_id="event_id")
+    env = ml.read("t")
+    for sub in (acked1, acked2):
+        ids = sorted(sub & produced)
+        if ids:
+            ml.ack("t", "s", env.filter(F.col("sequence_id").isin(ids)))
+    got = sorted(r["sequence_id"] for r in ml.pending("t", "s").collect())
+    assert got == sorted(produced - acked1 - acked2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_pairs_property(spark, docs):
+    """For ANY small corpus: containment_pairs matches the brute-force
+    python computation of Broder containment over distinct 3-shingles
+    (with the same short-text fallback and df cap disabled)."""
+    from pulsar_lunar_spark.operators.dedup import containment_pairs
+
+    def norm(t):
+        return " ".join(t.split())
+
+    def sh(t):
+        w = norm(t).split(" ")
+        if len(w) >= 3:
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {norm(t)}
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): (r["overlap"], r["size_a"], r["containment_ppm"])
+        for r in containment_pairs(df, "doc_id", "text", df_cap=10**6).collect()
+    }
+    want = {}
+    for i, ti in rows:
+        for j, tj in rows:
+            if i == j:
+                continue
+            ov = len(sh(ti) & sh(tj))
+            if ov:
+                want[(i, j)] = (ov, len(sh(ti)), (1000000 * ov) // len(sh(ti)))
+    assert got == want
