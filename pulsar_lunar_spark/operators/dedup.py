@@ -202,16 +202,19 @@ def containment_pairs(
     count. Returns (a_id, b_id, overlap, size_a, containment_ppm) for
     every co-shingled ordered pair; callers threshold on ppm.
     """
-    posts = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh"),
-        )
-        # shingles() is per-doc distinct already; keep it explicit for
-        # callers that pass pre-exploded text
-        .distinct()
-    )
+    # (__id, __sh) is distinct by construction: shingles() array_distincts
+    # per doc, so exploding needs NO distinct() — a full postings exchange
+    # saved. Persist + eager count: BOTH consumers below (the per-doc
+    # sizes and the per-shingle lists) would otherwise re-run the whole
+    # normalize+shingle explode (two different grouping keys — no shared
+    # exchange can serve them). At 100 TB this materialization is the
+    # written-once postings table every containment/LSH pass shares
+    # (same reasoning as shingle_table).
+    posts = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    ).persist()
+    posts.count()
     sizes = posts.groupBy("__id").agg(F.count(F.lit(1)).alias("size_a"))
     capped = (
         posts.groupBy("__sh")
