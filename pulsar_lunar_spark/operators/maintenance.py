@@ -124,13 +124,17 @@ def cdc_apply(
     streaming MERGE (what table formats spell ``WHEN MATCHED AND s.op='d'
     THEN DELETE``).
 
-    Per key, the row with the highest (version_cols..., source-side) wins;
-    a winning delete removes the key. Version precedence makes the apply
-    idempotent under replayed batches and correct under out-of-order
-    delivery ACROSS batches (an older change arriving late can never
-    overwrite a newer applied state) — the same guarantee merge_upsert
-    gives, extended with tombstones. The target keeps its version columns
-    precisely so later batches can lose to it.
+    Per key, the row with the highest (version_cols..., source-side)
+    wins. Winning deletes are retained as TOMBSTONES (the stored table
+    keeps the ``op`` column): without them, a stale upsert redelivered
+    in a LATER batch would find no row to lose to and silently resurrect
+    a deleted key — the classic CDC tombstone hazard. With them, version
+    precedence makes the apply idempotent under replayed batches and
+    correct under out-of-order delivery across batches. Read the serving
+    view through :func:`cdc_live` (filters tombstones out); at scale,
+    vacuum tombstones older than the source's maximum redelivery horizon
+    (the same age-based GC Kafka compaction applies to its null
+    records).
 
     One union + per-key max-struct aggregate + atomic directory swap; at
     scale, bucketing the target by the key makes the rewrite
@@ -146,9 +150,7 @@ def cdc_apply(
     )
     src = changes.withColumn("__side", F.lit(1))
     if exists:
-        target = spark.read.parquet(target_path).withColumn(
-            op_col, F.lit("u")
-        ).withColumn("__side", F.lit(0))
+        target = spark.read.parquet(target_path).withColumn("__side", F.lit(0))
         src = target.select(*cols, "__side").unionByName(src.select(*cols, "__side"))
     payload = [c for c in cols if c not in key_cols]
     order_then_payload = (
@@ -156,26 +158,29 @@ def cdc_apply(
         + [F.col("__side")]
         + [F.col(c) for c in payload if c not in version_cols]
     )
-    live = (
+    merged = (
         src.groupBy(*key_cols)
         .agg(F.max(F.struct(*order_then_payload)).alias("__win"))
         .select(
             *key_cols,
             *[F.col(f"__win.{c}").alias(c) for c in payload],
         )
-        .filter(F.col(op_col) != "d")
-        .drop(op_col)
     )
-    out_cols = [c for c in cols if c != op_col]
     if not exists:
-        live.select(*out_cols).write.mode("overwrite").parquet(target_path)
+        merged.select(*cols).write.mode("overwrite").parquet(target_path)
         return
     tmp = f"{target_path.rstrip('/')}.__cdc_{uuid.uuid4().hex[:8]}"
-    live.select(*out_cols).write.mode("overwrite").parquet(tmp)
+    merged.select(*cols).write.mode("overwrite").parquet(tmp)
     old = f"{target_path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(target_path, old)
     os.rename(tmp, target_path)
     shutil.rmtree(old)
+
+
+def cdc_live(spark: SparkSession, target_path: str, op_col: str = "op") -> DataFrame:
+    """The serving view of a cdc_apply target: every live key (tombstones
+    filtered out, the op column dropped)."""
+    return spark.read.parquet(target_path).filter(F.col(op_col) != "d").drop(op_col)
 
 
 # ---------------------------------------------------------------------------

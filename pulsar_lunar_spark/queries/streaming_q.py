@@ -941,7 +941,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the shuffle. State lives in the TABLE, not the stream — no
     watermark state at all."""
     from pulsar_lunar_spark.functions.envelope import decode_payload
-    from pulsar_lunar_spark.operators.maintenance import cdc_apply
+    from pulsar_lunar_spark.operators.maintenance import cdc_apply, cdc_live
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     log = _shared_log(spark, sf_dir)
@@ -973,7 +973,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_data_batches=False,  # stateless apply: the table is the state
     )
     return (
-        spark.read.parquet(target)
+        cdc_live(spark, target)
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),

@@ -168,7 +168,7 @@ def test_cdc_apply_upserts_deletes_and_replay(spark, tmp_path):
     """CDC apply: latest version wins per key, a winning tombstone removes
     the key, an out-of-order older change cannot overwrite applied state,
     and replaying a batch is a no-op (idempotent)."""
-    from pulsar_lunar_spark.operators.maintenance import cdc_apply
+    from pulsar_lunar_spark.operators.maintenance import cdc_apply, cdc_live
 
     target = str(tmp_path / "cdc_target")
 
@@ -180,7 +180,7 @@ def test_cdc_apply_upserts_deletes_and_replay(spark, tmp_path):
     def state():
         return {
             r["k"]: (r["v"], r["ts"])
-            for r in spark.read.parquet(target).collect()
+            for r in cdc_live(spark, target).collect()
         }
 
     b1 = batch([(1, 10, 100, "u"), (2, 20, 100, "u"), (3, 30, 100, "u")])
@@ -196,7 +196,13 @@ def test_cdc_apply_upserts_deletes_and_replay(spark, tmp_path):
     cdc_apply(spark, target, b2, ["k"], ["ts"], "op")
     assert state() == {1: (11, 200), 3: (30, 100)}
 
-    # resurrect a deleted key with a newer upsert
+    # a STALE upsert redelivered after the delete must NOT resurrect the
+    # key — the retained tombstone (ts=200) outranks it
+    stale = batch([(2, 20, 100, "u")])
+    cdc_apply(spark, target, stale, ["k"], ["ts"], "op")
+    assert state() == {1: (11, 200), 3: (30, 100)}
+
+    # a genuinely NEWER upsert does resurrect it
     b3 = batch([(2, 22, 300, "u")])
     cdc_apply(spark, target, b3, ["k"], ["ts"], "op")
     assert state() == {1: (11, 200), 2: (22, 300), 3: (30, 100)}
