@@ -4,9 +4,9 @@ dedup structurally misses.
 
 The synthetic `documents` corpus has no real contained excerpts, so the
 query unions a DETERMINISTIC excerpt fixture (for every 11th document,
-its first 60% of normalized words as a new doc at id+1_000_000) built
-with identical expressions on both engines — the operator under test is
-the df-capped postings containment join, not the fixture.
+its first 60% of normalized words as a new doc offset past max(doc_id))
+built with identical expressions on both engines — the operator under
+test is the df-capped postings containment join, not the fixture.
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ WITH w AS (
 ), corpus AS (
     SELECT doc_id, ARRAY_TO_STRING(words, ' ') AS t FROM w
     UNION ALL
-    SELECT doc_id + 1000000,
+    SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
            ARRAY_TO_STRING(
                words[1:CAST(GREATEST((3 * LEN(words)) // 5, 3) AS BIGINT)], ' ')
     FROM w WHERE doc_id % 11 = 0
@@ -88,11 +88,15 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(D.normalize_text(F.col("text")), " ")
     m = F.expr("greatest((3 * size(__w)) div 5, 3)").cast("int")
     base = d.select("doc_id", words.alias("__w"))
+    # excerpt ids offset past the REAL id range (a fixed literal offset
+    # would collide once the corpus passes it); max(doc_id) is a bounded
+    # driver scalar, and the oracle derives the same offset by subquery
+    offset = int(d.agg(F.max("doc_id")).head()[0]) + 1
     corpus = base.select(
         "doc_id", F.concat_ws(" ", "__w").alias("text")
     ).unionByName(
         base.filter(F.col("doc_id") % 11 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
             F.concat_ws(" ", F.slice(F.col("__w"), 1, m)).alias("text"),
         )
     )

@@ -275,13 +275,18 @@ def _seek_log(spark: SparkSession, sf_dir: str) -> "MessageLog":
 
     from pulsar_lunar_spark.sources.log import MessageLog
 
+    from pulsar_lunar_spark.session import scratch_at_exit
+
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
     # per-process segment: concurrent harnesses must not race on the marker
-    # (same TOCTOU reasoning as streaming_q._sf_tag)
-    base = os.path.join(
-        root,
-        "pulsar_lunar_seeklog",
-        f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
+    # (same TOCTOU reasoning as streaming_q._sf_tag); removed at exit —
+    # tmpfs-backed pid dirs must not accumulate across harness runs
+    base = scratch_at_exit(
+        os.path.join(
+            root,
+            "pulsar_lunar_seeklog",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
+        )
     )
     log = MessageLog(spark, base)
     marker = os.path.join(base, "_PRODUCED")
@@ -362,9 +367,13 @@ def q_geo_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicator."""
     import tempfile
 
+    from pulsar_lunar_spark.session import scratch_at_exit
+
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
-    src = MessageLog(spark, tempfile.mkdtemp(prefix="pl_georepl_src_", dir=root))
+    src = MessageLog(
+        spark, scratch_at_exit(tempfile.mkdtemp(prefix="pl_georepl_src_", dir=root))
+    )
     src.produce(
         e,
         topic="events",
@@ -375,7 +384,10 @@ def q_geo_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     replicas = {
         name: MessageLog(
-            spark, tempfile.mkdtemp(prefix=f"pl_georepl_{name}_", dir=root)
+            spark,
+            scratch_at_exit(
+                tempfile.mkdtemp(prefix=f"pl_georepl_{name}_", dir=root)
+            ),
         )
         for name in ("cluster-a", "cluster-b")
     }
@@ -509,8 +521,12 @@ def q_topic_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = datetime(1970, 1, 1) + timedelta(microseconds=cut_us)
     # retention MUTATES the topic, so the probe is produced fresh per
     # call (mkdtemp — never a shared cache)
+    from pulsar_lunar_spark.session import scratch_at_exit
+
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    probe = MessageLog(spark, tempfile.mkdtemp(prefix="pl_retention_", dir=root))
+    probe = MessageLog(
+        spark, scratch_at_exit(tempfile.mkdtemp(prefix="pl_retention_", dir=root))
+    )
     probe.produce(
         e,
         topic="events",

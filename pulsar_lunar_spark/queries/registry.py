@@ -212,19 +212,14 @@ _NEWEST_FIRST = (
     "q_dedup_cluster",
     # streaming family — zero driver rows so far
     "q_stream_tumbling",
-    "q_stream_tumbling_sink",
     "q_stream_sliding",
-    "q_stream_sliding_sink",
     "q_stream_dedup",
     "q_stream_dedup_ttl",
     "q_stream_session",
-    "q_stream_session_sink",
     "q_stream_stream_join",
     "q_stream_outer_join",
     "q_stream_enrich",
-    "q_stream_enrich_sink",
     "q_stream_stateful_count",
-    "q_stream_stateful_sink",
     "q_stream_custom_session",
     "q_stream_backpressure",
     # corpus / messaging analytics — zero driver rows so far

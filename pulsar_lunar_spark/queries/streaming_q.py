@@ -44,6 +44,17 @@ def _sf_tag(sf_dir: str) -> str:
     return f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}"
 
 
+def _pid_root(sf_dir: str) -> str:
+    """This process's streaming scratch root, removed at process exit
+    (tmpfs-backed — abandoned pid dirs would otherwise accumulate in
+    RAM across harness runs)."""
+    from pulsar_lunar_spark.session import scratch_at_exit
+
+    return scratch_at_exit(
+        os.path.join(_tmp_root(), "pulsar_lunar_streamq", _sf_tag(sf_dir))
+    )
+
+
 def _shared_log(spark: SparkSession, sf_dir: str, copies: int = 1) -> MessageLog:
     """Produce the events topic ONCE per (process, sf_dir, copies) and
     reuse it.
@@ -55,12 +66,7 @@ def _shared_log(spark: SparkSession, sf_dir: str, copies: int = 1) -> MessageLog
     """
     import shutil
 
-    base = os.path.join(
-        _tmp_root(),
-        "pulsar_lunar_streamq",
-        _sf_tag(sf_dir),
-        f"log_x{copies}",
-    )
+    base = os.path.join(_pid_root(sf_dir), f"log_x{copies}")
     log = MessageLog(spark, base)
     marker = os.path.join(base, "_PRODUCED")
     if not os.path.exists(marker):
@@ -87,13 +93,7 @@ def _fresh_checkpoint(sf_dir: str, tag: str) -> str:
     the replay is complete (a stale checkpoint would skip it)."""
     import shutil
 
-    ck = os.path.join(
-        _tmp_root(),
-        "pulsar_lunar_streamq",
-        _sf_tag(sf_dir),
-        "ck",
-        tag,
-    )
+    ck = os.path.join(_pid_root(sf_dir), "ck", tag)
     shutil.rmtree(ck, ignore_errors=True)
     return ck
 
@@ -102,13 +102,7 @@ def _fresh_dir(sf_dir: str, tag: str) -> str:
     """A fresh output directory (for file sinks) per run."""
     import shutil
 
-    out = os.path.join(
-        _tmp_root(),
-        "pulsar_lunar_streamq",
-        _sf_tag(sf_dir),
-        "out",
-        tag,
-    )
+    out = os.path.join(_pid_root(sf_dir), "out", tag)
     shutil.rmtree(out, ignore_errors=True)
     return out
 
@@ -779,9 +773,7 @@ def q_compressed_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached per process (same _PRODUCED-marker discipline as _shared_log):
     # the two probe topics are a deterministic function of the input, and
     # re-producing both per bench rep doubled the query's wall-clock
-    base = os.path.join(
-        _tmp_root(), "pulsar_lunar_streamq", _sf_tag(sf_dir), "compress_probe"
-    )
+    base = os.path.join(_pid_root(sf_dir), "compress_probe")
     probe = MessageLog(spark, base)
     marker = _os.path.join(base, "_PRODUCED")
     if not _os.path.exists(marker):
@@ -873,9 +865,7 @@ def q_multi_topic_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-type topics are a deterministic function of the input table —
     # produce them ONCE per sf (the _shared_log pattern) and let every rep
     # replay the same directory
-    probe_base = os.path.join(
-        _tmp_root(), "pulsar_lunar_streamq", _sf_tag(sf_dir), "multitopic_probe",
-    )
+    probe_base = os.path.join(_pid_root(sf_dir), "multitopic_probe")
     probe = MessageLog(spark, probe_base)
     marker = os.path.join(probe_base, "_PRODUCED")
     if not os.path.exists(marker):

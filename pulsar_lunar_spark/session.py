@@ -135,6 +135,27 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 # measured warm) can be paid once per table instead of once per query run.
 # Keyed by applicationId so a restarted SparkSession never sees plans bound
 # to a dead JVM context.
+_SCRATCH_PATHS: set[str] = set()
+
+
+def scratch_at_exit(path: str) -> str:
+    """Register a scratch directory for best-effort removal at process
+    exit. Per-process fixture caches live on tmpfs (/dev/shm) — RAM —
+    so a harness that abandons its pid-tagged directories would fill
+    memory across repeated pytest/driver/bench runs. Registering is
+    idempotent; removal is ignore-errors (another process never shares
+    a per-pid path)."""
+    import atexit
+    import shutil
+
+    if not _SCRATCH_PATHS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in sorted(_SCRATCH_PATHS)]
+        )
+    _SCRATCH_PATHS.add(path)
+    return path
+
+
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 # Sessions (by applicationId) whose one-time analytics defaults have been

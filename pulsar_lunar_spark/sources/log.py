@@ -531,9 +531,20 @@ class MessageLog:
             raise FileNotFoundError(f"no topics match pattern {pattern!r}")
         if payload_schema is None:
             payload_schema = self.get_schema(names[0])
+
+            def _shape(st: StructType | None):
+                # decode-compatibility fingerprint: field names + types.
+                # Nullability and metadata don't affect from_json decode,
+                # and registered schemas legitimately differ on them
+                # (e.g. a topic produced from an outer-join DataFrame).
+                if st is None:
+                    return None
+                return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+            want = _shape(payload_schema)
             for t in names[1:]:
                 other = self.get_schema(t)
-                if other != payload_schema:
+                if _shape(other) != want:
                     raise IncompatibleSchema(
                         f"pattern {pattern!r}: topic '{t}' registered schema "
                         f"{other} conflicts with '{names[0]}' schema "

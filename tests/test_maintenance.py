@@ -158,6 +158,12 @@ def test_side_effect_queries_are_rerun_idempotent(spark, sf_dir):
         "q_binary_source",
         "q_multi_topic_read",
         "q_file_provenance",
+        # round 3 side-effecting queries
+        "q_individual_ack",
+        "q_topic_retention",
+        "q_geo_replication",
+        "q_stream_cdc_apply",
+        "q_incremental_mv",
     ):
         first = [tuple(r) for r in qs[name].fn(spark, sf_dir).collect()]
         second = [tuple(r) for r in qs[name].fn(spark, sf_dir).collect()]

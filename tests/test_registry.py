@@ -40,6 +40,14 @@ def test_confirmed_names_exist():
     assert not missing, f"confirmed-but-unregistered: {sorted(missing)}"
 
 
+def test_newest_first_names_exist():
+    # a typo'd name here silently vanishes from the driver's sample
+    # window (all_queries() filters by registered specs) — make it loud
+    names = set(all_queries())
+    missing = set(_NEWEST_FIRST) - names
+    assert not missing, f"curated-but-unregistered: {sorted(missing)}"
+
+
 def test_sample_head_leads_with_unconfirmed():
     # the first 50 registry entries (the driver's sample window) must all
     # be queries without a driver-green row yet
