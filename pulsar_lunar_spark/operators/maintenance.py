@@ -183,6 +183,30 @@ def cdc_live(spark: SparkSession, target_path: str, op_col: str = "op") -> DataF
     return spark.read.parquet(target_path).filter(F.col(op_col) != "d").drop(op_col)
 
 
+def cdc_vacuum_tombstones(
+    spark: SparkSession,
+    target_path: str,
+    version_col: str,
+    horizon,
+    op_col: str = "op",
+) -> None:
+    """Drop tombstones whose version is at or below ``horizon`` — safe
+    once the source can no longer redeliver changes that old (the
+    redelivery/retention horizon), exactly like compacted-log null-record
+    expiry. Tombstones NEWER than the horizon stay: they are still
+    guarding against in-flight stale upserts. Atomic swap as in
+    cdc_apply."""
+    kept = spark.read.parquet(target_path).filter(
+        (F.col(op_col) != "d") | (F.col(version_col) > F.lit(horizon))
+    )
+    tmp = f"{target_path.rstrip('/')}.__vac_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(tmp)
+    old = f"{target_path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old)
+
+
 # ---------------------------------------------------------------------------
 # Snapshot versioning: time travel + vacuum over plain parquet
 # ---------------------------------------------------------------------------

@@ -212,3 +212,31 @@ def test_cdc_apply_upserts_deletes_and_replay(spark, tmp_path):
     b3 = batch([(2, 22, 300, "u")])
     cdc_apply(spark, target, b3, ["k"], ["ts"], "op")
     assert state() == {1: (11, 200), 2: (22, 300), 3: (30, 100)}
+
+
+def test_cdc_vacuum_tombstones_respects_horizon(spark, tmp_path):
+    """Tombstones at or below the redelivery horizon are vacuumed; newer
+    ones survive and keep guarding against stale resurrections."""
+    from pulsar_lunar_spark.operators.maintenance import (
+        cdc_apply,
+        cdc_live,
+        cdc_vacuum_tombstones,
+    )
+
+    target = str(tmp_path / "vac_target")
+    b = spark.createDataFrame(
+        [(1, 10, 100, "u"), (2, 0, 100, "d"), (3, 0, 300, "d"), (4, 40, 300, "u")],
+        "k long, v long, ts long, op string",
+    )
+    cdc_apply(spark, target, b, ["k"], ["ts"], "op")
+    stored = {r["k"]: r["op"] for r in spark.read.parquet(target).collect()}
+    assert stored == {1: "u", 2: "d", 3: "d", 4: "u"}
+
+    cdc_vacuum_tombstones(spark, target, "ts", horizon=200)
+    stored = {r["k"]: r["op"] for r in spark.read.parquet(target).collect()}
+    assert stored == {1: "u", 3: "d", 4: "u"}  # old tombstone k=2 gone
+
+    # the surviving newer tombstone still blocks a stale upsert
+    stale = spark.createDataFrame([(3, 99, 250, "u")], "k long, v long, ts long, op string")
+    cdc_apply(spark, target, stale, ["k"], ["ts"], "op")
+    assert 3 not in {r["k"] for r in cdc_live(spark, target).collect()}
