@@ -114,3 +114,111 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+def _tuning_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm import (
+        _MH_JACCARD,
+        _MH_P,
+        _MH_SHINGLES,
+        _MH_SIG_SQL,
+        _mh_bucket_sql,
+    )
+
+    t32 = ", ".join(_mh_bucket_sql(b, 4) for b in range(32))
+    t16 = ", ".join(_mh_bucket_sql(b, 8) for b in range(16))
+    return f"""
+    WITH sh AS ({_MH_SHINGLES}
+    ), base AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5(t.s), 1, 15)) AS BIGINT) % {_MH_P} AS h
+        FROM sh, UNNEST(sh.sh) AS t(s)
+    ), sigs AS (
+        SELECT doc_id, {_MH_SIG_SQL} FROM base GROUP BY doc_id
+    ), b32 AS (
+        SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
+        FROM (SELECT doc_id, [{t32}] AS bl FROM sigs),
+             UNNEST(RANGE(0, 32)) AS t(band)
+    ), b16 AS (
+        SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
+        FROM (SELECT doc_id, [{t16}] AS bl FROM sigs),
+             UNNEST(RANGE(0, 16)) AS t(band)
+    ), c32 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b32 a JOIN b32 b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), c16 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b16 a JOIN b16 b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), v32 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COUNT(CASE WHEN {_MH_JACCARD} >= 0.5 THEN 1 END) AS BIGINT)
+                   AS n_verified
+        FROM c32 c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+    ), v16 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COUNT(CASE WHEN {_MH_JACCARD} >= 0.5 THEN 1 END) AS BIGINT)
+                   AS n_verified
+        FROM c16 c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT CAST(32 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band,
+           n_candidates, n_verified
+    FROM v32
+    UNION ALL
+    SELECT CAST(16 AS BIGINT), CAST(8 AS BIGINT), n_candidates, n_verified
+    FROM v16
+    ORDER BY bands DESC
+    """
+
+
+@register(
+    "q_lsh_band_tuning",
+    oracle=_tuning_oracle(),
+    tags=("llm", "dedup", "minhash", "tuning"),
+)
+def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band/row tradeoff, measured on the same 128-hash signatures:
+    (bands=32, r=4) has its S-curve threshold near j≈0.42 (permissive —
+    more candidates, more verify work, higher recall) while (bands=16,
+    r=8) sits near j≈0.71 (strict — fewer candidates, lower recall below
+    the knee). Both configurations' exact candidate-pair and
+    verified-pair (jaccard ≥ 0.5) counts are value-checked against the
+    full md5-portable SQL replica — the tuning evidence an operator uses
+    to pick the knee for a target dedup threshold.
+
+    Scale: both configs share one shingle table and one signature pass
+    each; candidate volume — the thing the knob controls — is the
+    dominant cost at 100 TB, which is exactly what this query surfaces.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", 3)
+    outs = []
+    for bands in (32, 16):
+        cands = D.minhash_lsh_candidates(
+            d,
+            "doc_id",
+            "text",
+            n_hashes=128,
+            bands=bands,
+            seed=42,
+            shingles_df=sh,
+            hasher="md5",
+        )
+        ver = D.jaccard_verify(
+            cands, d, "doc_id", "text", threshold=0.0, shingles_df=sh
+        )
+        outs.append(
+            ver.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.count(F.when(F.col("jaccard") >= 0.5, 1))
+                .cast("bigint")
+                .alias("n_verified"),
+            ).select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(128 // bands).cast("bigint").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy(F.desc("bands"))

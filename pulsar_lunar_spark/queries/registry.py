@@ -193,6 +193,7 @@ _NEWEST_FIRST = (
     "q_key_shared_ranges",  # round 3: sticky Key_Shared hash-range fan-out
     "q_incremental_mv",  # round 3: streaming incremental MV refresh
     "q_geo_replication",  # round 3: replicate_to cluster fan-out
+    "q_lsh_band_tuning",  # round 3: band/row S-curve tradeoff, value-exact
     # (c) LSH-dedup / similarity family — zero driver rows so far
     "q_dedup_minhash",
     "q_dedup_simhash",
