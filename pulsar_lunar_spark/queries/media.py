@@ -101,6 +101,38 @@ def _media_df(spark: SparkSession, sf_dir: str, only: str | None = None) -> Data
     return d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA)
 
 
+def _media_table(spark: SparkSession, sf_dir: str, only: str | None = None) -> DataFrame:
+    """The synthesized media table, materialized ONCE per (process, sf,
+    modality) on tmpfs and re-read by later calls — the per-row python
+    encode loop is a fixture build, and re-running it on every bench rep
+    measured fixture cost, not the decode operator under test. Binary
+    content round-trips parquet losslessly, so the decode stage sees
+    byte-identical input either way. The per-pid dir registers for
+    removal at process exit (session.scratch_at_exit)."""
+    import os
+    import tempfile
+
+    from pulsar_lunar_spark.session import scratch_at_exit
+
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    base = scratch_at_exit(
+        os.path.join(
+            root,
+            "pulsar_lunar_media",
+            f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}",
+        )
+    )
+    path = os.path.join(base, only or "all")
+    marker = os.path.join(path, "_SYNTHED")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        _media_df(spark, sf_dir, only=only).write.mode("overwrite").parquet(path)
+        open(marker, "w").close()
+    return spark.read.parquet(path)
+
+
 @register(
     "q_media_image_features",
     oracle=f"""
@@ -122,7 +154,7 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     header-parsed and pixel-averaged in the mapInPandas stage; the oracle
     recomputes width/height/mean_luma/file-size analytically from doc_id —
     a wrong byte anywhere in encode or decode turns the row red."""
-    feats = M.image_features(_media_df(spark, sf_dir, only="image"))
+    feats = M.image_features(_media_table(spark, sf_dir, only="image"))
     return feats.select(
         "media_id", "n_bytes", "width", "height",
         F.round("mean_luma", 4).alias("mean_luma"), "decode_ok",
@@ -320,7 +352,7 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: synthesized PCM WAVs (1 kHz square wave) are
     RIFF-chunk-walked and sample-RMS'd in the mapInPandas stage; duration
     and rms have exact analytic twins in the oracle."""
-    feats = M.audio_features(_media_df(spark, sf_dir, only="audio"))
+    feats = M.audio_features(_media_table(spark, sf_dir, only="audio"))
     return feats.select(
         "media_id", "n_bytes", "duration_ms",
         F.round("rms", 4).alias("rms"), "decode_ok",
@@ -426,7 +458,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h·w(w−1)/2 + w·h(h−1)/2 + 3f·w·h with f = 2j — any mis-parse of the
     container (row padding, bottom-up order, chunk offsets) breaks the
     hash. Compressed codecs still raise honestly (ffmpeg territory)."""
-    frames = M.sample_avi_frames(_media_df(spark, sf_dir, only="video"), every_ms=1000)
+    frames = M.sample_avi_frames(_media_table(spark, sf_dir, only="video"), every_ms=1000)
     return frames.select(
         "media_id", "frame_index", "frame_ms", "width", "height",
         "luma_sum", "decode_ok",
