@@ -101,13 +101,13 @@ def _media_df(spark: SparkSession, sf_dir: str, only: str | None = None) -> Data
     return d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA)
 
 
-def _media_table(spark: SparkSession, sf_dir: str, only: str | None = None) -> DataFrame:
-    """The synthesized media table, materialized ONCE per (process, sf,
-    modality) on tmpfs and re-read by later calls — the per-row python
-    encode loop is a fixture build, and re-running it on every bench rep
-    measured fixture cost, not the decode operator under test. Binary
-    content round-trips parquet losslessly, so the decode stage sees
-    byte-identical input either way. The per-pid dir registers for
+def _materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    """Materialize a synthesized fixture DataFrame ONCE per (process, sf,
+    tag) on tmpfs and re-read it on later calls — the per-row python
+    encode loops are fixture builds, and re-running them on every bench
+    rep measured fixture cost, not the decode operator under test.
+    Binary content round-trips parquet losslessly, so the decode stage
+    sees byte-identical input either way. The per-pid dir registers for
     removal at process exit (session.scratch_at_exit)."""
     import os
     import tempfile
@@ -122,15 +122,21 @@ def _media_table(spark: SparkSession, sf_dir: str, only: str | None = None) -> D
             f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}",
         )
     )
-    path = os.path.join(base, only or "all")
+    path = os.path.join(base, tag)
     marker = os.path.join(path, "_SYNTHED")
     if not os.path.exists(marker):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        _media_df(spark, sf_dir, only=only).write.mode("overwrite").parquet(path)
+        build().write.mode("overwrite").parquet(path)
         open(marker, "w").close()
     return spark.read.parquet(path)
+
+
+def _media_table(spark: SparkSession, sf_dir: str, only: str | None = None) -> DataFrame:
+    return _materialized(
+        spark, sf_dir, only or "all", lambda: _media_df(spark, sf_dir, only=only)
+    )
 
 
 @register(
@@ -202,7 +208,10 @@ def q_media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    feats = M.image_features(d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA))
+    png_tbl = _materialized(
+        spark, sf_dir, "png", lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA)
+    )
+    feats = M.image_features(png_tbl)
     return feats.select(
         "media_id", "width", "height",
         F.round("mean_luma", 4).alias("mean_luma"), "decode_ok",
@@ -250,7 +259,10 @@ def q_media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    feats = M.image_features(d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA))
+    jpg_tbl = _materialized(
+        spark, sf_dir, "jpeg", lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA)
+    )
+    feats = M.image_features(jpg_tbl)
     gray = (F.regexp_extract("media_id", r"m(\d+)", 1).cast("long") % 256).cast(
         "double"
     )
