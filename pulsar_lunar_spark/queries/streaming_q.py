@@ -1,11 +1,14 @@
 """Streaming queries in the driver-checked contract: each callable runs a
 REAL Structured Streaming query (file source → watermarked transform →
-availableNow trigger → memory sink) and returns the materialized result,
-which the driver hash-checks against batch SQL — proving the streaming
-and batch semantics agree (the unified-model claim, SIGMOD'18).
+availableNow trigger → a sink chosen by result shape: memory for small
+complete-mode tables, parquet/foreachBatch for row-heavy or maintained
+results, noop for observed-metrics runs) and returns the materialized
+result, which the driver hash-checks against batch SQL — proving the
+streaming and batch semantics agree (the unified-model claim, SIGMOD'18).
 
-Each run uses a fresh tmp log + checkpoint (idempotent re-runs); the
-memory-sink table name is namespaced per query to avoid collisions.
+Each run uses a fresh checkpoint (idempotent re-runs) over a per-process
+cached produce of the events topic; memory-sink table names are
+namespaced per query to avoid collisions.
 
 Scale notes: these exact pipelines run unchanged against an unbounded
 source — availableNow is swapped for a processing-time trigger and the

@@ -98,9 +98,17 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     assert has_window_group_limit(df)
 
 
-def test_compacted_read_uses_window_group_limit(spark, sf_dir):
+def test_compacted_read_is_sortfree_argmax(spark, sf_dir):
+    """The compacted view is a per-key max_by aggregate: partial
+    aggregation + NO window, NO sort anywhere in the plan (the previous
+    rn=1 window form paid a full partition sort even with
+    WindowGroupLimit; the arg-max is 9x faster at sf0.1)."""
+    from pulsar_lunar_spark.plans.inspect import plan_text
+
     df = SPECS["q_events_compacted"].fn(spark, sf_dir)
-    assert has_window_group_limit(df)
+    text = plan_text(df)
+    assert "max_by" in text
+    assert "Window" not in text
 
 
 def test_sort_limit_is_take_ordered(spark, sf_dir):
