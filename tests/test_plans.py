@@ -33,6 +33,7 @@ PYTHON_OK = {
     "q_dedup_minhash",
     "q_dedup_incremental",  # vectorized Arrow minhash signatures by design
     "q_dedup_simhash",  # vectorized Arrow per-bit vote by design
+    "q_lsh_band_tuning",  # same vectorized signature path, two band configs
     "q_knn_join",  # GEMM path: BLAS scores + per-partition local top-k
     "q_semdedup",  # per-cell GEMM pair stage (same fast lane as q_dedup_embedding)
     # mapInPandas codecs — Python is the declared decode/resize path
