@@ -690,7 +690,10 @@ def q_stream_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         sessions.writeStream.format("parquet").option("path", out).outputMode("append"),
         _fresh_checkpoint(sf_dir, "customsession"),
-        state_partitions=4,
+        # python-stateful ops invert the usual rule: wall-clock is bound
+        # by PYTHON WORKER parallelism over per-key group overhead, not
+        # state-store IO — 16 partitions measured ~25% faster than 4
+        state_partitions=16,
     )
     cutoff_us = (
         load_table(spark, sf_dir, "events")
