@@ -127,6 +127,25 @@ _DRIVER_CONFIRMED = frozenset(
         "q_map_funcs", "q_json_funcs", "q_envelope_roundtrip",
         "q_dedup_exact", "q_lang_detect", "q_text_stats", "q_python_udf",
         "q_pandas_udf_scalar", "q_apply_in_pandas", "q_udtf_split",
+        # round 3 (CORRECTNESS_r03.json, 50/50 green)
+        "q_ann_topk", "q_bm25_search", "q_chunked_reassembly",
+        "q_compressed_topic", "q_containment_dedup", "q_contamination",
+        "q_dedup_bloom", "q_dedup_cluster", "q_dedup_embedding",
+        "q_dedup_incremental", "q_dedup_minhash", "q_dedup_simhash",
+        "q_delayed_delivery", "q_events_compacted", "q_funnel",
+        "q_fuzzy_neighbors", "q_geo_replication", "q_incremental_mv",
+        "q_individual_ack", "q_ivf_topk", "q_key_shared_ranges",
+        "q_knn_join", "q_lsh_band_tuning", "q_math_funcs",
+        "q_ngram_jaccard", "q_passage_dedup", "q_pii_redact",
+        "q_pq_adc_topk", "q_retrieval_metrics", "q_seek_message_id",
+        "q_semdedup", "q_similarity_topk", "q_source_mixture",
+        "q_stream_backpressure", "q_stream_cdc_apply",
+        "q_stream_custom_session", "q_stream_dedup", "q_stream_dedup_ttl",
+        "q_stream_enrich", "q_stream_observed_metrics",
+        "q_stream_outer_join", "q_stream_session", "q_stream_sliding",
+        "q_stream_stateful_count", "q_stream_stream_join",
+        "q_stream_tumbling", "q_tfidf_terms", "q_token_packing",
+        "q_topic_retention", "q_topics_metadata",
     }
 )
 
@@ -172,72 +191,74 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # Curated registry head: the driver samples ~50 queries head-first, so the
-# window is budgeted deliberately — (a) the four r2 type-skew fixes (the one
-# driver red + its three latent twins, now cast-aligned), (b) queries added
-# this round, then (c) the never-sampled crown jewels: the whole LSH-dedup /
-# ANN family, all 16 streaming queries, and the corpus/messaging analytics —
-# the operators this engine exists for (VERDICT r2 next-steps #2). Reset
-# each round as CORRECTNESS rows come back.
+# window is budgeted deliberately — round 4 rotation (VERDICT r3 next-steps
+# #1/#2): (a) q_approx_stats, whose only driver row is a stale r1
+# ``no_oracle`` red predating its oracle; (b) queries added this round
+# (txn sink / DLQ routing — the last §2A/§2C rows living only in pytest);
+# (c) the never-driver-sampled crown jewels: the real-codec media family,
+# BPE, graph, sketches, k-means, the events/time-series family, the format
+# roundtrips, the UDF-surface variants, and the relational3 leftovers.
+# Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
-    # (a) r2 type-skew fixes — need a green driver row to retire the red
-    "q_math_funcs",
-    "q_pii_redact",
-    "q_source_mixture",
-    "q_token_packing",
-    # (b) round-3 additions
-    "q_individual_ack",  # round 3: sparse ack_set replay emulation
-    "q_containment_dedup",  # round 3: directional (excerpt) containment join
-    "q_stream_cdc_apply",  # round 3: foreachBatch CDC MERGE with tombstones
-    "q_stream_observed_metrics",  # round 3: per-batch consumer stats compose exactly
-    "q_topic_retention",  # round 3: TTL expiry = whole-directory drops
-    "q_key_shared_ranges",  # round 3: sticky Key_Shared hash-range fan-out
-    "q_incremental_mv",  # round 3: streaming incremental MV refresh
-    "q_geo_replication",  # round 3: replicate_to cluster fan-out
-    "q_lsh_band_tuning",  # round 3: band/row S-curve tradeoff, value-exact
-    # (c) LSH-dedup / similarity family — zero driver rows so far
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_incremental",
-    "q_dedup_embedding",
-    "q_semdedup",
-    "q_similarity_topk",
-    "q_knn_join",
-    "q_ivf_topk",
-    "q_pq_adc_topk",
-    "q_ann_topk",
-    "q_retrieval_metrics",
-    "q_dedup_bloom",
-    "q_fuzzy_neighbors",
-    "q_ngram_jaccard",
-    "q_passage_dedup",
-    "q_dedup_cluster",
-    # streaming family — zero driver rows so far
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_dedup",
-    "q_stream_dedup_ttl",
-    "q_stream_session",
-    "q_stream_stream_join",
-    "q_stream_outer_join",
-    "q_stream_enrich",
-    "q_stream_stateful_count",
-    "q_stream_custom_session",
-    "q_stream_backpressure",
-    # corpus / messaging analytics — zero driver rows so far
-    "q_contamination",
-    "q_tfidf_terms",
-    "q_bm25_search",
-    "q_funnel",
-    "q_events_compacted",
-    "q_seek_message_id",
-    "q_chunked_reassembly",
-    "q_compressed_topic",
-    "q_topics_metadata",
-    "q_delayed_delivery",
-    "q_envelope_partition_routing",
-    "q_quality_gopher",
-    "q_unigram_surprisal",
-    "q_kmeans_clusters",
+    # (a) stale r1 pre-oracle red — re-clear the ledger first
+    "q_approx_stats",
+    # (b) round-4 additions
+    "q_txn_sink",  # round 4: exactly-once commit-ledger sink replay
+    "q_dlq_routing",  # round 4: DLQ router with max_redeliver
+    # (c) media codec family — real decoders, zero driver rows
+    "q_media_png_features",
+    "q_media_jpeg_features",
+    "q_media_transcode",
+    "q_media_resize",
+    "q_media_audio_mulaw",
+    "q_media_frame_sample",
+    "q_media_image_features",
+    "q_media_audio_features",
+    # BPE / graph / clustering / sketches — zero driver rows
+    "q_bpe_merges",
     "q_bpe_encode",
+    "q_pagerank_trade",
+    "q_triangle_count",
+    "q_kmeans_clusters",
+    "q_hll_distinct",
+    "q_heavy_hitters",
+    # events / time-series family — zero driver rows
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_session",
+    "q_events_session_dynamic",
+    "q_events_asof",
+    "q_events_asof_forward",
+    "q_events_first_last",
+    "q_events_islands",
+    "q_events_ffill",
+    "q_events_collect",
+    "q_events_densify",
+    # format roundtrips — zero driver rows
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    "q_orc_roundtrip",
+    "q_text_roundtrip",
+    "q_xml_roundtrip",
+    "q_corrupt_records",
+    "q_schema_evolution",
+    # UDF-surface variants — zero driver rows
+    "q_pandas_udf_grouped_agg",
+    "q_map_in_pandas",
+    "q_map_in_arrow",
+    "q_apply_in_arrow",
+    # relational3 / pipeline leftovers — zero driver rows
+    "q_sql_interface",
+    "q16_excluded_suppliers",
+    "q_window_range_frame",
+    "q_salted_join",
+    "q_sql_parameterized",
+    "q_row_ids",
+    "q_partitioned_prune",
+    "q_dynamic_partition_prune",
+    "q_bloom_join_filter",
+    "q_aqe_skew_join",
+    "q_curation_funnel",
+    "q_length_buckets",
 )
 

@@ -1127,3 +1127,150 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_txn_sink",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           TRUE AS multi_batch,
+           TRUE AS replay_skipped
+    FROM events
+    """,
+    tags=("streaming", "txn", "exactly-once", "foreachBatch"),
+)
+def q_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once transactional sink: the stream is throttled into >=2
+    micro-batches and written through idempotent_foreach_batch (the
+    engine-side twin of the broker's txn command set, reference
+    src/PulsarApi.proto:705-802, and sequence-id dedup, proto:577-579).
+    After the drain, every committed batch is REPLAYED through the same
+    sink function — Structured Streaming's at-least-once delivery of the
+    in-flight batch after a failure — and the commit ledger must swallow
+    every replay: the sink still holds each message exactly once (count,
+    distinct-count, and cent-sum all equal the batch table), the ledger
+    has one marker per batch, and zero rows were added by the replays.
+
+    Scale: the ledger is O(batches) tiny markers (a transactional table
+    at scale, same contract); the sink write is the stream's own
+    parallelism — nothing here is per-row driver work."""
+    import math
+    import os as _os
+
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pulsar_lunar_spark.streaming.ops import idempotent_foreach_batch
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    n_files = sum(
+        1
+        for _r, _d, fs in _os.walk(log.topic_path("events"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    payload = StructType([StructField("value", DoubleType())])
+    stream = decode_payload(
+        log.subscribe(
+            "events", max_files_per_trigger=max(1, math.ceil(n_files / 3))
+        ),
+        payload,
+    ).select(
+        F.col("sequence_id").alias("event_id"),
+        F.floor(F.col("payload.value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    sink = _fresh_dir(sf_dir, "txn_sink")
+    ledger = _fresh_dir(sf_dir, "txn_ledger")
+    fn = idempotent_foreach_batch(
+        lambda df: df.write.mode("append").parquet(sink), ledger
+    )
+    run_available_now(
+        stream.writeStream.foreachBatch(fn),
+        _fresh_checkpoint(sf_dir, "txn"),
+        no_data_batches=False,  # stateless sink: the ledger is the state
+    )
+    committed = sorted(
+        int(f.split("-")[1].split(".")[0])
+        for f in _os.listdir(ledger)
+        if f.endswith(".committed")
+    )
+    n_before = spark.read.parquet(sink).count()
+    # Replay every committed batch (the failure-recovery path): each call
+    # must hit the ledger and skip the write.
+    replay_df = spark.read.parquet(sink)
+    for bid in committed:
+        fn(replay_df, bid)
+    sunk = spark.read.parquet(sink)
+    n_after = sunk.count()
+    markers_after = sum(1 for f in _os.listdir(ledger) if f.endswith(".committed"))
+    return sunk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.lit(len(committed) >= 2).alias("multi_batch"),
+        F.lit(n_after == n_before and markers_after == len(committed)).alias(
+            "replay_skipped"
+        ),
+    )
+
+
+@register(
+    "q_dlq_routing",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(2 AS INT) AS redelivery_count
+    FROM events WHERE value > 190.0
+    ORDER BY event_id
+    """,
+    tags=("streaming", "dlq", "redelivery", "foreachBatch"),
+)
+def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing with a persistent redelivery ledger
+    (DeadLetterPolicy, reference src/entity/consumer.rs:71-77; the
+    broker's per-consumer redelivery counter, PulsarApi.proto:475).
+    Poison messages (value > 190) are delivered three times — three
+    fresh-checkpoint drains of the same topic sharing one retry ledger:
+
+    - delivery 1: attempts=1 < max_redeliver=2 -> withheld (the source
+      re-serves unacked data), count persisted;
+    - delivery 2: attempts reaches 2 -> dead-lettered with its TRUE
+      redelivery_count and marked retired;
+    - delivery 3: retired -> dropped.
+
+    The DLQ table must hold each poison message EXACTLY once with
+    redelivery_count=2 — not zero times (lost), not twice (re-lettered
+    on redelivery). Scale: the ledger holds only poison keys (tiny at
+    any stream volume) and broadcasts into the batch join; routing is
+    pure DataFrame ops, no driver-side row work."""
+    from pulsar_lunar_spark.functions.envelope import decode_payload
+    from pulsar_lunar_spark.streaming.ops import foreach_batch_with_dlq
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    payload = StructType([StructField("value", DoubleType())])
+    dlq_dir = _fresh_dir(sf_dir, "dlq_out")
+    retry_dir = _fresh_dir(sf_dir, "dlq_ledger")
+    fn = foreach_batch_with_dlq(
+        process=lambda df: None,  # good-path exactly-once is q_txn_sink's job
+        is_poison=F.col("payload.value") > 190.0,
+        dlq_writer=lambda df: df.write.mode("append").parquet(dlq_dir),
+        max_redeliver=2,
+        retry_ledger_dir=retry_dir,
+    )
+    for delivery in range(3):
+        stream = decode_payload(log.subscribe("events"), payload)
+        run_available_now(
+            stream.writeStream.foreachBatch(fn),
+            _fresh_checkpoint(sf_dir, f"dlq{delivery}"),
+            no_data_batches=False,  # stateless routing: the ledger is the state
+        )
+    return (
+        spark.read.parquet(dlq_dir)
+        .select(
+            F.col("sequence_id").cast("bigint").alias("event_id"),
+            F.col("redelivery_count").cast("int").alias("redelivery_count"),
+        )
+        .orderBy("event_id")
+    )

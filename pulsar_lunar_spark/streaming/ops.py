@@ -180,9 +180,10 @@ def foreach_batch_with_dlq(
         latest_ptr = os.path.join(retry_ledger_dir, "_LATEST")
         if os.path.exists(latest_ptr):
             with open(latest_ptr) as f:
-                v = f.read().strip()
-            ledger = spark.read.parquet(os.path.join(retry_ledger_dir, f"v={v}"))
+                cur_v = int(f.read().strip())
+            ledger = spark.read.parquet(os.path.join(retry_ledger_dir, f"v={cur_v}"))
         else:
+            cur_v = -1
             ledger = spark.createDataFrame([], "mkey string, attempts int, retired boolean")
 
         joined = (
@@ -211,10 +212,14 @@ def foreach_batch_with_dlq(
                 (F.col("was_retired") | (F.col("attempts") >= max_redeliver)).alias("retired"),
             )
             new_ledger = ledger.join(updates, "mkey", "left_anti").unionByName(updates)
-            out = os.path.join(retry_ledger_dir, f"v={batch_id}")
+            # Version monotonically, NOT by batch_id: after a restart with a
+            # fresh checkpoint, batch ids reset to 0 — naming by batch_id
+            # would overwrite the very directory the new ledger is lazily
+            # read from (Spark deletes the input mid-write).
+            out = os.path.join(retry_ledger_dir, f"v={cur_v + 1}")
             new_ledger.coalesce(1).write.mode("overwrite").parquet(out)
             with open(latest_ptr, "w") as f:
-                f.write(str(batch_id))
+                f.write(str(cur_v + 1))
         finally:
             joined.unpersist()
 
