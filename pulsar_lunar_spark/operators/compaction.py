@@ -14,23 +14,27 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def compacted_latest_by_key(
     df: DataFrame,
     key_cols: Sequence[str],
-    order_by: Sequence[str | Column],
+    order_by: Sequence[str],
 ) -> DataFrame:
     """Latest row per key = the row with the MAX ``order_by`` tuple
     (struct comparison is lexicographic, matching ORDER BY col1 DESC,
     col2 DESC ... semantics). Include a unique tiebreak in ``order_by``
-    for determinism."""
+    for determinism.
+
+    ``order_by`` takes plain column NAMES only: the values are embedded
+    in a struct fed to max_by, so semantics are always max-tuple-wins —
+    a SortOrder expression (F.asc/F.desc) would fail analysis here, and
+    accepting Column used to suggest direction control this aggregate
+    cannot honor."""
     others = [c for c in df.columns if c not in set(key_cols)]
-    ord_struct = F.struct(
-        *[F.col(c) if isinstance(c, str) else c for c in order_by]
-    )
+    ord_struct = F.struct(*[F.col(c) for c in order_by])
     won = df.groupBy(*[F.col(k) for k in key_cols]).agg(
         F.max_by(F.struct(*[F.col(c) for c in others]), ord_struct).alias("__w")
     )

@@ -47,13 +47,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of normalized text (array<string>).
+def shingles_from_words(words: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a pre-split word array (array<string>).
 
     For texts shorter than k words, falls back to the whole text as a single
-    shingle so every doc has >= 1 shingle.
+    shingle so every doc has >= 1 shingle. Callers that can stage ``words``
+    as a materialized column should: Spark does not CSE across the
+    references below, so an inlined split(normalize(...)) is recomputed
+    per reference (the minhash staging lesson).
     """
-    words = F.split(normalize_text(col), " ")
     n = F.size(words)
     k_shingles = F.array_distinct(
         F.transform(
@@ -61,7 +63,12 @@ def shingles(col: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         )
     )
-    return F.when(n >= k, k_shingles).otherwise(F.array(normalize_text(col)))
+    return F.when(n >= k, k_shingles).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized text (array<string>)."""
+    return shingles_from_words(F.split(normalize_text(col), " "), k)
 
 
 def _base_hash(s: Column, hasher: str) -> Column:
@@ -182,6 +189,7 @@ def containment_pairs(
     text_col: str,
     shingle_k: int = 3,
     df_cap: int = 50,
+    postings_path: str | None = None,
 ) -> DataFrame:
     """Directional containment join — the boilerplate/excerpt detector.
 
@@ -191,53 +199,94 @@ def containment_pairs(
     C(a ⊆ b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| is the
     asymmetric fix (Broder's containment measure).
 
-    Plan shape (the only one that survives 100 TB): distinct (doc,
-    shingle) postings; shingles with document frequency > ``df_cap`` are
-    dropped (stopword shingles — exactly the postings whose self-join
-    explodes quadratically; at web scale this cap is what bounds the
-    join, same role as the band count in LSH); the capped postings
-    self-join on the shingle (both sides share ONE hash exchange via an
-    explicit repartition — exchange reuse, the fuzzy_neighbors trick),
-    then a per-ordered-pair overlap count joins the subject's shingle
-    count. Returns (a_id, b_id, overlap, size_a, containment_ppm) for
-    every co-shingled ordered pair; callers threshold on ppm.
+    Plan shape (the only one that survives 100 TB): the distinct (doc,
+    shingle) postings are WRITTEN ONCE to ``postings_path`` (tmpfs
+    scratch by default; the durable derived table every containment /
+    LSH pass shares at scale) — the expensive normalize+shingle+explode
+    runs exactly one map pass, and nothing is pinned in executor memory
+    (no persist, nothing for a long-lived session to leak). Three cheap
+    columnar scans of that table then do the work: (1) a count-only
+    aggregate finds the shingles with document frequency > ``df_cap`` —
+    the stopword shingles, exactly the postings whose pair expansion is
+    quadratic; the cap plays the role the band count plays in LSH. That
+    set is TINY at any corpus size (heads of a Zipf tail), so it
+    broadcasts; the keep-side complement (the whole vocabulary) never
+    would. (2) The postings anti-join the broadcast stopword set and
+    fold into per-shingle (id, doc-shingle-count) lists — every
+    aggregation buffer is bounded by ``df_cap``, because the cap is
+    applied BEFORE any list is collected — and a double explode expands
+    each list into its ordered pairs. The subject's shingle count rides
+    INSIDE the postings rows (computed in the same map pass as the
+    explode), so no per-doc sizes join is ever needed — the pair
+    aggregate emits containment directly. Returns (a_id, b_id, overlap,
+    size_a, containment_ppm) for every co-shingled ordered pair; callers
+    threshold on ppm.
     """
+    import os
+    import uuid
+
+    from pulsar_lunar_spark.session import scratch_at_exit
+
+    spark = df.sparkSession
+    if postings_path is None:
+        shm = "/dev/shm"
+        base = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+        if base is None:
+            import tempfile
+
+            base = tempfile.gettempdir()
+        root = scratch_at_exit(
+            os.path.join(base, "pulsar_lunar_postings", str(os.getpid()))
+        )
+        postings_path = os.path.join(root, uuid.uuid4().hex)
     # (__id, __sh) is distinct by construction: shingles() array_distincts
     # per doc, so exploding needs NO distinct() — a full postings exchange
-    # saved. Persist + eager count: BOTH consumers below (the per-doc
-    # sizes and the per-shingle lists) would otherwise re-run the whole
-    # normalize+shingle explode (two different grouping keys — no shared
-    # exchange can serve them). At 100 TB this materialization is the
-    # written-once postings table every containment/LSH pass shares
-    # (same reasoning as shingle_table).
-    posts = ensure_parallelism(df).select(
+    # saved. __n (the doc's shingle count) is denormalized onto every
+    # posting row in the same pass: it is what turns the pair aggregate
+    # into the final answer with no per-doc sizes join.
+    ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).persist()
-    posts.count()
-    sizes = posts.groupBy("__id").agg(F.count(F.lit(1)).alias("size_a"))
-    capped = (
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).select(
+        "__id",
+        shingles_from_words(F.col("__w"), shingle_k).alias("__arr"),
+    ).select(
+        "__id",
+        F.size("__arr").cast("long").alias("__n"),
+        F.explode("__arr").alias("__sh"),
+    ).write.mode("overwrite").parquet(postings_path)
+    posts = spark.read.parquet(postings_path)
+    stop = (
         posts.groupBy("__sh")
-        .agg(F.collect_list("__id").alias("__ids"), F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= df_cap)
-        .select("__sh", "__ids")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > df_cap)
+        .select("__sh")
+    )
+    lists = (
+        posts.join(F.broadcast(stop), "__sh", "left_anti")
+        .groupBy("__sh")
+        .agg(F.collect_list(F.struct("__id", "__n")).alias("__ids"))
     )
     # pairs from within each posting list: explode twice is equivalent to
     # the postings self-join but does it from ONE aggregate (no second
     # scan of the postings table)
-    pairs = (
-        capped.select(
-            F.explode("__ids").alias("a_id"), F.col("__ids").alias("__ids")
+    return (
+        lists.select(F.explode("__ids").alias("a"), F.col("__ids").alias("__ids"))
+        .select("a", F.explode("__ids").alias("b"))
+        .filter(F.col("a.__id") != F.col("b.__id"))
+        .groupBy(
+            F.col("a.__id").alias("a_id"),
+            F.col("b.__id").alias("b_id"),
+            F.col("a.__n").alias("size_a"),
         )
-        .select("a_id", F.explode("__ids").alias("b_id"))
-        .filter(F.col("a_id") != F.col("b_id"))
-        .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
-    )
-    return pairs.join(
-        sizes.withColumnRenamed("__id", "a_id"), "a_id"
-    ).withColumn(
-        "containment_ppm", F.expr("(1000000 * overlap) div size_a")
+        .select(
+            "a_id",
+            "b_id",
+            "overlap",
+            "size_a",
+            F.expr("(1000000 * overlap) div size_a").alias("containment_ppm"),
+        )
     )
 
 

@@ -125,7 +125,11 @@ def cdc_apply(
     THEN DELETE``).
 
     Per key, the row with the highest (version_cols..., source-side)
-    wins. Winning deletes are retained as TOMBSTONES (the stored table
+    wins; only that comparator is ordered (the payload is carried via
+    max_by, so payload columns may be any type, ordered or not), and
+    comparator ties resolve arbitrarily — include a unique sequence id
+    in ``version_cols`` for full determinism, as every real change
+    stream can. Winning deletes are retained as TOMBSTONES (the stored table
     keeps the ``op`` column): without them, a stale upsert redelivered
     in a LATER batch would find no row to lose to and silently resurrect
     a deleted key — the classic CDC tombstone hazard. With them, version
@@ -153,14 +157,19 @@ def cdc_apply(
         target = spark.read.parquet(target_path).withColumn("__side", F.lit(0))
         src = target.select(*cols, "__side").unionByName(src.select(*cols, "__side"))
     payload = [c for c in cols if c not in key_cols]
-    order_then_payload = (
-        [F.col(c) for c in version_cols]
-        + [F.col("__side")]
-        + [F.col(c) for c in payload if c not in version_cols]
-    )
+    # max_by: ONLY (version_cols, __side) is compared — the payload rides
+    # as the VALUE, so unorderable payload types (maps) are fine. Ties on
+    # the full comparator are resolved arbitrarily; real change streams
+    # carry a unique sequence id — include it in version_cols (exactly the
+    # tiebreak contract compacted_latest_by_key documents).
+    ord_struct = F.struct(*[F.col(c) for c in version_cols], F.col("__side"))
     merged = (
         src.groupBy(*key_cols)
-        .agg(F.max(F.struct(*order_then_payload)).alias("__win"))
+        .agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), ord_struct).alias(
+                "__win"
+            )
+        )
         .select(
             *key_cols,
             *[F.col(f"__win.{c}").alias(c) for c in payload],

@@ -87,32 +87,43 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     words = F.split(D.normalize_text(F.col("text")), " ")
     m = F.expr("greatest((3 * size(__w)) div 5, 3)").cast("int")
-    base = d.select("doc_id", words.alias("__w"))
     # excerpt ids offset past the REAL id range (a fixed literal offset
-    # would collide once the corpus passes it); max(doc_id) is a bounded
-    # driver scalar, and the oracle derives the same offset by subquery
-    offset = int(d.agg(F.max("doc_id")).head()[0]) + 1
-    corpus = base.select(
-        "doc_id", F.concat_ws(" ", "__w").alias("text")
-    ).unionByName(
-        base.filter(F.col("doc_id") % 11 == 0).select(
-            (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
-            F.concat_ws(" ", F.slice(F.col("__w"), 1, m)).alias("text"),
-        )
+    # would collide once the corpus passes it); the 1-row max rides a
+    # broadcast cross join so no blocking driver job computes it — the
+    # oracle derives the same offset by subquery
+    mx = d.agg((F.max("doc_id") + 1).alias("__off"))
+    base = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id", words.alias("__w"), "__off"
     )
+    # corpus = originals ∪ planted excerpts, built in ONE scan: each row
+    # explodes into 1 variant (or 2 for every 11th doc) — a two-branch
+    # union would scan documents twice and double the map task count of
+    # the postings pass downstream
+    full = F.struct(
+        F.col("doc_id").alias("doc_id"), F.concat_ws(" ", "__w").alias("text")
+    )
+    excerpt = F.struct(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.col("__w"), 1, m)).alias("text"),
+    )
+    corpus = base.select(
+        F.explode(
+            F.when(F.col("doc_id") % 11 == 0, F.array(full, excerpt)).otherwise(
+                F.array(full)
+            )
+        ).alias("v")
+    ).select("v.doc_id", "v.text")
     pairs = D.containment_pairs(corpus, "doc_id", "text", shingle_k=3, df_cap=50)
-    return (
-        pairs.filter(
-            (F.col("size_a") >= 4) & (F.col("containment_ppm") >= 800000)
-        )
-        .select(
-            F.col("a_id").cast("bigint").alias("a_id"),
-            F.col("b_id").cast("bigint").alias("b_id"),
-            F.col("overlap").cast("bigint").alias("overlap"),
-            F.col("size_a").cast("bigint").alias("size_a"),
-            F.col("containment_ppm").cast("bigint").alias("containment_ppm"),
-        )
-        .orderBy("a_id", "b_id")
+    # no orderBy: the driver's value hash is order-insensitive, and a
+    # global range-exchange + sort would be the plan's only O(n log n) node
+    return pairs.filter(
+        (F.col("size_a") >= 4) & (F.col("containment_ppm") >= 800000)
+    ).select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.col("overlap").cast("bigint").alias("overlap"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("containment_ppm").cast("bigint").alias("containment_ppm"),
     )
 
 
