@@ -133,6 +133,59 @@ def probes(spark, sf_dir: str, mult: int):
             ).alias("gini_ppm")
         ).collect()
 
+    def stream_session_state_shape():
+        # q_stream_session-shaped STATE probe: mult-x rows AND mult-x key
+        # cardinality (disjoint user ranges) through a watermarked
+        # session_window aggregate on the RocksDB provider — the slope
+        # proves per-key state cost stays linear as the store multiplies.
+        # Source parquet is written outside the timed region; each run
+        # uses a fresh checkpoint (the cursor must replay everything).
+        import uuid
+
+        from pulsar_lunar_spark.streaming.ops import run_available_now
+
+        events = multiply(
+            load_table(spark, sf_dir, "events"), ["event_id", "user_id"], mult
+        )
+        base = _stream_scratch()
+        src = os.path.join(base, f"src_x{mult}")
+        if not os.path.isdir(os.path.join(src, "_done")):
+            events.select("user_id", "ts", "value").write.mode(
+                "overwrite"
+            ).parquet(src)
+            os.makedirs(os.path.join(src, "_done"), exist_ok=True)
+        schema = "user_id bigint, ts timestamp, value double"
+        sessions = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+        out = os.path.join(base, f"out_{uuid.uuid4().hex}")
+
+        def write_complete(bdf, batch_id):
+            bdf.write.mode("overwrite").parquet(out)
+
+        q = run_available_now(
+            sessions.writeStream.foreachBatch(write_complete).outputMode(
+                "complete"
+            ),
+            os.path.join(base, f"ck_{uuid.uuid4().hex}"),
+            state_partitions=8,
+            state_store="rocksdb",
+            no_data_batches=False,
+        )
+        p = q.lastProgress
+        if p and p.get("stateOperators"):
+            so = p["stateOperators"][0]
+            print(
+                f"#   state rows={so.get('numRowsTotal')} "
+                f"mem={so.get('stateMemory')}",
+                file=sys.stderr,
+            )
+        return [True]
+
     return {
         "q1_scan_agg": q1_shape,
         "fact_fact_join": join_agg_shape,
@@ -140,7 +193,18 @@ def probes(spark, sf_dir: str, mult: int):
         "shingle_explode": shingle_shape,
         "containment_dfcap": containment_shape,
         "gini_decimal": gini_decimal_shape,
+        "stream_session_state": stream_session_state_shape,
     }
+
+
+def _stream_scratch() -> str:
+    from pulsar_lunar_spark.session import scratch_at_exit
+
+    shm = "/dev/shm"
+    base = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else "/tmp"
+    return scratch_at_exit(
+        os.path.join(base, "pulsar_lunar_stress_stream", str(os.getpid()))
+    )
 
 
 def main() -> None:
