@@ -141,11 +141,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram novelty: the fraction (ppm, exact BIGINT
     ratio) of a document's distinct trigrams that appear in NO other
     document — the inverse-memorization signal used to weigh corpus
-    diversity. Same inverted-index shape as q_contamination: explode
-    distinct (doc, trigram), aggregate document frequency, join back.
-    Two hash aggregates + one shuffle join on the trigram key; the
-    trigram space dominates, so the join is hash-partitioned on g —
-    never broadcast (df can be corpus-wide)."""
+    diversity.
+
+    Plan (round 4, replaces the inverted-index join form): per-doc
+    trigram arrays are array_distinct'ed in the MAP pass, so the
+    exploded postings are already (doc, g)-distinct — no distinct
+    shuffle; ONE aggregate on g computes both the document frequency
+    and (via min) the would-be owner, so a df=1 trigram IS its owner's
+    unique trigram and the corpus-wide postings-to-df join disappears
+    entirely; per-doc trigram counts come map-side (size of the
+    distinct array) with no explode. What remains: one exchange on g,
+    one tiny per-selected-doc aggregate, one tiny per-doc join —
+    the trigram-keyed shuffle is the only corpus-sized movement."""
     # scale-out BEFORE the interpreted trigram transform: the single-split
     # parquet scan otherwise serializes the whole tokenize+shingle stage
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -155,27 +162,32 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
         ).alias("t"),
     )
-    tri = (
-        toks.filter(F.size("t") >= 3)
+    arrs = toks.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(3, size(t)), "
+                "i -> concat(t[i-3], ' ', t[i-2], ' ', t[i-1]))"
+            )
+        ).alias("__g"),
+    )
+    n_tri = arrs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.size("__g").cast("long").alias("n_trigrams")
+    )
+    uniq = (
+        arrs.select("doc_id", F.explode("__g").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter((F.col("df") == 1) & (F.col("owner") % 13 == 0))
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique_to_doc"))
+    )
+    return (
+        n_tri.join(uniq, "doc_id", "left")
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(3, size(t)), "
-                    "i -> concat(t[i-3], ' ', t[i-2], ' ', t[i-1]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    dfreq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        tri.join(dfreq, "g")
-        .filter(F.col("doc_id") % 13 == 0)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_unique_to_doc"),
+            "n_trigrams",
+            F.coalesce("n_unique_to_doc", F.lit(0)).alias("n_unique_to_doc"),
         )
         .select(
             "doc_id",

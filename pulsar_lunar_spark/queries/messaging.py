@@ -370,18 +370,29 @@ def q_geo_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_lunar_spark.session import scratch_at_exit
 
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
-    src = MessageLog(
-        spark, scratch_at_exit(tempfile.mkdtemp(prefix="pl_georepl_src_", dir=root))
-    )
-    src.produce(
-        e,
-        topic="events",
-        payload_cols=["event_id", "value"],
-        key="user_id",
-        sequence_id="event_id",
-        publish_time="ts",
-    )
+    # the source topic is read-only under replication, so it is produced
+    # once per (process, sf) and reused (marker-file + per-PID pattern,
+    # same as _shared_log); only the replicas are fresh per call
+    import shutil
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}"
+    src_root = scratch_at_exit(os.path.join(root, "pl_georepl_src", tag))
+    marker = os.path.join(src_root, "_PRODUCED")
+    src = MessageLog(spark, src_root)
+    if not os.path.exists(marker):
+        shutil.rmtree(src_root, ignore_errors=True)
+        src = MessageLog(spark, src_root)
+        e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        src.produce(
+            e,
+            topic="events",
+            payload_cols=["event_id", "value"],
+            key="user_id",
+            sequence_id="event_id",
+            publish_time="ts",
+        )
+        with open(marker, "w"):
+            pass
     replicas = {
         name: MessageLog(
             spark,
@@ -509,6 +520,7 @@ def q_topic_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus at most ONE day of data. Single-partition probe so directory
     count == date count (the partitioned layout multiplies dirs by the
     partition fan-out; pytest covers multi-day drops)."""
+    import shutil
     import tempfile
     from datetime import datetime, timedelta
 
@@ -519,24 +531,37 @@ def q_topic_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).head()
     cut_us = int(row["lo"]) + (int(row["hi"]) - int(row["lo"])) // 2
     cutoff = datetime(1970, 1, 1) + timedelta(microseconds=cut_us)
-    # retention MUTATES the topic, so the probe is produced fresh per
-    # call (mkdtemp — never a shared cache)
+    # retention MUTATES the topic, so each call gets a PRIVATE copy —
+    # but the pristine produce is deterministic, so it is produced once
+    # per (process, sf) and file-copied per call (a tmpfs copytree is
+    # ~50 ms where the Spark produce job is >1 s; the marker-file +
+    # per-PID pattern is _shared_log's)
     from pulsar_lunar_spark.session import scratch_at_exit
 
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    probe = MessageLog(
-        spark, scratch_at_exit(tempfile.mkdtemp(prefix="pl_retention_", dir=root))
-    )
-    probe.produce(
-        e,
-        topic="events",
-        payload_cols=["event_id"],
-        key="user_id",
-        sequence_id="event_id",
-        publish_time="ts",
-        num_partitions=1,
-        time_partition=True,
-    )
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}"
+    pristine = scratch_at_exit(os.path.join(root, "pl_retention_src", tag))
+    marker = os.path.join(pristine, "_PRODUCED")
+    if not os.path.exists(marker):
+        shutil.rmtree(pristine, ignore_errors=True)
+        src = MessageLog(spark, pristine)
+        src.produce(
+            e,
+            topic="events",
+            payload_cols=["event_id"],
+            key="user_id",
+            sequence_id="event_id",
+            publish_time="ts",
+            num_partitions=1,
+            time_partition=True,
+        )
+        with open(marker, "w"):
+            pass
+    work = tempfile.mkdtemp(prefix="pl_retention_", dir=root)
+    scratch_at_exit(work)
+    shutil.rmtree(work)
+    shutil.copytree(pristine, work)
+    probe = MessageLog(spark, work)
     dropped = probe.apply_retention("events", cutoff)
     back = probe.read("events")
     return back.agg(
