@@ -180,6 +180,68 @@ def ann_cosine_topk(
     )
 
 
+def ann_cosine_scored(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """ONE Arrow pass over the corpus: (id, in-query-bucket flag, cosine).
+
+    The shared scan for ANN-vs-exact recall evaluation — the bucket
+    battery AND the query cosine come out of the same numpy batch (the
+    GEMM already touched every vector), so a caller comparing the
+    LSH-filtered top-k against the brute-force top-k materializes this
+    tiny 3-column table once instead of running two full corpus passes.
+    Bit/ulp behavior matches ann_cosine_topk exactly (same plane matrix,
+    same sign rule)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(query)
+    planes_mat = np.array(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in _random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        ]
+    )
+    qarr = np.asarray([float(x) for x in query])
+    qnorm = math.sqrt(float(qarr @ qarr)) or 1.0
+    qsigns = (planes_mat @ qarr) >= 0
+    weights = 1 << np.arange(n_planes)
+    qbuckets = np.array(
+        [
+            int((qsigns[t * n_planes : (t + 1) * n_planes] * weights).sum())
+            for t in range(n_tables)
+        ]
+    )
+
+    @F.pandas_udf("struct<keep:boolean,cos:double>", F.PandasUDFType.SCALAR)
+    def _score(v):
+        vm = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        signs = (vm @ planes_mat.T) >= 0
+        keep = np.zeros(len(vm), dtype=bool)
+        for t in range(n_tables):
+            bucket = (signs[:, t * n_planes : (t + 1) * n_planes] * weights).sum(axis=1)
+            keep |= bucket == qbuckets[t]
+        dots = vm @ qarr
+        norms = np.sqrt((vm * vm).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        return pd.DataFrame({"keep": keep, "cos": dots / (norms * qnorm)})
+
+    return df.select(
+        F.col(id_col), _score(_as_double(F.col(vec_col))).alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.keep").alias("in_bucket"),
+        F.round(F.col("__s.cos"), 6).alias("cosine_sim"),
+    )
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -280,17 +280,38 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle checks the operator's contract: 10 results, the query
     vector retrieves itself at similarity 1.0, and recall vs the exact
     top-10 is >= 0.5 (computed in-query against the brute-force ranking;
-    the exact path is oracle-checked separately in q_similarity_topk)."""
+    the exact path is oracle-checked separately in q_similarity_topk).
+
+    Plan (round 4): ONE Arrow GEMM pass scores every vector — bucket
+    flag AND query cosine from the same numpy batch — into a
+    written-once 3-column table; the approx and exact top-10 are then
+    two TakeOrdered scans of that tiny table. The old form ran the full
+    corpus pass twice (once LSH-filtered, once brute-force)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pulsar_lunar_spark.session import scratch_at_exit
+
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    approx = S.ann_cosine_topk(emb, "embedding", qvec, k=10)
-    exact_ids = S.cosine_topk(emb, "embedding", qvec, k=10).select(
-        "vec_id", F.lit(1).alias("__exact_hit")
+    scored = S.ann_cosine_scored(emb, "embedding", qvec)
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    root = scratch_at_exit(os.path.join(shm, "pl_ann_scored", str(os.getpid())))
+    path = os.path.join(root, uuid.uuid4().hex)
+    scored.write.mode("overwrite").parquet(path)
+    sc = spark.read.parquet(path)
+    approx = (
+        sc.filter("in_bucket")
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cosine_sim")
     )
-    # one pass over the (10-row) approx result: broadcast-join the exact
-    # ids in as a hit flag and fold every contract check into a single
-    # aggregation — a stats-agg + separate semi-join would re-execute the
-    # LSH-filtered scan once per branch
+    exact_ids = (
+        sc.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("__exact_hit"))
+    )
     return (
         approx.join(F.broadcast(exact_ids), "vec_id", "left")
         .agg(

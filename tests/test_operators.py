@@ -149,6 +149,26 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert len(exact & approx) >= 5
 
 
+def test_ann_scored_matches_topk(spark, sf_dir):
+    """The shared single-pass scan (bucket flag + cosine) must agree with
+    the filter-then-rank operator: same candidate set, same rounded
+    cosines, so the two forms are interchangeable in recall evaluation."""
+    from pulsar_lunar_spark.operators.similarity import ann_cosine_scored
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    scored = ann_cosine_scored(emb, "embedding", q).collect()
+    flagged = {r["vec_id"] for r in scored if r["in_bucket"]}
+    via_topk = {
+        r["vec_id"]
+        for r in ann_cosine_topk(emb, "embedding", q, k=len(scored)).collect()
+    }
+    assert flagged == via_topk
+    by_id = {r["vec_id"]: r["cosine_sim"] for r in scored}
+    for r in cosine_topk(emb, "embedding", q, k=10).collect():
+        assert abs(by_id[r["vec_id"]] - r["cosine_sim"]) <= 1e-6
+
+
 def test_detect_lang(spark):
     df = spark.createDataFrame(
         [
