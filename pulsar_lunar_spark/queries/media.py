@@ -426,7 +426,10 @@ def q_media_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    feats = M.audio_features(d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA))
+    tbl = _materialized(
+        spark, sf_dir, "mulaw", lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA)
+    )
+    feats = M.audio_features(tbl)
     return feats.select(
         "media_id", "n_bytes", "duration_ms",
         F.round("rms", 4).alias("rms"), "decode_ok",
