@@ -200,20 +200,35 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    hits = (
+    # the expensive md5 position battery is computed ONCE per probe row:
+    # flagged counts come from the semi-join aggregate (source rides
+    # along), and the zero-hit docs — which the semi-join drops — need no
+    # positions at all, only per-source totals from a column-pruned scan
+    # (doc_id, source; the parquet reader never touches text for them)
+    flagged = (
         probe.select("doc_id", "source", F.posexplode("pos_arr").alias("j", "pos"))
         .join(hist.hint("broadcast"), "pos", "left_semi")
-        .groupBy("doc_id")
+        .groupBy("source", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == _BLOOM_K)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
     )
-    checked = probe.join(hits, "doc_id", "left").select(
-        "source", (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K).alias("hit")
+    slim = d.select("doc_id", "source")
+    totals = (
+        slim.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            slim.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"))
     )
     return (
-        checked.groupBy("source")
-        .agg(
-            F.sum(F.col("hit").cast("long")).alias("n_flagged"),
-            F.sum((~F.col("hit")).cast("long")).alias("n_clean"),
+        totals.join(flagged, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            (F.col("n_total") - F.coalesce("n_flagged", F.lit(0))).alias("n_clean"),
         )
         .orderBy("source")
     )
