@@ -132,7 +132,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = _shared_log(spark, sf_dir)
     payload = StructType([StructField("event_type", StringType())])
-    stream = decode_payload(log.subscribe("events"), payload).select(
+    stream = log.subscribe("events", payload_schema=payload).select(
         F.col("event_time").alias("ts"), F.col("payload.event_type").alias("event_type")
     )
     windowed = (
@@ -331,7 +331,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = _shared_log(spark, sf_dir)
     payload = StructType([StructField("value", DoubleType())])
-    stream = decode_payload(log.subscribe("events"), payload).select(
+    stream = log.subscribe("events", payload_schema=payload).select(
         F.col("event_time").alias("ts"),
         F.col("key").cast("long").alias("user_id"),
         F.col("payload.value").alias("value"),
@@ -394,7 +394,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = StructType([StructField("event_type", StringType())])
 
     def typed(etype: str, alias: str) -> DataFrame:
-        s = decode_payload(log.subscribe("events"), payload).select(
+        s = log.subscribe("events", payload_schema=payload).select(
             F.col("key").cast("long").alias(f"{alias}_user"),
             F.col("event_time").alias(f"{alias}_ts"),
             F.col("payload.event_type").alias(f"{alias}_type"),
@@ -478,7 +478,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # global join watermark is the MIN of the two sides — filtering
         # first would pin it to the rarer type's last event and withhold
         # every younger unmatched row.
-        s = decode_payload(log.subscribe("events"), payload).select(
+        s = log.subscribe("events", payload_schema=payload).select(
             F.col("key").cast("long").alias(f"{alias}_user"),
             F.col("event_time").alias(f"{alias}_ts"),
             F.col("payload.event_type").alias(f"{alias}_type"),
@@ -562,7 +562,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user"), "c_mktsegment"
     )
     stream = (
-        decode_payload(log.subscribe("events"), payload)
+        log.subscribe("events", payload_schema=payload)
         .select(
             F.col("key").cast("long").alias("user"),
             F.col("payload.event_type").alias("event_type"),
@@ -680,7 +680,7 @@ def q_stream_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = _shared_log(spark, sf_dir)
     payload = StructType([StructField("value", DoubleType())])
-    stream = decode_payload(log.subscribe("events"), payload).select(
+    stream = log.subscribe("events", payload_schema=payload).select(
         F.col("key").alias("user_id"),
         F.col("event_time").alias("ts"),
         F.col("payload.value").alias("value"),
@@ -942,7 +942,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = _shared_log(spark, sf_dir)
     payload = StructType([StructField("value", DoubleType())])
-    changes = decode_payload(log.subscribe("events"), payload).select(
+    changes = log.subscribe("events", payload_schema=payload).select(
         F.col("key").cast("long").alias("user_id"),
         F.unix_micros(F.col("event_time")).alias("ts_us"),
         F.col("sequence_id").alias("event_id"),
@@ -1017,11 +1017,10 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.endswith(".parquet")
     )
     payload = StructType([StructField("value", DoubleType())])
-    stream = decode_payload(
-        log.subscribe(
-            "events", max_files_per_trigger=max(1, math.ceil(n_files / 3))
-        ),
-        payload,
+    stream = log.subscribe(
+        "events",
+        payload_schema=payload,
+        max_files_per_trigger=max(1, math.ceil(n_files / 3)),
     ).select(
         F.floor(F.col("payload.value") * 100 + 0.5).cast("long").alias("cents"),
         "sequence_id",
@@ -1097,11 +1096,10 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.endswith(".parquet")
     )
     payload = StructType([StructField("value", DoubleType())])
-    stream = decode_payload(
-        log.subscribe(
-            "events", max_files_per_trigger=max(1, math.ceil(n_files / 3))
-        ),
-        payload,
+    stream = log.subscribe(
+        "events",
+        payload_schema=payload,
+        max_files_per_trigger=max(1, math.ceil(n_files / 3)),
     ).select(
         F.col("key").cast("long").alias("user_id"),
         F.floor(F.col("payload.value") * 100 + 0.5).cast("long").alias("cents"),
@@ -1172,11 +1170,10 @@ def q_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.endswith(".parquet")
     )
     payload = StructType([StructField("value", DoubleType())])
-    stream = decode_payload(
-        log.subscribe(
-            "events", max_files_per_trigger=max(1, math.ceil(n_files / 3))
-        ),
-        payload,
+    stream = log.subscribe(
+        "events",
+        payload_schema=payload,
+        max_files_per_trigger=max(1, math.ceil(n_files / 2)),
     ).select(
         F.col("sequence_id").alias("event_id"),
         F.floor(F.col("payload.value") * 100 + 0.5).cast("long").alias("cents"),
@@ -1221,7 +1218,7 @@ def q_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(event_id AS BIGINT) AS event_id,
            CAST(2 AS INT) AS redelivery_count
-    FROM events WHERE value > 190.0
+    FROM events WHERE value > 190.0 AND event_id < 20000
     ORDER BY event_id
     """,
     tags=("streaming", "dlq", "redelivery", "foreachBatch"),
@@ -1244,11 +1241,33 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     on redelivery). Scale: the ledger holds only poison keys (tiny at
     any stream volume) and broadcasts into the batch join; routing is
     pure DataFrame ops, no driver-side row work."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pulsar_lunar_spark.streaming.ops import foreach_batch_with_dlq
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    log = _shared_log(spark, sf_dir)
+    # dedicated probe topic, produced once per process: the router's work
+    # is per-poison-key, and draining the full 100k-message topic three
+    # times would measure the file source, not the DLQ ledger. The slice
+    # keeps both paths flowing (good rows + every poison row among the
+    # first 20k ids) and the oracle applies the same slice.
+    log = MessageLog(spark, os.path.join(_pid_root(sf_dir), "dlqprobe"))
+    marker = os.path.join(log.root, "_PRODUCED")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(log.root, ignore_errors=True)
+        log = MessageLog(spark, os.path.join(_pid_root(sf_dir), "dlqprobe"))
+        e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+        log.produce(
+            e,
+            topic="events",
+            payload_cols=["value"],
+            key="user_id",
+            event_time="ts",
+            sequence_id="event_id",
+            publish_time="ts",
+        )
+        with open(marker, "w"):
+            pass
     payload = StructType([StructField("value", DoubleType())])
     dlq_dir = _fresh_dir(sf_dir, "dlq_out")
     retry_dir = _fresh_dir(sf_dir, "dlq_ledger")
@@ -1260,7 +1279,7 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         retry_ledger_dir=retry_dir,
     )
     for delivery in range(3):
-        stream = decode_payload(log.subscribe("events"), payload)
+        stream = log.subscribe("events", payload_schema=payload)
         run_available_now(
             stream.writeStream.foreachBatch(fn),
             _fresh_checkpoint(sf_dir, f"dlq{delivery}"),

@@ -184,7 +184,13 @@ def foreach_batch_with_dlq(
             ledger = spark.read.parquet(os.path.join(retry_ledger_dir, f"v={cur_v}"))
         else:
             cur_v = -1
-            ledger = spark.createDataFrame([], "mkey string, attempts int, retired boolean")
+            # empty relation via range(0): pure Catalyst — createDataFrame
+            # with a DDL schema pays ~1s of Python-side RDD setup per call
+            ledger = spark.range(0).select(
+                F.col("id").cast("string").alias("mkey"),
+                F.lit(0).cast("int").alias("attempts"),
+                F.lit(False).alias("retired"),
+            )
 
         joined = (
             bad.join(
