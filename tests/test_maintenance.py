@@ -214,6 +214,24 @@ def test_cdc_apply_upserts_deletes_and_replay(spark, tmp_path):
     assert state() == {1: (11, 200), 2: (22, 300), 3: (30, 100)}
 
 
+def test_cdc_apply_carries_unorderable_payload(spark, tmp_path):
+    """Only (version_cols, side) is compared — a map-typed payload column
+    (unorderable; max(struct(...)) over it fails analysis) must ride
+    through cdc_apply via max_by untouched."""
+    from pulsar_lunar_spark.operators.maintenance import cdc_apply, cdc_live
+
+    target = str(tmp_path / "cdc_map_target")
+    schema = "k long, props map<string,string>, ts long, op string"
+    b1 = spark.createDataFrame(
+        [(1, {"a": "1"}, 100, "u"), (2, {"b": "2"}, 100, "u")], schema
+    )
+    cdc_apply(spark, target, b1, ["k"], ["ts"], "op")
+    b2 = spark.createDataFrame([(1, {"a": "9", "z": "3"}, 200, "u")], schema)
+    cdc_apply(spark, target, b2, ["k"], ["ts"], "op")
+    got = {r["k"]: dict(r["props"]) for r in cdc_live(spark, target).collect()}
+    assert got == {1: {"a": "9", "z": "3"}, 2: {"b": "2"}}
+
+
 def test_cdc_vacuum_tombstones_respects_horizon(spark, tmp_path):
     """Tombstones at or below the redelivery horizon are vacuumed; newer
     ones survive and keep guarding against stale resurrections."""
