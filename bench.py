@@ -69,6 +69,9 @@ HEADLINE = [
     "q_containment_dedup",
     "q_individual_ack",
     "q_stream_cdc_apply",
+    # round-4 additions
+    "q_txn_sink",
+    "q_ann_topk",
 ]
 
 
