@@ -175,7 +175,15 @@ def shingle_table(
     computed ONCE — both the LSH pipeline and the verify joins probe it, so
     sharing it removes three recomputations of the normalize+shingle
     expression (and its codegen compile). At 100 TB this is a written-once
-    derived table."""
+    derived table.
+
+    MEMORY persist is deliberate here (measured round 4): the wide
+    shingle-array column round-trips parquet at ~5x the cost of the
+    in-memory columnar form, so the tmpfs-spool pattern that won for the
+    exploded containment postings LOSES for this table. The cache is
+    reclaimed by Spark's ContextCleaner once the query's references drop
+    (bounded further by MEMORY_AND_DISK LRU), so a long-lived session
+    does not grow without bound."""
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
     ).persist()
