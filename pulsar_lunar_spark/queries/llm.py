@@ -289,7 +289,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass twice (once LSH-filtered, once brute-force)."""
     import os
     import tempfile
-    import uuid
 
     from pulsar_lunar_spark.session import scratch_at_exit
 
@@ -298,7 +297,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = S.ann_cosine_scored(emb, "embedding", qvec)
     shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
     root = scratch_at_exit(os.path.join(shm, "pl_ann_scored", str(os.getpid())))
-    path = os.path.join(root, uuid.uuid4().hex)
+    # stable per-(process, sf) path, mode=overwrite: repeated calls (bench
+    # reps) reuse one tmpfs slot instead of accumulating uuid copies
+    path = os.path.join(
+        root, os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    )
     scored.write.mode("overwrite").parquet(path)
     sc = spark.read.parquet(path)
     approx = (

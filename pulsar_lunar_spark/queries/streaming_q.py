@@ -127,7 +127,6 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hour tumbling windows keyed by decoded event_type, availableNow →
     memory sink (complete mode: every window emitted). Hash-matches the
     batch answer — streaming and batch semantics agree."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pyspark.sql.types import StringType, StructField, StructType
 
     log = _shared_log(spark, sf_dir)
@@ -326,7 +325,6 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gaps-and-islands twin with the matching >= gap boundary
     (session_window closes when the next event is AT OR PAST start+gap;
     the batch q_events_session covers the strict-> variant)."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     log = _shared_log(spark, sf_dir)
@@ -387,7 +385,6 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets Spark evict state on both sides (bounded at any scale); the
     materialized pair sink is then batch-aggregated and hash-checked
     against the batch self-join."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pyspark.sql.types import StringType, StructField, StructType
 
     log = _shared_log(spark, sf_dir)
@@ -466,7 +463,6 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The batch comparison therefore applies the SAME deterministic cutoff
     on both sides: c_ts < least(max click, max purchase) - 60min; inside
     it, streaming and batch agree row-exactly."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pyspark.sql.types import StringType, StructField, StructType
 
     log = _shared_log(spark, sf_dir)
@@ -548,7 +544,6 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate rolls them up per market segment. Stateless on the stream
     side: no watermark state, the join is map-side against the broadcast
     dim at any scale."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
     log = _shared_log(spark, sf_dir)
@@ -675,7 +670,6 @@ def q_stream_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, so both sides apply that deterministic cutoff; inside it,
     the custom operator matches the batch gaps-and-islands twin
     row-exactly (n_events AND exact cent sums)."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     log = _shared_log(spark, sf_dir)
@@ -936,7 +930,6 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (target + batch); bucketing the target by the key removes its side
     of the shuffle. State lives in the TABLE, not the stream — no
     watermark state at all."""
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pulsar_lunar_spark.operators.maintenance import cdc_apply, cdc_live
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1005,7 +998,6 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os as _os
 
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pulsar_lunar_spark.streaming.ops import observe_stats
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1084,7 +1076,6 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os as _os
 
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pulsar_lunar_spark.operators.maintenance import incremental_agg_refresh
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1158,7 +1149,6 @@ def q_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os as _os
 
-    from pulsar_lunar_spark.functions.envelope import decode_payload
     from pulsar_lunar_spark.streaming.ops import idempotent_foreach_batch
     from pyspark.sql.types import DoubleType, StructField, StructType
 

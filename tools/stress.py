@@ -181,7 +181,7 @@ def probes(spark, sf_dir: str, mult: int):
             so = p["stateOperators"][0]
             print(
                 f"#   state rows={so.get('numRowsTotal')} "
-                f"mem={so.get('stateMemory')}",
+                f"mem={so.get('memoryUsedBytes')}",
                 file=sys.stderr,
             )
         return [True]
