@@ -93,22 +93,28 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order/part co-occurrence:
-    support from a self equi-join on l_orderkey, confidence and lift as
-    scaled BIGINT ratios (1e6·ps DIV s1, 1e6·ps·N DIV (s1·s2)) — exact,
-    no float division. The item-support side joins in as a broadcast
-    (parts << baskets); the single-row basket total is a broadcast cross
-    join. Top-20 by lift with a total tiebreak."""
+    pair support from ONE per-basket aggregate (collect the basket's
+    distinct parts — bounded by basket size, ~7 for TPC-H — and explode
+    its ordered pairs; the self equi-join this replaces sorted the full
+    postings twice), confidence and lift as scaled BIGINT ratios
+    (1e6·ps DIV s1, 1e6·ps·N DIV (s1·s2)) — exact, no float division.
+    One explicit exchange on the basket key serves the dedup, the basket
+    fold, AND the basket total; item support re-shuffles the same scan
+    once on the part key. Top-20 by lift with a total tiebreak."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
     )
     supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("items")
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pairs = (
-        a.join(b, "o")
+        baskets.select(F.explode("items").alias("p1"), "items")
+        .select("p1", F.explode("items").alias("p2"))
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("ps"))
