@@ -207,6 +207,12 @@ EXCHANGE_BUDGETS = {
     "q_contamination": (4, 2),  # bench side broadcasts; corpus shingles shuffle once
     "q_hll_distinct": (7, 2),  # one corpus distinct exchange feeds both branches
     "q_recursive_cte": (3, 1),  # per-depth agg + sort; iteration adds no exchanges
+    # round-4 rewrites
+    "q_assoc_rules": (9, 4),  # basket fold replaces the postings self-join
+    "q_ngram_novelty": (4, 2),  # one trigram exchange; df=1 owner via min, no postings join
+    "q_dedup_bloom": (6, 3),  # positions computed once; totals from a text-free scan
+    "q_containment_dedup": (4, 2),  # written-once postings; stopword set broadcast anti-join
+    "q_ann_topk": (1, 2),  # zero shuffles: scored spool + two TakeOrdered scans
 }
 
 
