@@ -190,6 +190,27 @@ def all_queries() -> dict[str, QuerySpec]:
     return {s.name: s for s in first + rest + seen}
 
 
+# Round-5 chore, precomputed: after CORRECTNESS_r04's 50-query window,
+# 55 registered queries remain never-driver-sampled (all parity-green at
+# sf0.001/0.01/0.1 locally this round) — fold r04 greens into
+# _DRIVER_CONFIRMED and rebuild _NEWEST_FIRST from this set:
+# q_approx_quantile q_assoc_rules q_chi2_cells q_chunk_documents
+# q_cohort_retention q_conversion_latency q_csv_funcs
+# q_cumulative_distinct q_curation_funnel q_custom_source q_cusum_drift
+# q_decay_scores q_doc_fingerprint q_dq_checks q_duplicate_spans
+# q_embed_outliers q_embed_project q_embed_quantize
+# q_envelope_partition_routing q_event_transitions q_ewma_smooth
+# q_group_regression q_interval_pairs_binned q_json_tuple
+# q_label_centroids q_lang_quality q_lateral_topk q_length_buckets
+# q_mad_outliers q_ngram_novelty q_null_handling q_ohlc_bars
+# q_pagination q_percentrank_norm q_pmi_collocations
+# q_quality_classifier q_quality_gopher q_rolling_7d
+# q_sample_stratified q_sample_weighted q_scd2_intervals q_seasonality
+# q_sentence_stats q_spatial_grid_join q_string_agg q_temporal_join
+# q_top_paths q_trimmed_mean q_unigram_surprisal q_unpivot
+# q_url_domains q_value_histogram q_variant_json q_zorder_layout
+# q_zscore_outliers
+#
 # Curated registry head: the driver samples ~50 queries head-first, so the
 # window is budgeted deliberately — round 4 rotation (VERDICT r3 next-steps
 # #1/#2): (a) q_approx_stats, whose only driver row is a stale r1
