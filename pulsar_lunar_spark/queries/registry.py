@@ -146,6 +146,24 @@ _DRIVER_CONFIRMED = frozenset(
         "q_stream_stateful_count", "q_stream_stream_join",
         "q_stream_tumbling", "q_tfidf_terms", "q_token_packing",
         "q_topic_retention", "q_topics_metadata",
+        # round 4 (CORRECTNESS_r04.json, 50/50 green)
+        "q16_excluded_suppliers", "q_apply_in_arrow", "q_approx_stats",
+        "q_aqe_skew_join", "q_bloom_join_filter", "q_bpe_encode",
+        "q_bpe_merges", "q_corrupt_records", "q_csv_roundtrip",
+        "q_dlq_routing", "q_dynamic_partition_prune", "q_events_asof",
+        "q_events_asof_forward", "q_events_collect", "q_events_densify",
+        "q_events_ffill", "q_events_first_last", "q_events_islands",
+        "q_events_session", "q_events_session_dynamic", "q_events_sliding",
+        "q_events_tumbling", "q_heavy_hitters", "q_hll_distinct",
+        "q_json_roundtrip", "q_kmeans_clusters", "q_map_in_arrow",
+        "q_map_in_pandas", "q_media_audio_features", "q_media_audio_mulaw",
+        "q_media_frame_sample", "q_media_image_features",
+        "q_media_jpeg_features", "q_media_png_features", "q_media_resize",
+        "q_media_transcode", "q_orc_roundtrip", "q_pagerank_trade",
+        "q_pandas_udf_grouped_agg", "q_partitioned_prune", "q_row_ids",
+        "q_salted_join", "q_schema_evolution", "q_sql_interface",
+        "q_sql_parameterized", "q_text_roundtrip", "q_triangle_count",
+        "q_txn_sink", "q_window_range_frame", "q_xml_roundtrip",
     }
 )
 
@@ -190,96 +208,78 @@ def all_queries() -> dict[str, QuerySpec]:
     return {s.name: s for s in first + rest + seen}
 
 
-# Round-5 chore, precomputed: after CORRECTNESS_r04's 50-query window,
-# 55 registered queries remain never-driver-sampled (all parity-green at
-# sf0.001/0.01/0.1 locally this round) — fold r04 greens into
-# _DRIVER_CONFIRMED and rebuild _NEWEST_FIRST from this set:
-# q_approx_quantile q_assoc_rules q_chi2_cells q_chunk_documents
-# q_cohort_retention q_conversion_latency q_csv_funcs
-# q_cumulative_distinct q_curation_funnel q_custom_source q_cusum_drift
-# q_decay_scores q_doc_fingerprint q_dq_checks q_duplicate_spans
-# q_embed_outliers q_embed_project q_embed_quantize
-# q_envelope_partition_routing q_event_transitions q_ewma_smooth
-# q_group_regression q_interval_pairs_binned q_json_tuple
-# q_label_centroids q_lang_quality q_lateral_topk q_length_buckets
-# q_mad_outliers q_ngram_novelty q_null_handling q_ohlc_bars
-# q_pagination q_percentrank_norm q_pmi_collocations
-# q_quality_classifier q_quality_gopher q_rolling_7d
-# q_sample_stratified q_sample_weighted q_scd2_intervals q_seasonality
-# q_sentence_stats q_spatial_grid_join q_string_agg q_temporal_join
-# q_top_paths q_trimmed_mean q_unigram_surprisal q_unpivot
-# q_url_domains q_value_histogram q_variant_json q_zorder_layout
-# q_zscore_outliers
-#
 # Curated registry head: the driver samples ~50 queries head-first, so the
-# window is budgeted deliberately — round 4 rotation (VERDICT r3 next-steps
-# #1/#2): (a) q_approx_stats, whose only driver row is a stale r1
-# ``no_oracle`` red predating its oracle; (b) queries added this round
-# (txn sink / DLQ routing — the last §2A/§2C rows living only in pytest);
-# (c) the never-driver-sampled crown jewels: the real-codec media family,
-# BPE, graph, sketches, k-means, the events/time-series family, the format
-# roundtrips, the UDF-surface variants, and the relational3 leftovers.
+# window is budgeted deliberately.  Round-5 rotation (VERDICT r4 next-step
+# #1): after CORRECTNESS_r04's 50/50-green window, exactly these 55
+# registered queries have never received a driver CORRECTNESS row (every
+# one judge-verified parity-green at the driver's sf0.01 scale in r4, and
+# locally green at sf0.001/0.01/0.1).  The head lists all 55; the driver's
+# ~50-query window covers the front, leaving <=5 spillover names (the
+# deliberately-simplest rows, placed last) for a trivial round-6 window —
+# at which point every registered query has a driver-green row.
 # Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
-    # (a) stale r1 pre-oracle red — re-clear the ledger first
-    "q_approx_stats",
-    # (b) round-4 additions
-    "q_txn_sink",  # round 4: exactly-once commit-ledger sink replay
-    "q_dlq_routing",  # round 4: DLQ router with max_redeliver
-    # (c) media codec family — real decoders, zero driver rows
-    "q_media_png_features",
-    "q_media_jpeg_features",
-    "q_media_transcode",
-    "q_media_resize",
-    "q_media_audio_mulaw",
-    "q_media_frame_sample",
-    "q_media_image_features",
-    "q_media_audio_features",
-    # BPE / graph / clustering / sketches — zero driver rows
-    "q_bpe_merges",
-    "q_bpe_encode",
-    "q_pagerank_trade",
-    "q_triangle_count",
-    "q_kmeans_clusters",
-    "q_hll_distinct",
-    "q_heavy_hitters",
-    # events / time-series family — zero driver rows
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_events_session",
-    "q_events_session_dynamic",
-    "q_events_asof",
-    "q_events_asof_forward",
-    "q_events_first_last",
-    "q_events_islands",
-    "q_events_ffill",
-    "q_events_collect",
-    "q_events_densify",
-    # format roundtrips — zero driver rows
-    "q_csv_roundtrip",
-    "q_json_roundtrip",
-    "q_orc_roundtrip",
-    "q_text_roundtrip",
-    "q_xml_roundtrip",
-    "q_corrupt_records",
-    "q_schema_evolution",
-    # UDF-surface variants — zero driver rows
-    "q_pandas_udf_grouped_agg",
-    "q_map_in_pandas",
-    "q_map_in_arrow",
-    "q_apply_in_arrow",
-    # relational3 / pipeline leftovers — zero driver rows
-    "q_sql_interface",
-    "q16_excluded_suppliers",
-    "q_window_range_frame",
-    "q_salted_join",
-    "q_sql_parameterized",
-    "q_row_ids",
-    "q_partitioned_prune",
-    "q_dynamic_partition_prune",
-    "q_bloom_join_filter",
-    "q_aqe_skew_join",
+    # carried over from the round-4 head (window cut off at 50)
     "q_curation_funnel",
     "q_length_buckets",
+    # operators with engine-specific moving parts — verify first
+    "q_assoc_rules",  # rewritten in r4's last commit; freshest code
+    "q_custom_source",  # Spark 4 Python Data Source read path
+    "q_envelope_partition_routing",  # key-hash routing invariants
+    "q_variant_json",  # VARIANT type + parse_json
+    "q_json_tuple",
+    "q_zorder_layout",  # interleaved-bit clustering layout
+    "q_spatial_grid_join",  # grid-bucketed spatial join
+    "q_temporal_join",
+    "q_scd2_intervals",
+    "q_interval_pairs_binned",
+    "q_lateral_topk",
+    "q_csv_funcs",
+    # embeddings / ML-adjacent family
+    "q_embed_outliers",
+    "q_embed_project",
+    "q_embed_quantize",
+    "q_label_centroids",
+    "q_group_regression",
+    # text/LLM-pipeline leftovers
+    "q_chunk_documents",
+    "q_doc_fingerprint",
+    "q_duplicate_spans",
+    "q_lang_quality",
+    "q_ngram_novelty",
+    "q_pmi_collocations",
+    "q_quality_classifier",
+    "q_quality_gopher",
+    "q_sentence_stats",
+    "q_unigram_surprisal",
+    "q_url_domains",
+    # time-series / sessionization analytics
+    "q_cohort_retention",
+    "q_conversion_latency",
+    "q_cusum_drift",
+    "q_decay_scores",
+    "q_event_transitions",
+    "q_ewma_smooth",
+    "q_ohlc_bars",
+    "q_rolling_7d",
+    "q_seasonality",
+    "q_top_paths",
+    # statistics / sampling family
+    "q_approx_quantile",
+    "q_chi2_cells",
+    "q_cumulative_distinct",
+    "q_mad_outliers",
+    "q_percentrank_norm",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_trimmed_mean",
+    "q_value_histogram",
+    "q_zscore_outliers",
+    # simplest, most-stable rows last — the <=5 spillover for round 6
+    "q_dq_checks",
+    "q_string_agg",
+    "q_unpivot",
+    "q_pagination",
+    "q_null_handling",
 )
 
