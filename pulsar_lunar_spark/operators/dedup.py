@@ -208,19 +208,25 @@ def containment_pairs(
     asymmetric fix (Broder's containment measure).
 
     Plan shape (the only one that survives 100 TB): the distinct (doc,
-    shingle) postings are WRITTEN ONCE to ``postings_path`` (tmpfs
-    scratch by default; the durable derived table every containment /
-    LSH pass shares at scale) — the expensive normalize+shingle+explode
-    runs exactly one map pass, and nothing is pinned in executor memory
-    (no persist, nothing for a long-lived session to leak). Three cheap
-    columnar scans of that table then do the work: (1) a count-only
-    aggregate finds the shingles with document frequency > ``df_cap`` —
-    the stopword shingles, exactly the postings whose pair expansion is
-    quadratic; the cap plays the role the band count plays in LSH. That
-    set is TINY at any corpus size (heads of a Zipf tail), so it
-    broadcasts; the keep-side complement (the whole vocabulary) never
-    would. (2) The postings anti-join the broadcast stopword set and
-    fold into per-shingle (id, doc-shingle-count) lists — every
+    shingle) postings are materialized ONCE, hash-partitioned on the
+    shingle — the expensive normalize+shingle+explode runs exactly one
+    map pass, and because BOTH downstream aggregations group by the
+    shingle, the single partitioning exchange serves every consumer
+    (zero further shuffles until the final pair aggregate). By default
+    the postings pin in MEMORY_AND_DISK cache (narrow 3-column rows;
+    reclaimed by Spark's ContextCleaner once the query's references
+    drop); pass ``postings_path`` to write them as a durable parquet
+    table instead — the derived table a 100 TB pipeline shares across
+    containment / LSH passes (measured round 5: at sf0.1 the parquet
+    round-trip costs ~1 s more than it saves, so it is opt-in, not the
+    default). Two cheap columnar scans then do the work: (1) a
+    count-only aggregate finds the shingles with document frequency >
+    ``df_cap`` — the stopword shingles, exactly the postings whose pair
+    expansion is quadratic; the cap plays the role the band count plays
+    in LSH. That set is TINY at any corpus size (heads of a Zipf tail),
+    so it broadcasts; the keep-side complement (the whole vocabulary)
+    never would. (2) The postings anti-join the broadcast stopword set
+    and fold into per-shingle (id, doc-shingle-count) lists — every
     aggregation buffer is bounded by ``df_cap``, because the cap is
     applied BEFORE any list is collected — and a double explode expands
     each list into its ordered pairs. The subject's shingle count rides
@@ -230,40 +236,52 @@ def containment_pairs(
     size_a, containment_ppm) for every co-shingled ordered pair; callers
     threshold on ppm.
     """
-    import os
-    import uuid
-
-    from pulsar_lunar_spark.session import scratch_at_exit
-
     spark = df.sparkSession
-    if postings_path is None:
-        shm = "/dev/shm"
-        base = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
-        if base is None:
-            import tempfile
+    posts = containment_postings(df, id_col, text_col, shingle_k)
+    if postings_path is not None:
+        posts.write.mode("overwrite").parquet(postings_path)
+        posts = spark.read.parquet(postings_path)
+    else:
+        posts = posts.persist()
+    return containment_pairs_from_postings(posts, df_cap)
 
-            base = tempfile.gettempdir()
-        root = scratch_at_exit(
-            os.path.join(base, "pulsar_lunar_postings", str(os.getpid()))
+
+def containment_postings(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """The (__id, __n, __sh) postings table behind ``containment_pairs``,
+    hash-partitioned on the shingle so every downstream per-shingle
+    aggregation reuses the one exchange. NOT persisted — callers that
+    consume it more than once own its lifecycle (persist + deterministic
+    unpersist, as q_containment_dedup does, or a durable parquet write).
+
+    (__id, __sh) is distinct by construction: shingles() array_distincts
+    per doc, so exploding needs NO distinct() — a full postings exchange
+    saved. __n (the doc's shingle count) is denormalized onto every
+    posting row in the same pass: it is what turns the pair aggregate
+    into the final answer with no per-doc sizes join."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
         )
-        postings_path = os.path.join(root, uuid.uuid4().hex)
-    # (__id, __sh) is distinct by construction: shingles() array_distincts
-    # per doc, so exploding needs NO distinct() — a full postings exchange
-    # saved. __n (the doc's shingle count) is denormalized onto every
-    # posting row in the same pass: it is what turns the pair aggregate
-    # into the final answer with no per-doc sizes join.
-    ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
-    ).select(
-        "__id",
-        shingles_from_words(F.col("__w"), shingle_k).alias("__arr"),
-    ).select(
-        "__id",
-        F.size("__arr").cast("long").alias("__n"),
-        F.explode("__arr").alias("__sh"),
-    ).write.mode("overwrite").parquet(postings_path)
-    posts = spark.read.parquet(postings_path)
+        .select(
+            "__id",
+            shingles_from_words(F.col("__w"), shingle_k).alias("__arr"),
+        )
+        .select(
+            "__id",
+            F.size("__arr").cast("long").alias("__n"),
+            F.explode("__arr").alias("__sh"),
+        )
+        .repartition("__sh")
+    )
+
+
+def containment_pairs_from_postings(posts: DataFrame, df_cap: int = 50) -> DataFrame:
+    """Ordered containment pairs from a materialized postings table (see
+    ``containment_pairs`` for the full plan rationale)."""
     stop = (
         posts.groupBy("__sh")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators import multimodal as M
 from pulsar_lunar_spark.queries.registry import register
-from pulsar_lunar_spark.session import ensure_parallelism, load_table
+from pulsar_lunar_spark.session import ensure_parallelism, load_table, sf_cache_tag
 
 # Derivations shared (conceptually) by the python synth and the SQL oracle:
 #   image: w = doc_id % 31 + 2, h = doc_id % 17 + 2, gray = doc_id % 256
@@ -119,7 +119,7 @@ def _materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFram
         os.path.join(
             root,
             "pulsar_lunar_media",
-            f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}",
+            sf_cache_tag(sf_dir),
         )
     )
     path = os.path.join(base, tag)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from pulsar_lunar_spark.functions.envelope import decode_payload, to_envelope
-from pulsar_lunar_spark.session import load_table
+from pulsar_lunar_spark.session import load_table, sf_cache_tag
 from pulsar_lunar_spark.sources.log import MessageLog
 from pulsar_lunar_spark.queries.registry import register
 
@@ -285,7 +285,7 @@ def _seek_log(spark: SparkSession, sf_dir: str) -> "MessageLog":
         os.path.join(
             root,
             "pulsar_lunar_seeklog",
-            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
+            sf_cache_tag(sf_dir),
         )
     )
     log = MessageLog(spark, base)
@@ -375,7 +375,7 @@ def q_geo_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same as _shared_log); only the replicas are fresh per call
     import shutil
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}"
+    tag = sf_cache_tag(sf_dir)
     src_root = scratch_at_exit(os.path.join(root, "pl_georepl_src", tag))
     marker = os.path.join(src_root, "_PRODUCED")
     src = MessageLog(spark, src_root)
@@ -539,7 +539,7 @@ def q_topic_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_lunar_spark.session import scratch_at_exit
 
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}"
+    tag = sf_cache_tag(sf_dir)
     pristine = scratch_at_exit(os.path.join(root, "pl_retention_src", tag))
     marker = os.path.join(pristine, "_PRODUCED")
     if not os.path.exists(marker):

@@ -40,11 +40,14 @@ def _tmp_root() -> str:
 
 
 def _sf_tag(sf_dir: str) -> str:
-    # per-process path segment: two concurrent harnesses (pytest + the
-    # driver on the same sf) must never rmtree/produce into a directory the
-    # other is mid-read on — the marker-file check alone is a TOCTOU race
-    # (same reasoning as formats._roundtrip_dir / maintenance_q._scratch)
-    return f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}"
+    # per-(dataset, process) path segment: two concurrent harnesses (pytest
+    # + the driver on the same sf) must never rmtree/produce into a
+    # directory the other is mid-read on — the marker-file check alone is a
+    # TOCTOU race — and two sf_dirs sharing a basename must never reuse one
+    # another's produced topics (the tag hashes the resolved path)
+    from pulsar_lunar_spark.session import sf_cache_tag
+
+    return sf_cache_tag(sf_dir)
 
 
 def _pid_root(sf_dir: str) -> str:

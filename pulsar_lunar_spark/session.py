@@ -156,6 +156,22 @@ def scratch_at_exit(path: str) -> str:
     return path
 
 
+def sf_cache_tag(sf_dir: str) -> str:
+    """Per-(dataset, process) tag for fixture-cache directory names.
+
+    Keys on the RESOLVED path (an 8-hex digest of realpath), not just the
+    basename: two different sf_dirs sharing a basename in one process must
+    never silently reuse a topic produced from the other dataset. The
+    basename stays in the tag for human-readable scratch listings; the pid
+    isolates concurrent harnesses (same reasoning as scratch_at_exit)."""
+    import hashlib
+    import os
+
+    real = os.path.realpath(sf_dir)
+    digest = hashlib.sha256(real.encode()).hexdigest()[:8]
+    return f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{digest}-{os.getpid()}"
+
+
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 # Sessions (by applicationId) whose one-time analytics defaults have been
