@@ -608,6 +608,47 @@ def q_individual_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unsubscribe",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_pending_before,
+           CAST(COUNT(*) AS BIGINT) AS n_pending_after,
+           TRUE AS dropped_state,
+           TRUE AS second_drop_noop
+    FROM events
+    """,
+    tags=("messaging", "unsubscribe"),
+)
+def q_unsubscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsubscribe (CommandUnsubscribe, /root/reference/src/
+    PulsarApi.proto:531-534; demuxed at src/netflow/models.rs:23-58):
+    dropping a subscription deletes its durable cursor and ack ledger,
+    and the same name afterwards is a brand NEW subscription. Here: ack
+    the even half of the backlog (pending = the odd half), unsubscribe,
+    and verify the full backlog is pending again — plus flags for "state
+    existed on first drop" and "second drop is a no-op" (the broker's
+    unknown-subscription error surface). Cursor deletion (resubscribe
+    drains from initialPosition) is pinned by
+    tests/test_streaming.py::test_unsubscribe_resets_cursor_and_ack_ledger.
+    Scale: ack-ledger writes are BitSet blocks (64 msgs/row); unsubscribe
+    itself is a metadata delete, O(ledger files), never O(messages)."""
+    log = _seek_log(spark, sf_dir)
+    env = log.read("events")
+    sub = "q_unsubscribe"
+    log.ack("events", sub, env.filter(F.col("sequence_id") % 2 == 0))
+    n_before = log.pending("events", sub).count()
+    dropped = log.unsubscribe("events", sub)
+    second = log.unsubscribe("events", sub)
+    after = log.pending("events", sub)
+    return after.agg(
+        F.lit(n_before).cast("bigint").alias("n_pending_before"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pending_after"),
+        F.lit(bool(dropped)).alias("dropped_state"),
+        F.lit(not second).alias("second_drop_noop"),
+    )
+
+
+@register(
     "q_payload_encryption",
     oracle="""
     SELECT 'AES/GCM/NoPadding' AS algo, 'k16-v1' AS key_name,

@@ -219,6 +219,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # at which point every registered query has a driver-green row.
 # Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
+    # round-5 addition: the last §2A#32 verb (CommandUnsubscribe)
+    "q_unsubscribe",
     # carried over from the round-4 head (window cut off at 50)
     "q_curation_funnel",
     "q_length_buckets",

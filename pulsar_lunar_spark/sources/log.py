@@ -466,6 +466,31 @@ class MessageLog:
         shutil.rmtree(path)
         os.rename(tmp, path)
 
+    def unsubscribe(self, topic: str, subscription: str) -> bool:
+        """Drop a subscription: delete its durable cursor (the streaming
+        checkpoint dir) and its ack ledger (CommandUnsubscribe,
+        /root/reference/src/PulsarApi.proto:531-534; demuxed at
+        src/netflow/models.rs:23-58). The topic's data is untouched —
+        retention is the TOPIC's policy (``apply_retention``), never a
+        consumer's. A later ``subscribe`` under the same name is a brand
+        NEW subscription: its cursor restarts at initialPosition
+        (Earliest) and ``pending`` serves the full backlog again —
+        exactly the broker's resubscribe-after-unsubscribe semantics.
+        Returns True if any durable state existed (the broker errors on
+        unsubscribing an unknown subscription; callers who care check
+        the flag). Idempotent on repeat."""
+        import shutil
+
+        existed = False
+        for path in (
+            self.subscription_checkpoint(topic, subscription),
+            self.ack_path(topic, subscription),
+        ):
+            if os.path.isdir(path):
+                existed = True
+                shutil.rmtree(path, ignore_errors=True)
+        return existed
+
     # -- consume: streaming subscription -------------------------------
     def subscribe(
         self,

@@ -111,6 +111,42 @@ def test_subscription_cursor_resumes(spark, log, sf_dir, tmp_path):
     assert df.select("event_id").distinct().count() == 1500  # no reprocessing
 
 
+def test_unsubscribe_resets_cursor_and_ack_ledger(spark, log, tmp_path):
+    """CommandUnsubscribe semantics: after unsubscribe, the same
+    subscription name is a brand NEW subscription — its cursor restarts
+    at initialPosition (a fresh drain re-serves ALL messages, where a
+    kept cursor would serve zero), and the ack ledger is gone (pending()
+    serves the full backlog again). Topic data is untouched."""
+    out1 = str(tmp_path / "out1")
+    ckpt = log.subscription_checkpoint("events", "unsub-test")
+    flat = log.subscribe("events", payload_schema=PAYLOAD).select(
+        F.col("payload.event_id").alias("event_id")
+    )
+    q = run_available_now(flat.writeStream.format("parquet").option("path", out1), ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out1).count() == 1000
+
+    # individually ack half the backlog on the same subscription
+    env = log.read("events")
+    log.ack("events", "unsub-test", env.filter(F.col("sequence_id") % 2 == 0))
+    n_pending = log.pending("events", "unsub-test").count()
+    assert 0 < n_pending < 1000
+
+    assert log.unsubscribe("events", "unsub-test") is True
+    assert log.unsubscribe("events", "unsub-test") is False  # idempotent
+
+    # ack ledger gone: the full backlog is pending again
+    assert log.pending("events", "unsub-test").count() == 1000
+    # cursor gone: a re-subscribe under the SAME name drains from
+    # initialPosition (all 1000), not from the old cursor (zero)
+    out2 = str(tmp_path / "out2")
+    q2 = run_available_now(flat.writeStream.format("parquet").option("path", out2), ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 1000
+    # topic data untouched
+    assert log.read("events").count() == 1000
+
+
 def test_streaming_tumbling_matches_batch(spark, log):
     stream = log.subscribe("events", payload_schema=PAYLOAD)
     windowed = tumbling_counts(
