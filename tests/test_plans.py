@@ -213,6 +213,17 @@ EXCHANGE_BUDGETS = {
     "q_dedup_bloom": (6, 3),  # positions computed once; totals from a text-free scan
     "q_containment_dedup": (4, 2),  # written-once postings; stopword set broadcast anti-join
     "q_ann_topk": (1, 2),  # zero shuffles: scored spool + two TakeOrdered scans
+    # round-5 weak-set locks: constants are being worked, so the plan
+    # SHAPES are regression-guarded while they are
+    "q_semdedup": (6, 2),  # kmeans update reduce + cell GEMM + final agg
+    "q_retrieval_metrics": (9, 5),  # one ranked pass, per-cutoff evals share it
+    "q10_returned_items": (2, 4),  # single fact shuffle, dims broadcast
+    "q_embed_outliers": (3, 1),  # centroid agg + z-score agg share partitioning
+    "q_events_session_dynamic": (3, 1),  # session window sort + output agg
+    "q_media_resize": (2, 1),  # declared Python codec lane: one scan, no join
+    "q_media_transcode": (2, 1),  # same shape as resize
+    "q_salted_join": (3, 2),  # salt explode + shuffled join (demo forces shuffle)
+    "q_aqe_skew_join": (1, 1),  # AQE skew split handles the rest at runtime
 }
 
 
