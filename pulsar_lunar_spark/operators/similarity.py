@@ -115,6 +115,50 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _plane_battery(dim: int, n_planes: int, n_tables: int, seed: int):
+    """The shared LSH battery: all tables' hyperplanes stacked as ONE
+    (n_tables*n_planes) x dim numpy matrix plus the per-table bit weights.
+    Both ann_cosine_topk and ann_cosine_scored derive their buckets from
+    THIS function, which is what makes their bit/ulp behavior identical —
+    a plane dot within an ulp of zero flips (or not) the same way on the
+    query side and the corpus side in both operators."""
+    import numpy as np
+
+    planes_mat = np.array(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in _random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        ]
+    )  # (n_tables*n_planes) x dim
+    weights = 1 << np.arange(n_planes)
+    return planes_mat, weights
+
+
+def _signs_to_buckets(signs, weights, n_planes: int, n_tables: int):
+    """Per-table bucket ids from a (rows x n_tables*n_planes) sign matrix
+    -> (rows x n_tables) int matrix."""
+    import numpy as np
+
+    return np.stack(
+        [
+            (signs[:, t * n_planes : (t + 1) * n_planes] * weights).sum(axis=1)
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )
+
+
+def _batch_in_query_bucket(vm, planes_mat, weights, qbuckets, n_planes: int, n_tables: int):
+    """One GEMM sign-bucket battery for an Arrow batch: True where the row
+    shares a bucket with the query in >= 1 table."""
+    import numpy as np
+
+    signs = (vm @ planes_mat.T) >= 0  # batch x (tables*planes)
+    buckets = _signs_to_buckets(signs, weights, n_planes, n_tables)
+    return (buckets == qbuckets[None, :]).any(axis=1)
+
+
 def ann_cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -142,32 +186,21 @@ def ann_cosine_topk(
     # dot-folds per row cost ~ms/row; one BLAS multiply costs ~ns/row.
     # (An unrolled scalar expression was tried and is WORSE: ~6k-term
     # trees overflow whole-stage codegen into interpreted nested Adds.)
-    planes_mat = np.array(
-        [
-            plane
-            for t in range(n_tables)
-            for plane in _random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        ]
-    )  # (n_tables*n_planes) x dim
+    planes_mat, weights = _plane_battery(dim, n_planes, n_tables, seed)
     qarr = np.asarray([float(x) for x in query])
-    # query bits via the SAME numpy path as the corpus bits: a plane dot
-    # within an ulp of zero then flips (or not) identically on both sides,
-    # so the query's own row always lands in its own buckets
-    qsigns = (planes_mat @ qarr) >= 0
-    weights = 1 << np.arange(n_planes)
-    qbuckets = np.array(
-        [int((qsigns[t * n_planes : (t + 1) * n_planes] * weights).sum()) for t in range(n_tables)]
-    )
+    # query bits via the SAME numpy path as the corpus bits (the shared
+    # _plane_battery/_signs_to_buckets kernel), so the query's own row
+    # always lands in its own buckets
+    qbuckets = _signs_to_buckets(
+        ((planes_mat @ qarr) >= 0)[None, :], weights, n_planes, n_tables
+    )[0]
 
     @F.pandas_udf("boolean", F.PandasUDFType.SCALAR)
     def _in_query_bucket(v):
         vm = np.array(v.tolist(), dtype=np.float64)  # batch x dim
-        signs = (vm @ planes_mat.T) >= 0  # batch x (tables*planes)
-        keep = np.zeros(len(vm), dtype=bool)
-        for t in range(n_tables):
-            bucket = (signs[:, t * n_planes : (t + 1) * n_planes] * weights).sum(axis=1)
-            keep |= bucket == qbuckets[t]
-        return pd.Series(keep)
+        return pd.Series(
+            _batch_in_query_bucket(vm, planes_mat, weights, qbuckets, n_planes, n_tables)
+        )
 
     return (
         df.filter(_in_query_bucket(emb))
@@ -202,32 +235,19 @@ def ann_cosine_scored(
     import pandas as pd
 
     dim = len(query)
-    planes_mat = np.array(
-        [
-            plane
-            for t in range(n_tables)
-            for plane in _random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        ]
-    )
+    planes_mat, weights = _plane_battery(dim, n_planes, n_tables, seed)
     qarr = np.asarray([float(x) for x in query])
     qnorm = math.sqrt(float(qarr @ qarr)) or 1.0
-    qsigns = (planes_mat @ qarr) >= 0
-    weights = 1 << np.arange(n_planes)
-    qbuckets = np.array(
-        [
-            int((qsigns[t * n_planes : (t + 1) * n_planes] * weights).sum())
-            for t in range(n_tables)
-        ]
-    )
+    qbuckets = _signs_to_buckets(
+        ((planes_mat @ qarr) >= 0)[None, :], weights, n_planes, n_tables
+    )[0]
 
     @F.pandas_udf("struct<keep:boolean,cos:double>", F.PandasUDFType.SCALAR)
     def _score(v):
         vm = np.array(v.tolist(), dtype=np.float64)  # batch x dim
-        signs = (vm @ planes_mat.T) >= 0
-        keep = np.zeros(len(vm), dtype=bool)
-        for t in range(n_tables):
-            bucket = (signs[:, t * n_planes : (t + 1) * n_planes] * weights).sum(axis=1)
-            keep |= bucket == qbuckets[t]
+        keep = _batch_in_query_bucket(
+            vm, planes_mat, weights, qbuckets, n_planes, n_tables
+        )
         dots = vm @ qarr
         norms = np.sqrt((vm * vm).sum(axis=1))
         norms[norms == 0.0] = 1.0

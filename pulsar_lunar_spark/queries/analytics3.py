@@ -122,9 +122,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = supp.select(F.col("l_partkey").alias("p1"), F.col("s").alias("sup1"))
     s2 = supp.select(F.col("l_partkey").alias("p2"), F.col("s").alias("sup2"))
+    # no broadcast hint on the support sides: item support is O(#parts)
+    # and a FORCED broadcast would OOM the driver once the catalog
+    # outgrows it — below autoBroadcastJoinThreshold the planner
+    # broadcasts anyway (it does at every test SF), above it AQE picks
+    # the shuffle join, which is the right plan at that size. `tot` is
+    # one row; its broadcast is unconditional by construction.
     return (
-        pairs.join(F.broadcast(s1), "p1")
-        .join(F.broadcast(s2), "p2")
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
         .crossJoin(F.broadcast(tot))
         .select(
             "p1",

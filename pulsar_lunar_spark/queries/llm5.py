@@ -14,7 +14,7 @@ pair-cosine distribution at sf0.001/0.01/0.1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators import corpus as C
@@ -183,23 +183,28 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     norm = normalize_text(F.col("text"))
     pos = C.bloom_positions(norm, n_hashes=_BLOOM_K, n_bits=_BLOOM_BITS)
+    # The probe slices, defined ONCE (and mirrored verbatim in the DuckDB
+    # oracle above): the "new crawl" = odd doc_ids; the planted
+    # true-duplicates = every 10th historical (even) doc replayed under an
+    # offset id. `_probe_union` is the single source of both the
+    # positions-bearing probe AND the column-pruned totals, so the slice
+    # predicates cannot drift apart between them.
+    new_pred = F.col("doc_id") % 2 == 1
+    replay_pred = (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0)
+
+    def _probe_union(base: DataFrame, *extra: Column) -> DataFrame:
+        return base.filter(new_pred).select("doc_id", "source", *extra).unionByName(
+            base.filter(replay_pred).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "source", *extra
+            )
+        )
+
     hist = (
         d.filter(F.col("doc_id") % 2 == 0)
         .select(F.explode(pos).alias("pos"))
         .distinct()
     )
-    probe = (
-        d.filter(F.col("doc_id") % 2 == 1)
-        .select("doc_id", "source", pos.alias("pos_arr"))
-        .unionByName(
-            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
-            .select(
-                (F.col("doc_id") + 10000000).alias("doc_id"),
-                "source",
-                pos.alias("pos_arr"),
-            )
-        )
-    )
+    probe = _probe_union(d, pos.alias("pos_arr"))
     # the expensive md5 position battery is computed ONCE per probe row:
     # flagged counts come from the semi-join aggregate (source rides
     # along), and the zero-hit docs — which the semi-join drops — need no
@@ -214,12 +219,8 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_flagged"))
     )
-    slim = d.select("doc_id", "source")
     totals = (
-        slim.filter(F.col("doc_id") % 2 == 1)
-        .unionByName(
-            slim.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
-        )
+        _probe_union(d.select("doc_id", "source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_total"))
     )

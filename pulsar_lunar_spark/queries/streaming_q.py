@@ -963,6 +963,10 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _fresh_dir(sf_dir, "cdc_target")
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        # version_cols ends in event_id — UNIQUE per row — so cdc_apply's
+        # max_by comparator can never tie and the apply is fully
+        # deterministic across runs (cdc_apply's documented requirement;
+        # ts_us alone would tie for same-microsecond changes)
         cdc_apply(
             bdf.sparkSession,
             target,
