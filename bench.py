@@ -72,6 +72,8 @@ HEADLINE = [
     # round-4 additions
     "q_txn_sink",
     "q_ann_topk",
+    # round-5 additions
+    "q_unsubscribe",
 ]
 
 

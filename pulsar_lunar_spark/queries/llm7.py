@@ -145,7 +145,10 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"containment-res-{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}",
     )
     res.write.mode("overwrite").parquet(slot)
-    posts.unpersist()
+    # blocking: the deterministic-cleanup guarantee is "no cached RDDs
+    # after the query returns" — the async default can leave the block
+    # registered for a beat after return (flaked under full-suite load)
+    posts.unpersist(blocking=True)
     return spark.read.parquet(slot)
 
 
