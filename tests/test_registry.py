@@ -48,6 +48,20 @@ def test_newest_first_names_exist():
     assert not missing, f"curated-but-unregistered: {sorted(missing)}"
 
 
+def test_sf_cache_tag_distinguishes_same_basename(tmp_path):
+    # two sf_dirs sharing a basename must never share a fixture-cache
+    # slot (a topic produced from one dataset silently serving the other)
+    from pulsar_lunar_spark.session import sf_cache_tag
+
+    a = tmp_path / "x" / "sf0.01"
+    b = tmp_path / "y" / "sf0.01"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    assert sf_cache_tag(str(a)) != sf_cache_tag(str(b))
+    # stable for the same resolved path, trailing slash or not
+    assert sf_cache_tag(str(a)) == sf_cache_tag(str(a) + "/")
+
+
 def test_sample_head_leads_with_unconfirmed():
     # the first 50 registry entries (the driver's sample window) must all
     # be queries without a driver-green row yet
