@@ -106,6 +106,10 @@ def _fresh_checkpoint(sf_dir: str, tag: str) -> str:
 
 _EVENTS_MAX_US: dict[str, int] = {}
 
+# deterministic end-of-stream cutoffs derived from the immutable events
+# table, cached per (resolved sf_dir, tag) — see _events_max_us
+_CUTOFF_CACHE: dict = {}
+
 
 def _events_max_us(spark: SparkSession, sf_dir: str) -> int:
     """max(ts) of the immutable events table, in epoch micros — cached per
@@ -518,19 +522,25 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fresh_checkpoint(sf_dir, "ssouter"),
         state_partitions=4,
     )
-    cutoff = (
-        load_table(spark, sf_dir, "events")
-        .agg(
-            (
-                F.least(
-                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-                )
-                - F.expr("interval 60 minutes")
-            ).alias("t")
+    # deterministic eviction cutoff over the IMMUTABLE events table —
+    # cached per (process, sf_dir) like _events_max_us; re-scanning per
+    # call paid a whole batch job for a constant
+    ckey = (os.path.realpath(sf_dir), "outer_join_cutoff")
+    if ckey not in _CUTOFF_CACHE:
+        _CUTOFF_CACHE[ckey] = (
+            load_table(spark, sf_dir, "events")
+            .agg(
+                (
+                    F.least(
+                        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    )
+                    - F.expr("interval 60 minutes")
+                ).alias("t")
+            )
+            .head()["t"]
         )
-        .head()["t"]
-    )
+    cutoff = _CUTOFF_CACHE[ckey]
     return (
         spark.read.parquet(out)
         .filter(F.col("c_ts") < F.lit(cutoff))
