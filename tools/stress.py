@@ -105,9 +105,14 @@ def probes(spark, sf_dir: str, mult: int):
         # the probe proves the df cap keeps the pair count bounded as the
         # corpus multiplies (copies have disjoint doc ids but IDENTICAL
         # text, so every shingle's df scales with mult — the worst case
-        # for an uncapped postings join)
+        # for an uncapped postings join). clearCache first: the r5 form
+        # persists its postings, and Spark's CacheManager matches by
+        # canonicalized plan — without the clear, the measured rep would
+        # read the WARM rep's cache and report the cache-hit path (2.4 s
+        # at 50x) instead of the real build (8.7 s)
         from pulsar_lunar_spark.operators.dedup import containment_pairs
 
+        spark.catalog.clearCache()
         return (
             containment_pairs(docs, "doc_id", "text", df_cap=50)
             .groupBy()
