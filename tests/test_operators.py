@@ -214,10 +214,20 @@ def test_containment_query_leaves_no_new_cached_rdds(spark, sf_dir):
     written-once tmpfs table, not a lingering persist()."""
     from pulsar_lunar_spark.queries import all_queries
 
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def rdd_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = rdd_ids()
     all_queries()["q_containment_dedup"].fn(spark, sf_dir).collect()
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before
+    # set difference, not a count compare: the ContextCleaner may collect
+    # an EARLIER test's abandoned cache concurrently (count would drop and
+    # flake); the invariant is that THIS query leaves no NEW cached RDD
+    leaked = rdd_ids() - before
+    assert not leaked, f"new cached RDDs after containment query: {leaked}"
 
 
 def test_containment_pairs_finds_planted_excerpt(spark):
