@@ -144,7 +144,10 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_at_exit(os.path.join(shm, "pulsar_lunar_postings", str(os.getpid()))),
         f"containment-res-{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}",
     )
-    res.write.mode("overwrite").parquet(slot)
+    # repartition(1), NOT coalesce(1): coalesce propagates up and would
+    # collapse the pair aggregation itself to one partition; repartition
+    # adds a tiny (~1k-row) exchange and commits one file instead of 32
+    res.repartition(1).write.mode("overwrite").parquet(slot)
     # blocking: the deterministic-cleanup guarantee is "no cached RDDs
     # after the query returns" — the async default can leave the block
     # registered for a beat after return (flaked under full-suite load)
