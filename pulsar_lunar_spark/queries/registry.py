@@ -213,10 +213,17 @@ def all_queries() -> dict[str, QuerySpec]:
 # #1): after CORRECTNESS_r04's 50/50-green window, exactly these 55
 # registered queries have never received a driver CORRECTNESS row (every
 # one judge-verified parity-green at the driver's sf0.01 scale in r4, and
-# locally green at sf0.001/0.01/0.1).  The head lists all 55; the driver's
-# ~50-query window covers the front, leaving <=5 spillover names (the
-# deliberately-simplest rows, placed last) for a trivial round-6 window —
-# at which point every registered query has a driver-green row.
+# locally green at sf0.001/0.01/0.1).  The head lists all 55 plus the
+# round-5 addition q_unsubscribe; the driver's ~50-query window covers the
+# front, leaving 6 spillover names for a trivial round-6 window — at which
+# point every registered query has a driver-green row.
+#
+# Round-6 chore, precomputed: fold CORRECTNESS_r05's greens into
+# _DRIVER_CONFIRMED and rebuild _NEWEST_FIRST from the names the r5 window
+# did NOT reach — with a 50-query window over this 56-name head, that is
+# the final six: q_zscore_outliers q_dq_checks q_string_agg q_unpivot
+# q_pagination q_null_handling (all parity-green at sf0.01 and sf0.1 on
+# round-5 code; count from the r05 window's actual cut if it differs).
 # Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
     # round-5 addition: the last §2A#32 verb (CommandUnsubscribe)

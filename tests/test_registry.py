@@ -62,6 +62,26 @@ def test_sf_cache_tag_distinguishes_same_basename(tmp_path):
     assert sf_cache_tag(str(a)) == sf_cache_tag(str(a) + "/")
 
 
+def test_streaming_cutoff_caches_key_on_resolved_path(tmp_path):
+    # the per-process cutoff memos must never serve one dataset's constant
+    # to another (same hazard class as sf_cache_tag)
+    import os
+
+    from pulsar_lunar_spark.queries import streaming_q as sq
+
+    a = tmp_path / "x" / "sf0.01"
+    b = tmp_path / "y" / "sf0.01"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    assert os.path.realpath(str(a)) != os.path.realpath(str(b))
+    sq._EVENTS_MAX_US[os.path.realpath(str(a))] = 111
+    assert os.path.realpath(str(b)) not in sq._EVENTS_MAX_US
+    sq._CUTOFF_CACHE[(os.path.realpath(str(a)), "outer_join_cutoff")] = 1
+    assert (os.path.realpath(str(b)), "outer_join_cutoff") not in sq._CUTOFF_CACHE
+    del sq._EVENTS_MAX_US[os.path.realpath(str(a))]
+    del sq._CUTOFF_CACHE[(os.path.realpath(str(a)), "outer_join_cutoff")]
+
+
 def test_sample_head_leads_with_unconfirmed():
     # the first 50 registry entries (the driver's sample window) must all
     # be queries without a driver-green row yet
