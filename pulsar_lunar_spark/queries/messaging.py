@@ -649,6 +649,61 @@ def q_unsubscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_payload_integrity",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt_detected,
+           TRUE AS exact_detection
+    FROM events WHERE event_id < 20000
+    """,
+    tags=("messaging", "integrity", "crc"),
+)
+def q_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload CRC integrity — the frame checksum the reference's decoder
+    leaves as a TODO (/root/reference/src/message/codec.rs:185; Pulsar
+    frames carry a crc32c over metadata+payload): the producer stamps
+    properties["crc32"] at envelope time, transport corrupts a
+    deterministic slice (one trailing byte appended to every 97th
+    message — the smallest possible bit-rot), and the consumer's
+    verify_payload_integrity must flag EXACTLY the corrupted slice:
+    every corrupted message detected, zero false alarms on clean ones.
+    All JVM expressions (crc32/map lookup) inside the scan's stage —
+    free at 100 TB relative to the read."""
+    from pulsar_lunar_spark.functions.envelope import verify_payload_integrity
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    env = to_envelope(
+        e,
+        topic=F.lit("events.checked"),
+        payload_cols=["event_id", "value"],
+        key="user_id",
+        event_time="ts",
+        sequence_id="event_id",
+        publish_time="ts",
+        checksum=True,
+    )
+    corrupted = env.withColumn(
+        "value",
+        F.when(
+            F.col("sequence_id") % 97 == 0,
+            F.concat(F.col("value"), F.lit(b"\x00")),
+        ).otherwise(F.col("value")),
+    )
+    checked = verify_payload_integrity(corrupted)
+    return checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+        F.sum((~F.col("crc_ok")).cast("long")).cast("bigint").alias("n_corrupt_detected"),
+        (
+            F.sum(
+                (F.col("crc_ok") != (F.col("sequence_id") % 97 != 0)).cast("long")
+            )
+            == 0
+        ).alias("exact_detection"),
+    )
+
+
+@register(
     "q_payload_encryption",
     oracle="""
     SELECT 'AES/GCM/NoPadding' AS algo, 'k16-v1' AS key_name,

@@ -220,14 +220,17 @@ def all_queries() -> dict[str, QuerySpec]:
 #
 # Round-6 chore, precomputed: fold CORRECTNESS_r05's greens into
 # _DRIVER_CONFIRMED and rebuild _NEWEST_FIRST from the names the r5 window
-# did NOT reach — with a 50-query window over this 56-name head, that is
-# the final six: q_zscore_outliers q_dq_checks q_string_agg q_unpivot
-# q_pagination q_null_handling (all parity-green at sf0.01 and sf0.1 on
-# round-5 code; count from the r05 window's actual cut if it differs).
+# did NOT reach — with a 50-query window over this 57-name head, that is
+# the final seven: q_value_histogram q_zscore_outliers q_dq_checks
+# q_string_agg q_unpivot q_pagination q_null_handling (all parity-green at
+# sf0.01 and sf0.1 on round-5 code; count from the r05 window's actual cut
+# if it differs).
 # Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
-    # round-5 addition: the last §2A#32 verb (CommandUnsubscribe)
+    # round-5 additions: the last §2A#32 verb (CommandUnsubscribe) and the
+    # CRC payload-integrity check (the reference codec's TODO)
     "q_unsubscribe",
+    "q_payload_integrity",
     # carried over from the round-4 head (window cut off at 50)
     "q_curation_funnel",
     "q_length_buckets",

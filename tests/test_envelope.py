@@ -59,3 +59,30 @@ def test_key_routing_deterministic_and_bounded(spark):
     assert per_key == 1
     rng = parts.agg(F.min("p"), F.max("p")).collect()[0]
     assert rng[0] >= 0 and rng[1] <= 3
+
+
+def test_payload_integrity_flags_exactly_corrupted(spark):
+    """CRC stamping + verification (the reference codec's TODO at
+    codec.rs:185): corrupted payload bytes are flagged, intact ones pass,
+    and unstamped messages report null (unknown provenance)."""
+    from pulsar_lunar_spark.functions.envelope import verify_payload_integrity
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    env = to_envelope(df, topic="t", payload_cols=["id", "name"], key="name",
+                      sequence_id="id", checksum=True)
+    corrupted = env.withColumn(
+        "value",
+        F.when(F.col("sequence_id") == 2,
+               F.concat(F.col("value"), F.lit(b"\xff"))).otherwise(F.col("value")),
+    )
+    got = {r["sequence_id"]: r["crc_ok"]
+           for r in verify_payload_integrity(corrupted).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+    # no checksum stamped -> null, not False (unknown, caller decides)
+    bare = to_envelope(df, topic="t", payload_cols=["id"], key="name",
+                       sequence_id="id")
+    vals = {r["crc_ok"] for r in verify_payload_integrity(bare).collect()}
+    assert vals == {None}
