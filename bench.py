@@ -74,6 +74,7 @@ HEADLINE = [
     "q_ann_topk",
     # round-5 additions
     "q_unsubscribe",
+    "q_payload_integrity",
 ]
 
 
