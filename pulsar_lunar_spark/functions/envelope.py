@@ -120,8 +120,13 @@ def to_envelope(
     props_col = properties if properties is not None else F.create_map().cast("map<string,string>")
     payload = F.to_json(F.struct(*[F.col(c) for c in payload_cols])).cast("binary")
     if checksum:
+        # drop any pre-existing crc32 entry first: re-stamping (e.g.
+        # re-enveloping a message from a prior checksummed hop) REPLACES
+        # the stale checksum — map_concat alone would throw
+        # DUPLICATED_MAP_KEY under the default EXCEPTION dedup policy
         props_col = F.map_concat(
-            props_col, F.create_map(F.lit("crc32"), F.crc32(payload).cast("string"))
+            F.map_filter(props_col, lambda k, _v: k != F.lit("crc32")),
+            F.create_map(F.lit("crc32"), F.crc32(payload).cast("string")),
         )
 
     partition = F.when(

@@ -212,14 +212,23 @@ def containment_pairs(
     shingle — the expensive normalize+shingle+explode runs exactly one
     map pass, and because BOTH downstream aggregations group by the
     shingle, the single partitioning exchange serves every consumer
-    (zero further shuffles until the final pair aggregate). By default
-    the postings pin in MEMORY_AND_DISK cache (narrow 3-column rows;
-    reclaimed by Spark's ContextCleaner once the query's references
-    drop); pass ``postings_path`` to write them as a durable parquet
-    table instead — the derived table a 100 TB pipeline shares across
-    containment / LSH passes (measured round 5: at sf0.1 the parquet
-    round-trip costs ~1 s more than it saves, so it is opt-in, not the
-    default). Two cheap columnar scans then do the work: (1) a
+    (zero further shuffles until the final pair aggregate).
+
+    Materialization is the CALLER's choice, because only the caller
+    knows the lifecycle: this convenience form does NOT cache (its two
+    internal consumers each execute the postings subtree — correct, and
+    fine for tests/one-shots), ``postings_path`` writes the postings as
+    a durable parquet table (the derived table a 100 TB pipeline shares
+    across containment / LSH passes), and performance-sensitive callers
+    use :func:`containment_postings` + ``persist()`` +
+    :func:`containment_pairs_from_postings` with a DETERMINISTIC
+    ``unpersist(blocking=True)`` after consuming, as q_containment_dedup
+    does. (An internal ``persist()`` here would leak: the JVM
+    CacheManager holds a strong reference to every persisted plan until
+    an explicit unpersist — Python GC of the returned DataFrame never
+    releases it, so a long-lived session calling this repeatedly would
+    accumulate pinned postings caches.) Two cheap columnar scans then
+    do the work: (1) a
     count-only aggregate finds the shingles with document frequency >
     ``df_cap`` — the stopword shingles, exactly the postings whose pair
     expansion is quadratic; the cap plays the role the band count plays
@@ -241,8 +250,6 @@ def containment_pairs(
     if postings_path is not None:
         posts.write.mode("overwrite").parquet(postings_path)
         posts = spark.read.parquet(postings_path)
-    else:
-        posts = posts.persist()
     return containment_pairs_from_postings(posts, df_cap)
 
 

@@ -287,21 +287,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     written-once 3-column table; the approx and exact top-10 are then
     two TakeOrdered scans of that tiny table. The old form ran the full
     corpus pass twice (once LSH-filtered, once brute-force)."""
-    import os
-    import tempfile
-
-    from pulsar_lunar_spark.session import scratch_at_exit
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     scored = S.ann_cosine_scored(emb, "embedding", qvec)
-    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    root = scratch_at_exit(os.path.join(shm, "pl_ann_scored", str(os.getpid())))
-    # stable per-(process, sf) path, mode=overwrite: repeated calls (bench
-    # reps) reuse one tmpfs slot instead of accumulating uuid copies
-    path = os.path.join(
-        root, os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    )
+    # per-CALL slot (keep-last-2): a fixed overwrite slot would delete
+    # the files a previously returned result still lists
+    path = versioned_slot(scratch_root("pl_ann_scored", sf_dir), "scored")
     scored.write.mode("overwrite").parquet(path)
     sc = spark.read.parquet(path)
     approx = (

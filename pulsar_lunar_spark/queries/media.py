@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators import multimodal as M
 from pulsar_lunar_spark.queries.registry import register
-from pulsar_lunar_spark.session import ensure_parallelism, load_table, sf_cache_tag
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
 
 # Derivations shared (conceptually) by the python synth and the SQL oracle:
 #   image: w = doc_id % 31 + 2, h = doc_id % 17 + 2, gray = doc_id % 256
@@ -110,18 +110,10 @@ def _materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFram
     sees byte-identical input either way. The per-pid dir registers for
     removal at process exit (session.scratch_at_exit)."""
     import os
-    import tempfile
 
-    from pulsar_lunar_spark.session import scratch_at_exit
+    from pulsar_lunar_spark.session import scratch_root
 
-    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    base = scratch_at_exit(
-        os.path.join(
-            root,
-            "pulsar_lunar_media",
-            sf_cache_tag(sf_dir),
-        )
-    )
+    base = scratch_root("pulsar_lunar_media", sf_dir)
     path = os.path.join(base, tag)
     marker = os.path.join(path, "_SYNTHED")
     if not os.path.exists(marker):

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from pulsar_lunar_spark.functions.envelope import decode_payload, to_envelope
-from pulsar_lunar_spark.session import load_table, sf_cache_tag
+from pulsar_lunar_spark.session import load_table
 from pulsar_lunar_spark.sources.log import MessageLog
 from pulsar_lunar_spark.queries.registry import register
 
@@ -275,19 +275,12 @@ def _seek_log(spark: SparkSession, sf_dir: str) -> "MessageLog":
 
     from pulsar_lunar_spark.sources.log import MessageLog
 
-    from pulsar_lunar_spark.session import scratch_at_exit
+    from pulsar_lunar_spark.session import scratch_root
 
-    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    # per-process segment: concurrent harnesses must not race on the marker
-    # (same TOCTOU reasoning as streaming_q._sf_tag); removed at exit —
-    # tmpfs-backed pid dirs must not accumulate across harness runs
-    base = scratch_at_exit(
-        os.path.join(
-            root,
-            "pulsar_lunar_seeklog",
-            sf_cache_tag(sf_dir),
-        )
-    )
+    # per-(dataset, process) segment: concurrent harnesses must not race
+    # on the marker (same TOCTOU reasoning as streaming_q._sf_tag);
+    # removed at exit — tmpfs pid dirs must not accumulate across runs
+    base = scratch_root("pulsar_lunar_seeklog", sf_dir)
     log = MessageLog(spark, base)
     marker = os.path.join(base, "_PRODUCED")
     if not os.path.exists(marker):
@@ -365,18 +358,16 @@ def q_geo_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: replication is one distributed scan + one partitioned write
     per target cluster — no shuffle, bandwidth-bound like the broker's
     replicator."""
+    import shutil
     import tempfile
 
-    from pulsar_lunar_spark.session import scratch_at_exit
+    from pulsar_lunar_spark.session import scratch_at_exit, scratch_root
 
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
     # the source topic is read-only under replication, so it is produced
     # once per (process, sf) and reused (marker-file + per-PID pattern,
     # same as _shared_log); only the replicas are fresh per call
-    import shutil
-
-    tag = sf_cache_tag(sf_dir)
-    src_root = scratch_at_exit(os.path.join(root, "pl_georepl_src", tag))
+    src_root = scratch_root("pl_georepl_src", sf_dir)
     marker = os.path.join(src_root, "_PRODUCED")
     src = MessageLog(spark, src_root)
     if not os.path.exists(marker):
@@ -536,11 +527,9 @@ def q_topic_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per (process, sf) and file-copied per call (a tmpfs copytree is
     # ~50 ms where the Spark produce job is >1 s; the marker-file +
     # per-PID pattern is _shared_log's)
-    from pulsar_lunar_spark.session import scratch_at_exit
+    from pulsar_lunar_spark.session import scratch_root
 
-    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
-    tag = sf_cache_tag(sf_dir)
-    pristine = scratch_at_exit(os.path.join(root, "pl_retention_src", tag))
+    pristine = scratch_root("pl_retention_src", sf_dir)
     marker = os.path.join(pristine, "_PRODUCED")
     if not os.path.exists(marker):
         shutil.rmtree(pristine, ignore_errors=True)
@@ -557,7 +546,9 @@ def q_topic_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(marker, "w"):
             pass
-    work = tempfile.mkdtemp(prefix="pl_retention_", dir=root)
+    from pulsar_lunar_spark.session import scratch_at_exit
+
+    work = tempfile.mkdtemp(prefix="pl_retention_", dir=os.path.dirname(pristine))
     scratch_at_exit(work)
     shutil.rmtree(work)
     shutil.copytree(pristine, work)

@@ -215,7 +215,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # one judge-verified parity-green at the driver's sf0.01 scale in r4, and
 # locally green at sf0.001/0.01/0.1).  The head lists all 55 plus the
 # round-5 addition q_unsubscribe; the driver's ~50-query window covers the
-# front, leaving 6 spillover names for a trivial round-6 window — at which
+# front, leaving 7 spillover names for a trivial round-6 window — at which
 # point every registered query has a driver-green row.
 #
 # Round-6 chore, precomputed: fold CORRECTNESS_r05's greens into
@@ -287,7 +287,9 @@ _NEWEST_FIRST = (
     "q_trimmed_mean",
     "q_value_histogram",
     "q_zscore_outliers",
-    # simplest, most-stable rows last — the <=5 spillover for round 6
+    # simplest, most-stable rows last — these plus the tail of the
+    # statistics group spill past the ~50-query window to round 6 (the
+    # chore comment above lists the exact 7)
     "q_dq_checks",
     "q_string_agg",
     "q_unpivot",

@@ -156,6 +156,49 @@ def scratch_at_exit(path: str) -> str:
     return path
 
 
+def scratch_root(kind: str, sf_dir: str | None = None) -> str:
+    """The per-(kind, dataset, process) tmpfs scratch directory, registered
+    for removal at process exit: ``/dev/shm/<kind>/<sf_cache_tag>`` (falls
+    back to the system tempdir when /dev/shm is unwritable). The single
+    home of the root-selection + scratch_at_exit + tag idiom that fixture
+    caches share — fix root selection here, not at call sites."""
+    import os
+    import tempfile
+
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    parts = [root, kind]
+    if sf_dir is not None:
+        parts.append(sf_cache_tag(sf_dir))
+    else:
+        parts.append(str(os.getpid()))
+    return scratch_at_exit(os.path.join(*parts))
+
+
+_SLOT_COUNTERS: dict[tuple[str, str], int] = {}
+
+
+def versioned_slot(root_dir: str, prefix: str, keep: int = 2) -> str:
+    """A fresh ``<root_dir>/<prefix>-<n>`` output slot per call, pruning
+    all but the newest ``keep`` siblings with the same prefix.
+
+    For queries that spool a small result to tmpfs and return
+    ``spark.read.parquet(slot)``: a FIXED slot with mode=overwrite would
+    delete the very files a previously returned DataFrame still lists
+    (collect after a later call => FileNotFoundException), while fully
+    unbounded versioning accumulates RAM-backed copies across bench reps.
+    keep=2 preserves the previous call's result (the common
+    compare-two-runs shape) and bounds the footprint."""
+    import os
+    import shutil
+
+    key = (root_dir, prefix)
+    _SLOT_COUNTERS[key] = _SLOT_COUNTERS.get(key, 0) + 1
+    n = _SLOT_COUNTERS[key]
+    for old in range(1, n - keep + 1):
+        shutil.rmtree(os.path.join(root_dir, f"{prefix}-{old}"), ignore_errors=True)
+    return os.path.join(root_dir, f"{prefix}-{n}")
+
+
 def sf_cache_tag(sf_dir: str) -> str:
     """Per-(dataset, process) tag for fixture-cache directory names.
 

@@ -76,6 +76,17 @@ def main() -> None:
             pass
         wall = time.perf_counter() - t0
         progress = [json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress]
+        # recentProgress is a ring buffer capped at
+        # spark.sql.streaming.numRecentProgressUpdates (default 100): a
+        # drain with more micro-batches silently loses its EARLIEST
+        # batches, which would corrupt the decomposition (lost addBatch
+        # time misattributed to "outside"). Flag it loudly.
+        if len(progress) >= 100:
+            print(
+                "# WARNING: recentProgress at ring-buffer capacity — early "
+                "batches may be missing; decomposition undercounts addBatch",
+                flush=True,
+            )
         captured.append({"wall": wall, "progress": progress})
         return q
 

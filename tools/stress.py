@@ -105,11 +105,12 @@ def probes(spark, sf_dir: str, mult: int):
         # the probe proves the df cap keeps the pair count bounded as the
         # corpus multiplies (copies have disjoint doc ids but IDENTICAL
         # text, so every shingle's df scales with mult — the worst case
-        # for an uncapped postings join). clearCache first: the r5 form
-        # persists its postings, and Spark's CacheManager matches by
-        # canonicalized plan — without the clear, the measured rep would
-        # read the WARM rep's cache and report the cache-hit path (2.4 s
-        # at 50x) instead of the real build (8.7 s)
+        # for an uncapped postings join). clearCache first, defensively:
+        # Spark's CacheManager matches persisted plans by canonicalized
+        # form, so if ANY cache of this subtree exists the measured rep
+        # would read it and report the cache-hit path (measured 2.4 s at
+        # 50x vs the real 8.7 s build when the operator briefly persisted
+        # internally) — the probe must always time the cold build
         from pulsar_lunar_spark.operators.dedup import containment_pairs
 
         spark.catalog.clearCache()
