@@ -151,11 +151,15 @@ def kmeans_fit(
     init_ids: list[int],
     iterations: int = 2,
     keep_dist: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means with deterministic init (centroids = the vectors of
     ``init_ids``), run for a fixed number of iterations. Returns the final
     (__id, cluster) assignment — plus the squared distance to the assigned
-    centroid when ``keep_dist`` (the outlier-filtering signal).
+    centroid when ``keep_dist`` (the outlier-filtering signal), and the
+    double-cast vector itself as ``__v`` when ``keep_vec`` (lets a
+    downstream pair/GEMM stage consume the assignment directly instead of
+    joining back to the source table).
 
     Fixed-iteration + fixed-init keeps the whole computation reproducible
     and SQL-expressible (the oracle unrolls the same two passes).
@@ -204,5 +208,9 @@ def kmeans_fit(
                 # checkpoints), so a separate checkpoint of `assigned` is a
                 # wasted job — the update's aggregate consumes it once
                 centroids = kmeans_update(assigned).localCheckpoint(eager=True)
-    cols = ["__id", "cluster", "dist"] if keep_dist else ["__id", "cluster"]
+    cols = ["__id", "cluster"]
+    if keep_dist:
+        cols.append("dist")
+    if keep_vec:
+        cols.append("__v")
     return assigned.select(*cols)

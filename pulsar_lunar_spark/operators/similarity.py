@@ -268,9 +268,12 @@ def blocked_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.40,
+    emit_block: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) within each block whose cosine >= threshold —
     the semantic near-dup primitive, computed as one GEMM per block.
+    With ``emit_block`` the grouping key rides along in the output, so a
+    per-block consumer (drop counts per cell) needs no join back.
 
     Per-pair HOF expressions (zip_with+aggregate) evaluate interpreted per
     element — O(block² · dim) scalar ops. This instead ships each block to a
@@ -286,8 +289,11 @@ def blocked_cosine_pairs(
     import pandas as pd
 
     schema = "id_a long, id_b long, cosine_sim double"
+    if emit_block:
+        btype = df.schema[block_col].dataType.simpleString()
+        schema = f"{block_col} {btype}, " + schema
 
-    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def pairs(key, pdf):
         import numpy as np
 
         ids = pdf[id_col].to_numpy()
@@ -302,7 +308,10 @@ def blocked_cosine_pairs(
         swap = ia > ib
         ia2 = np.where(swap, ib, ia)
         ib2 = np.where(swap, ia, ib)
-        return pd.DataFrame({"id_a": ia2, "id_b": ib2, "cosine_sim": cs})
+        out = pd.DataFrame({"id_a": ia2, "id_b": ib2, "cosine_sim": cs})
+        if emit_block:
+            out.insert(0, block_col, key[0])
+        return out
 
     src = df.select(F.col(id_col), F.col(block_col), _as_double(F.col(vec_col)).alias(vec_col))
     return src.groupBy(block_col).applyInPandas(pairs, schema)

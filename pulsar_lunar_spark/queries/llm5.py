@@ -108,23 +108,33 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the kmeans assign is a broadcast-centroid pass; the pair stage
     shuffles each cell once and runs O(cell²·dim) FLOPs in BLAS — at 100 TB
-    K grows with n so cells stay ~10-50k vectors (IVF-cell budget)."""
+    K grows with n so cells stay ~10-50k vectors (IVF-cell budget).
+
+    Plan shape: ``keep_vec`` assignment feeds the GEMM stage DIRECTLY (no
+    join back to the source table), and ``emit_block`` keeps the cell id on
+    every emitted pair so drop counts are a per-cell aggregate of the pair
+    stream — zero corpus-wide joins after the assign; the only join left is
+    K-row members ⋈ K-row drops."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    assigned = M.kmeans_fit(emb, "vec_id", "embedding", init_ids=[0, 1, 2, 3], iterations=2)
-    with_cell = emb.join(assigned.withColumnRenamed("__id", "vec_id"), "vec_id")
-    pairs = S.blocked_cosine_pairs(
-        with_cell, id_col="vec_id", vec_col="embedding", block_col="cluster",
-        threshold=0.45,
+    assigned = M.kmeans_fit(
+        emb, "vec_id", "embedding", init_ids=[0, 1, 2, 3], iterations=2,
+        keep_vec=True,
     )
-    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    flagged = assigned.join(
-        dropped, assigned["__id"] == dropped["vec_id"], "left"
-    ).select("cluster", F.col("vec_id").isNotNull().alias("is_dropped"))
+    pairs = S.blocked_cosine_pairs(
+        assigned.select(F.col("__id").alias("vec_id"), "cluster", F.col("__v").alias("embedding")),
+        id_col="vec_id", vec_col="embedding", block_col="cluster",
+        threshold=0.45, emit_block=True,
+    )
+    drops = pairs.groupBy("cluster").agg(
+        F.countDistinct("id_b").alias("__nd")
+    )
+    members = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        flagged.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.col("is_dropped").cast("long")).alias("n_dropped"),
+        members.join(drops, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce(F.col("__nd"), F.lit(0)).cast("long").alias("n_dropped"),
         )
         .orderBy("cluster")
     )

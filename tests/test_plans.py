@@ -215,7 +215,7 @@ EXCHANGE_BUDGETS = {
     "q_ann_topk": (1, 2),  # zero shuffles: scored spool + two TakeOrdered scans
     # round-5 weak-set locks: constants are being worked, so the plan
     # SHAPES are regression-guarded while they are
-    "q_semdedup": (6, 2),  # kmeans update reduce + cell GEMM + final agg
+    "q_semdedup": (6, 2),  # keep_vec assign feeds cell GEMM joinlessly; drops agg per cell
     "q_retrieval_metrics": (9, 5),  # one ranked pass, per-cutoff evals share it
     "q10_returned_items": (2, 4),  # single fact shuffle, dims broadcast
     "q_embed_outliers": (3, 1),  # centroid agg + z-score agg share partitioning
