@@ -75,6 +75,7 @@ HEADLINE = [
     # round-5 additions
     "q_unsubscribe",
     "q_payload_integrity",
+    "q_dsir_select",
 ]
 
 

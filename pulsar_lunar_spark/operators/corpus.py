@@ -428,6 +428,82 @@ def bloom_positions(
 
 
 # ---------------------------------------------------------------------------
+# Hashed n-gram importance selection (DSIR-style data selection)
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document importance score for target-distribution data selection,
+    after DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): featurize every document as hashed word
+    bigrams, fit bucket-level target/raw counts in one corpus pass, then
+    score each document by the mean bucket-level target posterior of its
+    bigram occurrences.
+
+    Determinism variant: instead of DSIR's log-likelihood ratio (float
+    logs are libm-dependent across engines), each bucket carries the
+    Laplace-smoothed INTEGER posterior ``scale*(ct+1) div (ct+cr+2)`` —
+    the probability the bucket's mass came from the target slice, in
+    ppm — and a document's score is the exact integer mean over its
+    occurrences. Rankings agree with the LLR form whenever bucket ratios
+    are modest; every arithmetic step is exact cross-engine.
+
+    Returns (id_col, n_ngrams, avg_importance) for documents with >= 2
+    words. All JVM: split/slice/md5 in the scan, two hash aggregations,
+    one broadcast join of the n_buckets-row posterior table.
+
+    Scale (100 TB): the posterior table is bounded by n_buckets (not the
+    corpus), so the join is always a broadcast; the bigram stream is
+    emitted inside the scan and shuffles once per aggregation on the
+    bucket / id key. The stream is traversed twice (fit + score) —
+    persist the exploded stream (and unpersist after) when the scan
+    dominates, exactly like the containment postings."""
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    toks = df.select(
+        F.col(id_col), target.alias("__t"), words.alias("__w")
+    ).filter(F.size("__w") >= 2)
+    grams = toks.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.expr("transform(sequence(1, size(__w) - 1), i -> array_join(slice(__w, i, 2), ' '))")
+        ).alias("__g"),
+    )
+    buckets = grams.select(
+        id_col, "__t", (md5_int(F.col("__g"), 15) % n_buckets).alias("bucket")
+    )
+    posterior = (
+        buckets.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("cr"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"({scale} * (ct + 1)) div (ct + cr + 2)").alias("p"),
+        )
+    )
+    return (
+        buckets.join(F.broadcast(posterior), "bucket")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_ngrams"), F.sum("p").alias("__s"))
+        .select(
+            id_col,
+            "n_ngrams",
+            F.expr("__s div n_ngrams").alias("avg_importance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training (tokenizer-fitting step of a data pipeline)
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,7 @@ def write_bucketed(
     sort_cols: Sequence[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist a table hash-bucketed (and optionally sorted) by join key.
 
@@ -38,10 +39,14 @@ def write_bucketed(
     tables bucketed by the same columns into the same bucket count is
     planned WITHOUT an Exchange on either side (SortMergeJoin reads
     co-located buckets). At 100 TB, bucket so each bucket is ~128-512 MB.
+    With ``path`` the table is EXTERNAL (data at the given location, e.g.
+    a per-process scratch dir); bucketing metadata is still recorded.
     """
     w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -1,0 +1,137 @@
+"""Training-data pipeline queries, batch 8: corpus SELECTION and
+training-shard PREPARATION — the two steps between a filtered corpus and
+a training run.
+
+- q_dsir_select: hashed n-gram importance scoring after DSIR (Xie et al.
+  2023) with an exact-integer posterior variant (see
+  operators/corpus.hashed_ngram_importance) so the ranking hash-matches
+  the DuckDB oracle.
+- q_shard_assignment: deterministic hash-sharding audit — the "shuffle
+  and shard" step that splits a corpus into N equal training shards;
+  emits per-shard balance stats with an in-band skew check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import corpus as C
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
+
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+
+_N_BUCKETS = 4096
+_N_SHARDS = 16
+
+
+@register(
+    "q_dsir_select",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               LIST_FILTER(STRING_SPLIT({_NORM}, ' '), x -> x != '') AS w
+        FROM documents
+    ), g AS (
+        SELECT doc_id, source = 'src0' AS t,
+               CAST(('0x' || SUBSTR(MD5(ARRAY_TO_STRING(w[i:i+1], ' ')), 1, 15)) AS BIGINT)
+                   % {_N_BUCKETS} AS bucket
+        FROM w, UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS u(i)
+        WHERE LEN(w) >= 2
+    ), post AS (
+        SELECT bucket,
+               SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+        FROM g GROUP BY 1
+    ), p AS (
+        SELECT bucket, (1000000 * (ct + 1)) // (ct + cr + 2) AS p FROM post
+    ), d AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, SUM(p.p) AS s
+        FROM g JOIN p USING (bucket) GROUP BY 1
+    )
+    SELECT doc_id, n_ngrams, CAST(s // n_ngrams AS BIGINT) AS avg_importance
+    FROM d ORDER BY avg_importance DESC, doc_id LIMIT 25
+    """,
+    tags=("llm", "selection", "dsir", "importance"),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every document by how target-like
+    its hashed-bigram distribution is (target slice = source 'src0', the
+    stand-in for "trusted high-quality domain"), keep the top 25.
+
+    The operator (corpus.hashed_ngram_importance) fits 4096-bucket
+    target/raw counts in one corpus pass and broadcasts the bounded
+    posterior table back over the bigram stream — the importance model
+    never grows with the corpus, so the same plan holds at 100 TB. The
+    integer-posterior determinism variant is documented on the operator;
+    ranking is totally ordered by (avg_importance DESC, doc_id)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = C.hashed_ngram_importance(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        target=F.col("source") == "src0",
+        n_buckets=_N_BUCKETS,
+    )
+    return scored.orderBy(F.desc("avg_importance"), "doc_id").limit(25)
+
+
+@register(
+    "q_shard_assignment",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(('0x' || SUBSTR(MD5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {_N_SHARDS} AS shard,
+               doc_id, n_chars
+        FROM documents
+    ), a AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM s GROUP BY 1
+    ), t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM documents
+    )
+    SELECT shard, n_docs, total_chars, min_doc, max_doc,
+           CAST((1000000 * n_docs) // total_docs AS BIGINT) AS share_ppm
+    FROM a, t ORDER BY shard
+    """,
+    tags=("llm", "sharding", "partitioning", "training-prep"),
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard audit: every document hashes to one of
+    16 shards (salted md5 of its id — stable across runs and engines);
+    output is the per-shard balance table a shard writer would log
+    (doc count, byte volume, id range, corpus share in ppm).
+
+    The actual write form is ``df.repartition(N, shard_col).write`` (or
+    DataFrameWriter.partitionBy(shard_col)) — one shuffle on a uniform
+    synthetic key, so shards land equal-sized regardless of source skew.
+    The single-row total side is a broadcast cross join (the registered
+    bounded-cross-join pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        (C.md5_int(F.col("doc_id").cast("string"), 15, salt="shard:") % _N_SHARDS).alias("shard"),
+        "doc_id",
+        "n_chars",
+    )
+    agg = per.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    totals = d.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            "min_doc",
+            "max_doc",
+            F.expr("(1000000 * n_docs) div total_docs").alias("share_ppm"),
+        )
+        .orderBy("shard")
+    )

@@ -457,3 +457,107 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (shuffle-free) co-located join
+# ---------------------------------------------------------------------------
+
+_BUCKET_N = 8
+
+
+def _bucketed_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem hash-bucketed by order key ONCE per
+    (dataset, process): external tables on tmpfs scratch (data dies with
+    the process; catalog entries die with the session). Fixture cost,
+    not query cost — the pattern every repeated fact-fact join pays once
+    per day at 100 TB, then amortizes over every downstream join."""
+    import re
+
+    from pulsar_lunar_spark.operators.partitioning import write_bucketed
+    from pulsar_lunar_spark.session import scratch_root, sf_cache_tag
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_cache_tag(sf_dir))
+    t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_lineitem):
+        root = scratch_root("bucketed", sf_dir)
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            t_orders,
+            ["o_orderkey"],
+            _BUCKET_N,
+            sort_cols=["o_orderkey"],
+            path=os.path.join(root, "orders"),
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            t_lineitem,
+            ["l_orderkey"],
+            _BUCKET_N,
+            sort_cols=["l_orderkey"],
+            path=os.path.join(root, "lineitem"),
+        )
+    return t_orders, t_lineitem
+
+
+def _bucketed_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_lineitem = _bucketed_fixture(spark, sf_dir)
+    j = spark.table(t_lineitem).join(
+        spark.table(t_orders),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BUCKET_CONFS = {
+    # force the co-located SortMergeJoin the demo is about (a broadcast
+    # would hide it at test scale; at 100 TB neither side broadcasts)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("pipeline", "join", "bucketing", "storage-layout"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-exchange co-located join: both tables bucketed by their
+    join key into the same bucket count, so the SortMergeJoin reads
+    matching buckets directly — NO shuffle on either side (plan-asserted
+    in tests/test_partitioning.py; the only exchanges left are the
+    priority aggregate and the output sort). This is the dominant-cost
+    deletion for every repeated 100 TB fact-fact join; the bucketed
+    write is a once-per-process fixture here and a once-per-load job in
+    production. Values are identical to the plain join, which is exactly
+    what the oracle checks. Executed under a scoped broadcast-off conf
+    (test-scale dims would otherwise broadcast and hide the SMJ) and
+    returned localized so the override never leaks."""
+    prev = {k: spark.conf.get(k, None) for k in _BUCKET_CONFS}
+    for k, v in _BUCKET_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bucketed_join_df(spark, sf_dir)
+        rows = df.collect()  # 5 priority rows — the join never leaves executors
+        schema = df.schema
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm5",
     "pulsar_lunar_spark.queries.llm6",
     "pulsar_lunar_spark.queries.llm7",
+    "pulsar_lunar_spark.queries.llm8",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -227,10 +228,14 @@ def all_queries() -> dict[str, QuerySpec]:
 # if it differs).
 # Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
-    # round-5 additions: the last §2A#32 verb (CommandUnsubscribe) and the
-    # CRC payload-integrity check (the reference codec's TODO)
+    # round-5 additions: the last §2A#32 verb (CommandUnsubscribe), the
+    # CRC payload-integrity check (the reference codec's TODO), and the
+    # llm8 selection/sharding batch
     "q_unsubscribe",
     "q_payload_integrity",
+    "q_dsir_select",
+    "q_shard_assignment",
+    "q_bucketed_join",
     # carried over from the round-4 head (window cut off at 50)
     "q_curation_funnel",
     "q_length_buckets",

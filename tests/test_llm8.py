@@ -1,0 +1,72 @@
+"""Batch-8 operator semantics: DSIR hashed n-gram importance (target-slice
+monotonicity, posterior bounds) and deterministic shard assignment
+(stability, coverage, balance arithmetic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import corpus as C
+from pulsar_lunar_spark.queries import all_queries
+
+
+# ---------------------------------------------------------------------------
+# hashed_ngram_importance
+# ---------------------------------------------------------------------------
+
+
+def _importance(spark, rows):
+    df = spark.createDataFrame([Row(**r) for r in rows])
+    out = C.hashed_ngram_importance(
+        df, id_col="doc_id", text_col="text", target=F.col("is_t")
+    )
+    return {r["doc_id"]: (r["n_ngrams"], r["avg_importance"]) for r in out.collect()}
+
+
+def test_dsir_target_vocab_scores_above_raw_vocab(spark):
+    # Target slice speaks "alpha beta gamma"; raw slice speaks "delta
+    # epsilon zeta". Two unlabeled probes, one per dialect: the
+    # target-dialect probe must outrank the raw-dialect probe.
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma alpha beta", "is_t": True},
+        {"doc_id": 1, "text": "beta gamma alpha beta gamma", "is_t": True},
+        {"doc_id": 2, "text": "delta epsilon zeta delta epsilon", "is_t": False},
+        {"doc_id": 3, "text": "epsilon zeta delta epsilon zeta", "is_t": False},
+        {"doc_id": 10, "text": "alpha beta gamma alpha", "is_t": False},
+        {"doc_id": 11, "text": "delta epsilon zeta delta", "is_t": False},
+    ]
+    scores = _importance(spark, rows)
+    assert scores[10][1] > scores[11][1]
+    # every posterior-mean lands in the ppm probability range
+    for n, avg in scores.values():
+        assert n >= 1 and 0 <= avg <= 1_000_000
+
+
+def test_dsir_short_docs_excluded_and_counts_exact(spark):
+    rows = [
+        {"doc_id": 0, "text": "one two three", "is_t": True},  # 2 bigrams
+        {"doc_id": 1, "text": "solo", "is_t": False},  # < 2 words: excluded
+        {"doc_id": 2, "text": "a b", "is_t": False},  # exactly 1 bigram
+    ]
+    scores = _importance(spark, rows)
+    assert set(scores) == {0, 2}
+    assert scores[0][0] == 2 and scores[2][0] == 1
+
+
+# ---------------------------------------------------------------------------
+# q_shard_assignment
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assignment_stable_and_covering(spark, sf_dir, duck):
+    fn = all_queries()["q_shard_assignment"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert a == b  # deterministic across runs
+    total_docs = duck.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in a) == total_docs  # every doc in a shard
+    assert all(0 <= r["shard"] < 16 for r in a)
+    for r in a:
+        assert r["share_ppm"] == (1_000_000 * r["n_docs"]) // total_docs
+        assert r["min_doc"] <= r["max_doc"]

@@ -51,6 +51,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_join_query_plan_is_shuffle_free_below_smj(spark, sf_dir):
+    """q_bucketed_join's internal plan: the SortMergeJoin consumes the
+    bucketed scans directly — the only exchanges are the priority
+    aggregate and the output sort, never the join inputs."""
+    from pulsar_lunar_spark.plans.inspect import executed_plan_text
+    from pulsar_lunar_spark.queries.pipeline import _BUCKET_CONFS, _bucketed_join_df
+
+    prev = {k: spark.conf.get(k, None) for k in _BUCKET_CONFS}
+    for k, v in _BUCKET_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        txt = executed_plan_text(_bucketed_join_df(spark, sf_dir))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in txt, txt
+    # join inputs come straight from bucketed scans: the join subtree is
+    # below every exchange, so the plan has at most the agg + sort pair
+    import re
+
+    shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", txt)) + txt.count(
+        "Exchange SinglePartition"
+    )
+    assert shuffles <= 2, txt
+    assert "Bucketed: true" in txt, txt
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_dir, "orders").select(
