@@ -9,6 +9,10 @@ a training run.
 - q_shard_assignment: deterministic hash-sharding audit — the "shuffle
   and shard" step that splits a corpus into N equal training shards;
   emits per-shard balance stats with an in-band skew check.
+- q_curriculum_interleave: deterministic weighted source interleave —
+  the data-loader ordering that serves high-weight sources W times per
+  epoch pass of a weight-1 source, as exact integer positions (no rand
+  stream, reproducible across engines and restarts).
 """
 
 from __future__ import annotations
@@ -134,4 +138,75 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_docs) div total_docs").alias("share_ppm"),
         )
         .orderBy("shard")
+    )
+
+
+# Weighted interleave: sources src0-4 weight 4, src5-9 weight 2, rest 1.
+# Position step = LCM(weights)/w — a weight-4 source emits 4 docs per
+# weight-1 doc. CASE is identical on both engines; all-integer.
+_W_STEP_SQL = """
+    CASE WHEN CAST(SUBSTR(source, 4) AS BIGINT) < 5 THEN 1
+         WHEN CAST(SUBSTR(source, 4) AS BIGINT) < 10 THEN 2
+         ELSE 4 END
+"""
+
+
+@register(
+    "q_curriculum_interleave",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+               CAST({_W_STEP_SQL} AS BIGINT) AS step
+        FROM documents
+    ), p AS (
+        SELECT doc_id, source, rn, rn * step AS pos FROM r
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pos, source, doc_id) AS BIGINT)
+               AS serve_rank,
+           doc_id, source, CAST(rn AS BIGINT) AS rn_in_source, pos
+    FROM p
+    ORDER BY serve_rank LIMIT 60
+    """,
+    tags=("llm", "curriculum", "interleave", "training-prep"),
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave — the reproducible
+    data-loader ordering for mixture training: a weight-4 source serves 4
+    documents for every document of a weight-1 source, with NO random
+    stream (positions are exact integers: rn_in_source * LCM/weight), so
+    a restarted loader resumes at the same point on any engine.
+
+    Scale: per-source row_number is one hash exchange + in-partition sort
+    on source; the global serve order needs no single global sort in
+    production — repartitionByRange(pos) gives totally-ordered shards for
+    the loader (the LIMIT here bounds the oracle compare)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    step = (
+        F.when(F.substring("source", 4, 10).cast("bigint") < 5, 1)
+        .when(F.substring("source", 4, 10).cast("bigint") < 10, 2)
+        .otherwise(4)
+        .cast("bigint")
+    )
+    r = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")).alias("rn"),
+        step.alias("step"),
+    ).select("doc_id", "source", "rn", (F.col("rn") * F.col("step")).alias("pos"))
+    return (
+        r.select(
+            F.row_number()
+            .over(Window.orderBy("pos", "source", "doc_id"))
+            .cast("bigint")
+            .alias("serve_rank"),
+            "doc_id",
+            "source",
+            F.col("rn").cast("bigint").alias("rn_in_source"),
+            "pos",
+        )
+        .orderBy("serve_rank")
+        .limit(60)
     )

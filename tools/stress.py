@@ -121,6 +121,24 @@ def probes(spark, sf_dir: str, mult: int):
             .collect()
         )
 
+    def dsir_importance_shape():
+        # hashed n-gram importance (corpus.hashed_ngram_importance): the
+        # bucket model is FIXED at 4096 rows no matter the corpus size
+        # (broadcast side constant), so the probe proves the per-doc
+        # scoring pass scales linearly — the bigram stream is the only
+        # thing that grows.
+        from pulsar_lunar_spark.operators.corpus import hashed_ngram_importance
+
+        return (
+            hashed_ngram_importance(
+                docs, id_col="doc_id", text_col="text",
+                target=F.col("source") == "src0",
+            )
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("avg_importance"))
+            .collect()
+        )
+
     def gini_decimal_shape():
         # the decimal(38,0) moment sums (q_gini_index): sum(i*v) passes
         # 2^63 near 1e6 rows — this probe THROWS under ANSI if anyone
@@ -198,6 +216,7 @@ def probes(spark, sf_dir: str, mult: int):
         "window_per_key": window_shape,
         "shingle_explode": shingle_shape,
         "containment_dfcap": containment_shape,
+        "dsir_importance": dsir_importance_shape,
         "gini_decimal": gini_decimal_shape,
         "stream_session_state": stream_session_state_shape,
     }
