@@ -464,6 +464,24 @@ def hashed_ngram_importance(
     bucket / id key. The stream is traversed twice (fit + score) —
     persist the exploded stream (and unpersist after) when the scan
     dominates, exactly like the containment postings."""
+    stream = hashed_ngram_stream(df, id_col, text_col, target, n_buckets)
+    return hashed_ngram_importance_from(stream, id_col=id_col, scale=scale)
+
+
+def hashed_ngram_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The hashed-bigram occurrence stream (id, __t target flag, bucket)
+    that both the posterior fit and the per-doc scoring consume. Exposed
+    separately so a caller that owns the lifecycle can
+    ``stream.repartition("bucket").persist()`` and pay the scan + explode
+    + md5 ONCE for both consumers (see q_dsir_select) — the library
+    itself never persists (JVM CacheManager pins persisted plans until
+    explicit unpersist)."""
     words = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
     )
@@ -477,9 +495,19 @@ def hashed_ngram_importance(
             F.expr("transform(sequence(1, size(__w) - 1), i -> array_join(slice(__w, i, 2), ' '))")
         ).alias("__g"),
     )
-    buckets = grams.select(
+    return grams.select(
         id_col, "__t", (md5_int(F.col("__g"), 15) % n_buckets).alias("bucket")
     )
+
+
+def hashed_ngram_importance_from(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fit + score over a pre-built hashed-bigram stream (see
+    :func:`hashed_ngram_stream`); posterior table bounded by n_buckets,
+    broadcast back over the stream."""
     posterior = (
         buckets.groupBy("bucket")
         .agg(

@@ -64,12 +64,20 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     its hashed-bigram distribution is (target slice = source 'src0', the
     stand-in for "trusted high-quality domain"), keep the top 25.
 
-    The operator (corpus.hashed_ngram_importance) fits 4096-bucket
-    target/raw counts in one corpus pass and broadcasts the bounded
-    posterior table back over the bigram stream — the importance model
-    never grows with the corpus, so the same plan holds at 100 TB. The
-    integer-posterior determinism variant is documented on the operator;
-    ranking is totally ordered by (avg_importance DESC, doc_id)."""
+    The operator (corpus.hashed_ngram_stream + _importance_from) fits
+    4096-bucket target/raw counts and broadcasts the bounded posterior
+    table back over the bigram stream — the importance model never grows
+    with the corpus, so the same plan holds at 100 TB. The integer-
+    posterior determinism variant is documented on the operator; ranking
+    is totally ordered by (avg_importance DESC, doc_id).
+
+    Lifecycle: the stream is traversed twice (fit + score) — measured at
+    sf0.1 the plain re-execution (1.45 s warm) TIES the
+    repartition+persist+spool form (1.53 s before the spool job), because
+    the narrow bigram passes are cheap and job floors dominate locally;
+    at corpus scale the caller-side recipe on
+    corpus.hashed_ngram_stream (repartition("bucket").persist()) pays the
+    scan once — the query keeps the zero-cache form."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     scored = C.hashed_ngram_importance(
         d,

@@ -54,6 +54,26 @@ def test_dsir_short_docs_excluded_and_counts_exact(spark):
     assert scores[0][0] == 2 and scores[2][0] == 1
 
 
+def test_dsir_query_leaves_no_new_cached_rdds(spark, sf_dir):
+    """q_dsir_select persists its bucket stream internally; the spool +
+    blocking-unpersist lifecycle must pin nothing after return (same
+    invariant as the containment query; set difference, not a count
+    compare — the ContextCleaner may reap an earlier test's cache
+    concurrently)."""
+
+    def rdd_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = rdd_ids()
+    all_queries()["q_dsir_select"].fn(spark, sf_dir).collect()
+    leaked = rdd_ids() - before
+    assert not leaked, f"new cached RDDs after dsir query: {leaked}"
+
+
 # ---------------------------------------------------------------------------
 # q_shard_assignment
 # ---------------------------------------------------------------------------
