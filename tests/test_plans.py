@@ -224,6 +224,9 @@ EXCHANGE_BUDGETS = {
     "q_media_resize": (2, 1),  # declared Python codec lane: one scan, no join
     "q_media_transcode": (2, 1),  # same shape as resize
     "q_salted_join": (3, 2),  # salt explode + shuffled join (demo forces shuffle)
+    # round-5 llm8 batch
+    "q_dsir_select": (3, 2),  # bucket fit agg + per-doc agg; posterior broadcasts
+    "q_curriculum_interleave": (3, 1),  # per-source rn exchange + global serve window
     "q_aqe_skew_join": (1, 1),  # AQE skew split handles the rest at runtime
 }
 
