@@ -460,6 +460,93 @@ def jaccard_verify(
     )
 
 
+def setsim_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold_ppm: int = 700_000,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= t) via prefix filtering
+    (SSJoin, Chaudhuri et al. ICDE 2006; the PPJoin family, Xiao et al.
+    WWW 2008) — the deterministic complement of MinHash-LSH: no banding
+    probability, every qualifying pair found, candidate generation still
+    bounded.
+
+    Prefix principle: order every document's shingle set globally by
+    (document frequency ASC, shingle ASC) — rarest first — and keep only
+    the first ``n - ceil(t*n) + 1`` shingles as its PREFIX. Two sets with
+    Jaccard >= t MUST share at least one prefix shingle (pigeonhole on
+    the overlap bound), so the candidate join runs on exploded prefixes
+    only; rare-first ordering makes prefix postings lists short, which is
+    what bounds the pair expansion (stopword-shaped shingles land at the
+    END of every prefix order and rarely enter any prefix at all — the
+    organic form of the containment join's df cap).
+
+    Verify: exact |a∩b| / |a∪b| on the candidate pairs via JVM array
+    intersect/union; emitted as integer ppm (exact cross-engine).
+
+    Scale: shuffles are O(postings) for the df count + per-doc sort, then
+    O(prefix postings) for the candidate join — never all-pairs. The
+    shingle table is traversed by several consumers; pass a persisted
+    ``shingles_df`` (shingle_table) to pay the normalize+shingle scan
+    once — the operator itself never persists.
+
+    Completeness (no false negatives vs brute force) is pinned by
+    tests/test_llm8.py::test_setsim_prefix_matches_bruteforce."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else df.select(
+            F.col(id_col).alias("__id"),
+            shingles(F.col(text_col), shingle_k).alias("__sh"),
+        )
+    )
+    posts = sh.select("__id", F.explode("__sh").alias("s"))
+    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    # prefix length n - ceil(t*n) + 1, all-integer ceil for non-negative n
+    plen = F.expr(
+        f"size(toks) - ((cast({threshold_ppm} as bigint) * size(toks) + 999999) div 1000000) + 1"
+    ).cast("int")
+    prefixes = (
+        posts.join(dfreq, "s")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "s"))).alias("ts"))
+        .select(
+            "__id",
+            F.expr("transform(ts, x -> x.s)").alias("toks"),
+        )
+        .select("__id", F.slice(F.col("toks"), F.lit(1), plen).alias("prefix"))
+    )
+    pp = prefixes.select("__id", F.explode("prefix").alias("s"))
+    cand = (
+        pp.alias("a")
+        .join(pp.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    la = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    lb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    sized = (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter_size"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("union_size"),
+        )
+    )
+    return sized.select(
+        "id_a",
+        "id_b",
+        "inter_size",
+        "union_size",
+        F.expr("(1000000 * inter_size) div union_size").alias("jaccard_ppm"),
+    ).filter(F.col("jaccard_ppm") >= threshold_ppm)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

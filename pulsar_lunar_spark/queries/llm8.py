@@ -13,6 +13,9 @@ a training run.
   the data-loader ordering that serves high-weight sources W times per
   epoch pass of a weight-1 source, as exact integer positions (no rand
   stream, reproducible across engines and restarts).
+- q_setsim_prefix_join: EXACT Jaccard self-join via SSJoin/PPJoin prefix
+  filtering — the deterministic scale path behind the bounded
+  q_ngram_jaccard demo.
 """
 
 from __future__ import annotations
@@ -218,3 +221,113 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("serve_rank")
         .limit(60)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (SSJoin/PPJoin)
+# ---------------------------------------------------------------------------
+
+_SETSIM_T_PPM = 700_000
+
+_SETSIM_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT({_NORM}, ' ') AS words FROM documents
+    ), corpus AS (
+        SELECT doc_id, words FROM w
+        UNION ALL
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+               words[1:CAST(GREATEST((9 * LEN(words)) // 10, 3) AS BIGINT)]
+        FROM w WHERE doc_id % 13 = 0
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN LEN(words) >= 3 THEN
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       RANGE(1, LEN(words) - 2 + 1),
+                       i -> ARRAY_TO_STRING(words[i:i+2], ' ')))
+               ELSE [ARRAY_TO_STRING(words, ' ')] END AS shs
+        FROM corpus
+    ), posts AS (
+        SELECT doc_id, UNNEST(shs) AS s FROM sh
+    ), dfreq AS (
+        SELECT s, COUNT(*) AS df FROM posts GROUP BY s
+    ), ordered AS (
+        SELECT p.doc_id, ARRAY_AGG(p.s ORDER BY d.df, p.s) AS toks
+        FROM posts p JOIN dfreq d ON p.s = d.s
+        GROUP BY p.doc_id
+    ), pref AS (
+        SELECT doc_id,
+               toks[1:CAST(LEN(toks)
+                    - (({_SETSIM_T_PPM} * LEN(toks) + 999999) // 1000000)
+                    + 1 AS BIGINT)] AS prefix
+        FROM ordered
+    ), pp AS (
+        SELECT doc_id, UNNEST(prefix) AS s FROM pref
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pp a JOIN pp b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), sized AS (
+        SELECT id_a, id_b,
+               CAST(LEN(LIST_INTERSECT(sa.shs, sb.shs)) AS BIGINT) AS inter_size,
+               CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.shs, sb.shs))) AS BIGINT) AS union_size
+        FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                  JOIN sh sb ON cand.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, inter_size, union_size,
+           CAST((1000000 * inter_size) // union_size AS BIGINT) AS jaccard_ppm
+    FROM sized
+    WHERE (1000000 * inter_size) // union_size >= {_SETSIM_T_PPM}
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q_setsim_prefix_join",
+    oracle=_SETSIM_ORACLE,
+    tags=("llm", "dedup", "setsim", "prefix-filter"),
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.7 self-join over the whole corpus via prefix
+    filtering (operators/dedup.setsim_prefix_join) — every qualifying
+    pair, no LSH banding probability, candidates still bounded: only
+    documents sharing one of their RAREST few shingles ever pair up.
+    This is the deterministic scale path behind q_ngram_jaccard's bounded
+    brute-force demo (all-pairs on a 40-doc slice).
+
+    The synthetic corpus has no organic near-pairs at 0.7, so every 13th
+    document plants a 90%-prefix variant (llm7's excerpt fixture pattern,
+    ids offset past max(doc_id) via a broadcast 1-row max — the operator
+    under test is the prefix join, not the fixture). All-integer ppm
+    Jaccard: the threshold compare is exact on both engines."""
+    from pulsar_lunar_spark.operators.dedup import setsim_prefix_join
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    m = F.expr("greatest((9 * size(__w)) div 10, 3)").cast("int")
+    mx = d.agg((F.max("doc_id") + 1).alias("__off"))
+    base = d.crossJoin(F.broadcast(mx)).select("doc_id", words.alias("__w"), "__off")
+    full = F.struct(
+        F.col("doc_id").alias("doc_id"), F.concat_ws(" ", "__w").alias("text")
+    )
+    variant = F.struct(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.col("__w"), 1, m)).alias("text"),
+    )
+    corpus = base.select(
+        F.explode(
+            F.when(F.col("doc_id") % 13 == 0, F.array(full, variant)).otherwise(
+                F.array(full)
+            )
+        ).alias("v")
+    ).select("v.doc_id", "v.text")
+    pairs = setsim_prefix_join(
+        corpus, "doc_id", "text", shingle_k=3, threshold_ppm=_SETSIM_T_PPM
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "inter_size",
+        "union_size",
+        "jaccard_ppm",
+    ).orderBy("id_a", "id_b")

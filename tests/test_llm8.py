@@ -79,6 +79,52 @@ def test_dsir_query_leaves_no_new_cached_rdds(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# setsim_prefix_join
+# ---------------------------------------------------------------------------
+
+
+def test_setsim_prefix_matches_bruteforce(spark, sf_dir):
+    """Prefix filtering must be COMPLETE: the pair set equals brute-force
+    all-pairs exact Jaccard on the same corpus (parity can't catch a
+    broken filter because both engines share it — this test is the
+    ground truth)."""
+    from pulsar_lunar_spark.operators.dedup import setsim_prefix_join, shingles
+    from pulsar_lunar_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # plant one near-dup so the qualifying set is non-empty
+    planted = d.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.col("text"), " "), 1,
+                    F.expr("greatest((9 * size(split(text, ' '))) div 10, 3)").cast("int")),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_prefix_join(corpus, "doc_id", "text", threshold_ppm=600_000).collect()
+    }
+    sh = corpus.select(F.col("doc_id").alias("i"), shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("i").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("i").alias("id_b"), F.col("sh").alias("sb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "(1000000 * size(array_intersect(sa, sb))) div size(array_union(sa, sb))"
+            ).alias("ppm"),
+        )
+        .filter(F.col("ppm") >= 600_000)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == want and want  # complete, and the fixture is non-trivial
+
+
 def test_shard_assignment_stable_and_covering(spark, sf_dir, duck):
     fn = all_queries()["q_shard_assignment"].fn
     a = fn(spark, sf_dir).collect()
