@@ -123,8 +123,10 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The actual write form is ``df.repartition(N, shard_col).write`` (or
     DataFrameWriter.partitionBy(shard_col)) — one shuffle on a uniform
     synthetic key, so shards land equal-sized regardless of source skew.
-    The single-row total side is a broadcast cross join (the registered
-    bounded-cross-join pattern)."""
+    total_docs is derived from the 16-row shard aggregate itself (every
+    document lands in exactly one shard), not a second corpus scan."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     per = d.select(
         (C.md5_int(F.col("doc_id").cast("string"), 15, salt="shard:") % _N_SHARDS).alias("shard"),
@@ -137,9 +139,8 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
-    totals = d.agg(F.count(F.lit(1)).alias("total_docs"))
     return (
-        agg.crossJoin(F.broadcast(totals))
+        agg.withColumn("total_docs", F.sum("n_docs").over(Window.partitionBy()))
         .select(
             "shard",
             "n_docs",

@@ -547,6 +547,14 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the oracle checks. Executed under a scoped broadcast-off conf
     (test-scale dims would otherwise broadcast and hide the SMJ) and
     returned localized so the override never leaks."""
+    # fixture FIRST: its load_table consumes session._configure's
+    # once-per-session analytics defaults, which include an
+    # autoBroadcastJoinThreshold write — setting _BUCKET_CONFS before the
+    # first load_table of a fresh session would be silently clobbered and
+    # the demo would plan as a BroadcastHashJoin (order-dependence found
+    # by the round-5 self-review; fixture is cached, so this is free on
+    # every later call)
+    _bucketed_fixture(spark, sf_dir)
     prev = {k: spark.conf.get(k, None) for k in _BUCKET_CONFS}
     for k, v in _BUCKET_CONFS.items():
         spark.conf.set(k, v)

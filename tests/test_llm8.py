@@ -55,9 +55,10 @@ def test_dsir_short_docs_excluded_and_counts_exact(spark):
 
 
 def test_dsir_query_leaves_no_new_cached_rdds(spark, sf_dir):
-    """q_dsir_select persists its bucket stream internally; the spool +
-    blocking-unpersist lifecycle must pin nothing after return (same
-    invariant as the containment query; set difference, not a count
+    """q_dsir_select ships the zero-cache two-pass form (the persist+spool
+    variant measured a wash and was rejected — see its docstring); this
+    guard pins that it STAYS cache-free, so a future persist regression
+    that forgets the unpersist fails here (set difference, not a count
     compare — the ContextCleaner may reap an earlier test's cache
     concurrently)."""
 
@@ -72,11 +73,6 @@ def test_dsir_query_leaves_no_new_cached_rdds(spark, sf_dir):
     all_queries()["q_dsir_select"].fn(spark, sf_dir).collect()
     leaked = rdd_ids() - before
     assert not leaked, f"new cached RDDs after dsir query: {leaked}"
-
-
-# ---------------------------------------------------------------------------
-# q_shard_assignment
-# ---------------------------------------------------------------------------
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +119,11 @@ def test_setsim_prefix_matches_bruteforce(spark, sf_dir):
     )
     want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
     assert got == want and want  # complete, and the fixture is non-trivial
+
+
+# ---------------------------------------------------------------------------
+# q_shard_assignment
+# ---------------------------------------------------------------------------
 
 
 def test_shard_assignment_stable_and_covering(spark, sf_dir, duck):

@@ -56,8 +56,16 @@ def test_bucketed_join_query_plan_is_shuffle_free_below_smj(spark, sf_dir):
     bucketed scans directly — the only exchanges are the priority
     aggregate and the output sort, never the join inputs."""
     from pulsar_lunar_spark.plans.inspect import executed_plan_text
-    from pulsar_lunar_spark.queries.pipeline import _BUCKET_CONFS, _bucketed_join_df
+    from pulsar_lunar_spark.queries.pipeline import (
+        _BUCKET_CONFS,
+        _bucketed_fixture,
+        _bucketed_join_df,
+    )
 
+    # fixture first: consumes session._configure's once-per-session conf
+    # writes so the scoped override below cannot be clobbered (this test
+    # must pass when run ALONE in a fresh session, not only mid-suite)
+    _bucketed_fixture(spark, sf_dir)
     prev = {k: spark.conf.get(k, None) for k in _BUCKET_CONFS}
     for k, v in _BUCKET_CONFS.items():
         spark.conf.set(k, v)

@@ -70,7 +70,6 @@ CARTESIAN_OK = {
     "q_triangle_count",  # two single-row frames (count x edge-count)
     "q_dq_checks",  # 5 bounded (1-row violation-count x 1-row total) pairs
     "q_chi2_cells",  # single-row broadcast grand-total side
-    "q_shard_assignment",  # single-row broadcast total-docs side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
 }
 
