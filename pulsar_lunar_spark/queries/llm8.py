@@ -16,6 +16,8 @@ a training run.
 - q_setsim_prefix_join: EXACT Jaccard self-join via SSJoin/PPJoin prefix
   filtering — the deterministic scale path behind the bounded
   q_ngram_jaccard demo.
+- q_rrf_fusion: Reciprocal Rank Fusion of two retrieval rankings
+  (integer 1e9 div (k + rank) scores, TakeOrdered candidate depths).
 """
 
 from __future__ import annotations
@@ -345,3 +347,90 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_size",
         "jaccard_ppm",
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (hybrid-retrieval rank combination)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_N = 100  # per-ranking candidate depth
+_RRF_SCALE = 1_000_000_000
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               LEN(LIST_FILTER(STRING_SPLIT({_NORM}, ' '), x -> x = 'spark')) AS tf_s,
+               LEN(LIST_FILTER(STRING_SPLIT({_NORM}, ' '), x -> x = 'table')) AS tf_t
+        FROM documents
+    ), a AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf_s DESC, doc_id) AS ra
+        FROM t QUALIFY ra <= {_RRF_N}
+    ), b AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf_t DESC, doc_id) AS rb
+        FROM t QUALIFY rb <= {_RRF_N}
+    ), f AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + a.ra), 0)
+                  + COALESCE({_RRF_SCALE} // ({_RRF_K} + b.rb), 0) AS BIGINT)
+                   AS rrf_score,
+               CAST(COALESCE(a.ra, 0) AS BIGINT) AS rank_a,
+               CAST(COALESCE(b.rb, 0) AS BIGINT) AS rank_b
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf_score, rank_a, rank_b
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "retrieval", "rrf", "fusion"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): combine two
+    retrieval rankings — here a term-frequency ranking for 'spark' and
+    one for 'table', the lexical/semantic stand-ins — by summing
+    1/(k + rank) over the rankings each document appears in (k=60, the
+    paper's constant). Integer variant: scores are 1e9 div (k + rank),
+    exact on both engines; absent-from-a-ranking contributes 0.
+
+    Scale shape: each ranking is a TakeOrdered top-100 (no global sort of
+    the corpus — rank assignment happens on the 100-row frame), the
+    fusion is a full outer join of two 100-row frames, and the final
+    top-20 is another TakeOrdered. The corpus is scanned once per
+    ranking; at 100 TB rankings come from their own retrieval indexes
+    and only this tiny fusion join remains."""
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col("text")), " ")
+    t = d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: w == "spark")).alias("tf_s"),
+        F.size(F.filter(words, lambda w: w == "table")).alias("tf_t"),
+    )
+
+    def top_rank(col: str, out: str) -> DataFrame:
+        top = t.select("doc_id", col).orderBy(F.desc(col), "doc_id").limit(_RRF_N)
+        return top.select(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.desc(col), "doc_id")).alias(out),
+        )
+
+    a = top_rank("tf_s", "ra")
+    b = top_rank("tf_t", "rb")
+    fused = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + ra)"), F.lit(0))
+                + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rb)"), F.lit(0))
+            ).cast("bigint").alias("rrf_score"),
+            F.coalesce(F.col("ra"), F.lit(0)).cast("bigint").alias("rank_a"),
+            F.coalesce(F.col("rb"), F.lit(0)).cast("bigint").alias("rank_b"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)

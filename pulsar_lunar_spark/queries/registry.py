@@ -238,6 +238,7 @@ _NEWEST_FIRST = (
     "q_bucketed_join",
     "q_curriculum_interleave",
     "q_setsim_prefix_join",
+    "q_rrf_fusion",
     # carried over from the round-4 head (window cut off at 50)
     "q_curation_funnel",
     "q_length_buckets",
