@@ -18,6 +18,9 @@ a training run.
   q_ngram_jaccard demo.
 - q_rrf_fusion: Reciprocal Rank Fusion of two retrieval rankings
   (integer 1e9 div (k + rank) scores, TakeOrdered candidate depths).
+- q_hard_negatives: contrastive hard-negative mining — per anchor, the
+  top-k most-similar DIFFERENT-label vectors via a literal cosine
+  battery (one scan, zero joins).
 """
 
 from __future__ import annotations
@@ -434,3 +437,94 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = 8
+_HN_K = 3
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label AS a_label,
+               CAST(embedding AS DOUBLE[]) AS av
+        FROM embeddings WHERE vec_id < {_HN_ANCHORS}
+    ), scored AS (
+        SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+               ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), a.av)
+                     / (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * SQRT(LIST_INNER_PRODUCT(a.av, a.av))), 6) AS cos6
+        FROM embeddings e CROSS JOIN a
+        WHERE e.label != a.a_label AND e.vec_id != a.anchor_id
+    ), r AS (
+        SELECT anchor_id, neg_id, neg_label, cos6,
+               CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos6 DESC, neg_id) AS BIGINT)
+                   AS hn_rank
+        FROM scored
+    )
+    SELECT anchor_id, hn_rank, neg_id, neg_label, cos6
+    FROM r WHERE hn_rank <= {_HN_K}
+    ORDER BY anchor_id, hn_rank
+    """,
+    tags=("llm", "embedding", "contrastive", "hard-negatives"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    of 8 anchor vectors, the top-3 most-cosine-similar vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially far).
+
+    Plan: the 8 anchors are a bounded, declared driver fetch (the
+    knn_join_gemm query-batch shape); their cosines compile as LITERAL
+    unrolled dot products — 8x64 = 512 codegen terms, inside the
+    documented literal-dot sweet spot — so the corpus is scanned ONCE
+    with zero joins, and only the different-label survivors shuffle into
+    the per-anchor top-3 window (WindowGroupLimit bounds rows). At 100 TB
+    the same shape holds with the per-partition local top-k trick
+    (knn_join_gemm) or a label-masked GEMM; ranks tie-break on neg_id and
+    scores are round-6 on both engines (the float-ranking discipline)."""
+    from pulsar_lunar_spark.operators import similarity as S
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < _HN_ANCHORS)
+        .select("vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("av"))
+        .collect()
+    )
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    battery = F.array(
+        *[
+            F.struct(
+                F.lit(int(a["vec_id"])).alias("anchor_id"),
+                F.lit(int(a["label"])).alias("a_label"),
+                F.round(S.cosine_lit(vecd, [float(x) for x in a["av"]]), 6).alias("cos6"),
+            )
+            for a in anchors
+        ]
+    )
+    scored = (
+        ensure_parallelism(emb)
+        .select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"), F.explode(battery).alias("s"))
+        .select("neg_id", "neg_label", "s.anchor_id", "s.a_label", "s.cos6")
+        .filter((F.col("neg_label") != F.col("a_label")) & (F.col("neg_id") != F.col("anchor_id")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos6"), F.asc("neg_id"))
+    return (
+        scored.select(
+            "anchor_id",
+            F.row_number().over(w).cast("bigint").alias("hn_rank"),
+            "neg_id",
+            "neg_label",
+            "cos6",
+        )
+        .filter(F.col("hn_rank") <= _HN_K)
+        .orderBy("anchor_id", "hn_rank")
+    )

@@ -239,6 +239,7 @@ _NEWEST_FIRST = (
     "q_curriculum_interleave",
     "q_setsim_prefix_join",
     "q_rrf_fusion",
+    "q_hard_negatives",
     # carried over from the round-4 head (window cut off at 50)
     "q_curation_funnel",
     "q_length_buckets",
