@@ -334,22 +334,31 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("v")
     ).select("v.doc_id", "v.text")
-    # the persisted shingle table (the minhash-family pattern) is probed by
-    # FOUR consumers here (df count, prefix build, both verify sides) —
-    # without it each consumer re-runs the corpus normalize+shingle scan
-    # (measured 5.3 s warm unpersisted at sf0.1)
+    # explicit shingle-table lifecycle (the containment pattern): the
+    # persisted table is probed by FOUR consumers (df count, prefix build,
+    # both verify sides — 5.3 s warm unpersisted at sf0.1), but a persist
+    # with no unpersist pins the wide-array cache for the session (JVM
+    # CacheManager strong-refs it; ContextCleaner never reaps it) — so
+    # spool the tiny pair result to a per-call tmpfs slot, release the
+    # cache BLOCKING, and return a read of the slot
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
     sh = shingle_table(corpus, "doc_id", "text", 5)
     pairs = setsim_prefix_join(
         corpus, "doc_id", "text", shingle_k=5, threshold_ppm=_SETSIM_T_PPM,
         shingles_df=sh,
     )
-    return pairs.select(
+    res = pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         "inter_size",
         "union_size",
         "jaccard_ppm",
-    ).orderBy("id_a", "id_b")
+    )
+    slot = versioned_slot(scratch_root("pulsar_lunar_setsim", sf_dir), "setsim-res")
+    res.repartition(1).write.mode("overwrite").parquet(slot)
+    sh.unpersist(blocking=True)
+    return spark.read.parquet(slot).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -211,21 +211,22 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # Curated registry head: the driver samples ~50 queries head-first, so the
 # window is budgeted deliberately.  Round-5 rotation (VERDICT r4 next-step
-# #1): after CORRECTNESS_r04's 50/50-green window, exactly these 55
-# registered queries have never received a driver CORRECTNESS row (every
-# one judge-verified parity-green at the driver's sf0.01 scale in r4, and
+# #1): after CORRECTNESS_r04's 50/50-green window, exactly 55 registered
+# queries had never received a driver CORRECTNESS row (every one
+# judge-verified parity-green at the driver's sf0.01 scale in r4, and
 # locally green at sf0.001/0.01/0.1).  The head lists all 55 plus the
-# round-5 addition q_unsubscribe; the driver's ~50-query window covers the
-# front, leaving 7 spillover names for a trivial round-6 window — at which
-# point every registered query has a driver-green row.
+# NINE round-5 additions (q_unsubscribe, q_payload_integrity,
+# q_dsir_select, q_shard_assignment, q_bucketed_join,
+# q_curriculum_interleave, q_setsim_prefix_join, q_rrf_fusion,
+# q_hard_negatives) = 64 names; the driver's ~50-query window covers the
+# front, leaving ~14 spillover names for round 6 — still well inside one
+# window, at which point every registered query has a driver-green row.
 #
-# Round-6 chore, precomputed: fold CORRECTNESS_r05's greens into
-# _DRIVER_CONFIRMED and rebuild _NEWEST_FIRST from the names the r5 window
-# did NOT reach — with a 50-query window over this 57-name head, that is
-# the final seven: q_value_histogram q_zscore_outliers q_dq_checks
-# q_string_agg q_unpivot q_pagination q_null_handling (all parity-green at
-# sf0.01 and sf0.1 on round-5 code; count from the r05 window's actual cut
-# if it differs).
+# Round-6 chore: fold CORRECTNESS_r05's greens into _DRIVER_CONFIRMED and
+# rebuild _NEWEST_FIRST from the names the r5 window did NOT reach —
+# count from the r05 window's ACTUAL cut (do not trust a precomputed
+# list; the head grew during round 5). Every head name is parity-green
+# at sf0.01 and sf0.1 on end-of-round-5 code.
 # Reset each round as CORRECTNESS rows come back.
 _NEWEST_FIRST = (
     # round-5 additions: the last §2A#32 verb (CommandUnsubscribe), the

@@ -121,6 +121,25 @@ def test_setsim_prefix_matches_bruteforce(spark, sf_dir):
     assert got == want and want  # complete, and the fixture is non-trivial
 
 
+def test_setsim_query_leaves_no_new_cached_rdds(spark, sf_dir):
+    """q_setsim_prefix_join persists its shingle table internally; the
+    spool + blocking-unpersist lifecycle must pin nothing after return
+    (same invariant as containment/dsir; set difference, not a count
+    compare)."""
+
+    def rdd_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = rdd_ids()
+    all_queries()["q_setsim_prefix_join"].fn(spark, sf_dir).collect()
+    leaked = rdd_ids() - before
+    assert not leaked, f"new cached RDDs after setsim query: {leaked}"
+
+
 # ---------------------------------------------------------------------------
 # q_shard_assignment
 # ---------------------------------------------------------------------------
