@@ -165,6 +165,24 @@ _DRIVER_CONFIRMED = frozenset(
         "q_salted_join", "q_schema_evolution", "q_sql_interface",
         "q_sql_parameterized", "q_text_roundtrip", "q_triangle_count",
         "q_txn_sink", "q_window_range_frame", "q_xml_roundtrip",
+        # round 5 (CORRECTNESS_r05.json, 50/50 green)
+        "q_unsubscribe", "q_payload_integrity", "q_dsir_select",
+        "q_shard_assignment", "q_bucketed_join", "q_curriculum_interleave",
+        "q_setsim_prefix_join", "q_rrf_fusion", "q_hard_negatives",
+        "q_curation_funnel", "q_length_buckets", "q_assoc_rules",
+        "q_custom_source", "q_envelope_partition_routing", "q_variant_json",
+        "q_json_tuple", "q_zorder_layout", "q_spatial_grid_join",
+        "q_temporal_join", "q_scd2_intervals", "q_interval_pairs_binned",
+        "q_lateral_topk", "q_csv_funcs", "q_embed_outliers",
+        "q_embed_project", "q_embed_quantize", "q_label_centroids",
+        "q_group_regression", "q_chunk_documents", "q_doc_fingerprint",
+        "q_duplicate_spans", "q_lang_quality", "q_ngram_novelty",
+        "q_pmi_collocations", "q_quality_classifier", "q_quality_gopher",
+        "q_sentence_stats", "q_unigram_surprisal", "q_url_domains",
+        "q_cohort_retention", "q_conversion_latency", "q_cusum_drift",
+        "q_decay_scores", "q_event_transitions", "q_ewma_smooth",
+        "q_ohlc_bars", "q_rolling_7d", "q_seasonality", "q_top_paths",
+        "q_approx_quantile",
     }
 )
 
@@ -210,100 +228,21 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # Curated registry head: the driver samples ~50 queries head-first, so the
-# window is budgeted deliberately.  Round-5 rotation (VERDICT r4 next-step
-# #1): after CORRECTNESS_r04's 50/50-green window, exactly 55 registered
-# queries had never received a driver CORRECTNESS row (every one
-# judge-verified parity-green at the driver's sf0.01 scale in r4, and
-# locally green at sf0.001/0.01/0.1).  The head lists all 55 plus the
-# NINE round-5 additions (q_unsubscribe, q_payload_integrity,
-# q_dsir_select, q_shard_assignment, q_bucketed_join,
-# q_curriculum_interleave, q_setsim_prefix_join, q_rrf_fusion,
-# q_hard_negatives) = 64 names; the driver's ~50-query window covers the
-# front, leaving ~14 spillover names for round 6 — still well inside one
-# window, at which point every registered query has a driver-green row.
+# window is budgeted deliberately.  The head is DERIVED, not typed
+# (VERDICT r5 next-step #8): ``all_queries()`` sorts every query without a
+# _DRIVER_CONFIRMED row ahead of every confirmed one, so after the round-6
+# rotation (CORRECTNESS_r05's 50 greens folded in above) the 14 remaining
+# never-driver-sampled queries — the statistics/sampling tail plus
+# q_dq_checks/q_string_agg/q_unpivot/q_pagination/q_null_handling, all
+# judge-verified parity-green at sf0.01 in round 5 — fill the window head
+# automatically, leaving ~36 slots for round-6 additions.
 #
-# Round-6 chore: fold CORRECTNESS_r05's greens into _DRIVER_CONFIRMED and
-# rebuild _NEWEST_FIRST from the names the r5 window did NOT reach —
-# count from the r05 window's ACTUAL cut (do not trust a precomputed
-# list; the head grew during round 5). Every head name is parity-green
-# at sf0.01 and sf0.1 on end-of-round-5 code.
-# Reset each round as CORRECTNESS rows come back.
+# _NEWEST_FIRST now holds ONLY queries added in the current round, ordered
+# verify-first: brand-new code should meet the driver before anything else.
+# Rotation each round: fold the latest CORRECTNESS_r{N} greens into
+# _DRIVER_CONFIRMED and clear/refill this tuple with the new round's names.
 _NEWEST_FIRST = (
-    # round-5 additions: the last §2A#32 verb (CommandUnsubscribe), the
-    # CRC payload-integrity check (the reference codec's TODO), and the
-    # llm8 selection/sharding batch
-    "q_unsubscribe",
-    "q_payload_integrity",
-    "q_dsir_select",
-    "q_shard_assignment",
-    "q_bucketed_join",
-    "q_curriculum_interleave",
-    "q_setsim_prefix_join",
-    "q_rrf_fusion",
-    "q_hard_negatives",
-    # carried over from the round-4 head (window cut off at 50)
-    "q_curation_funnel",
-    "q_length_buckets",
-    # operators with engine-specific moving parts — verify first
-    "q_assoc_rules",  # rewritten in r4's last commit; freshest code
-    "q_custom_source",  # Spark 4 Python Data Source read path
-    "q_envelope_partition_routing",  # key-hash routing invariants
-    "q_variant_json",  # VARIANT type + parse_json
-    "q_json_tuple",
-    "q_zorder_layout",  # interleaved-bit clustering layout
-    "q_spatial_grid_join",  # grid-bucketed spatial join
-    "q_temporal_join",
-    "q_scd2_intervals",
-    "q_interval_pairs_binned",
-    "q_lateral_topk",
-    "q_csv_funcs",
-    # embeddings / ML-adjacent family
-    "q_embed_outliers",
-    "q_embed_project",
-    "q_embed_quantize",
-    "q_label_centroids",
-    "q_group_regression",
-    # text/LLM-pipeline leftovers
-    "q_chunk_documents",
-    "q_doc_fingerprint",
-    "q_duplicate_spans",
-    "q_lang_quality",
-    "q_ngram_novelty",
-    "q_pmi_collocations",
-    "q_quality_classifier",
-    "q_quality_gopher",
-    "q_sentence_stats",
-    "q_unigram_surprisal",
-    "q_url_domains",
-    # time-series / sessionization analytics
-    "q_cohort_retention",
-    "q_conversion_latency",
-    "q_cusum_drift",
-    "q_decay_scores",
-    "q_event_transitions",
-    "q_ewma_smooth",
-    "q_ohlc_bars",
-    "q_rolling_7d",
-    "q_seasonality",
-    "q_top_paths",
-    # statistics / sampling family
-    "q_approx_quantile",
-    "q_chi2_cells",
-    "q_cumulative_distinct",
-    "q_mad_outliers",
-    "q_percentrank_norm",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_trimmed_mean",
-    "q_value_histogram",
-    "q_zscore_outliers",
-    # simplest, most-stable rows last — these plus the tail of the
-    # statistics group spill past the ~50-query window to round 6 (the
-    # chore comment above lists the exact 7)
-    "q_dq_checks",
-    "q_string_agg",
-    "q_unpivot",
-    "q_pagination",
-    "q_null_handling",
+    # round-6 additions (each registered with oracle + tests + plan budget
+    # + three-scale parity before the driver sees it)
 )
 

@@ -83,8 +83,11 @@ def test_streaming_cutoff_caches_key_on_resolved_path(tmp_path):
 
 
 def test_sample_head_leads_with_unconfirmed():
-    # the first 50 registry entries (the driver's sample window) must all
-    # be queries without a driver-green row yet
-    head = list(all_queries())[:50]
-    confirmed_in_head = [n for n in head if n in _DRIVER_CONFIRMED]
+    # every query without a driver-green row must precede every confirmed
+    # one, so a head-first ~50-query sample never wastes budget (there may
+    # be fewer than 50 unconfirmed queries left — then the head is exactly
+    # all of them)
+    names = list(all_queries())
+    n_fresh = sum(1 for n in names if n not in _DRIVER_CONFIRMED)
+    confirmed_in_head = [n for n in names[:n_fresh] if n in _DRIVER_CONFIRMED]
     assert not confirmed_in_head
