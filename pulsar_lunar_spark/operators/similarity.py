@@ -386,6 +386,93 @@ def knn_join_gemm(
     )
 
 
+def hard_negative_join_gemm(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    anchor_id: str = "anchor_id",
+    anchor_vec: str = "av",
+    anchor_label: str = "a_label",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+) -> DataFrame:
+    """Per-anchor top-k most-similar DIFFERENT-label corpus rows — the
+    hard-negative mining primitive for contrastive training, in the
+    knn_join_gemm Arrow lane.
+
+    The anchor batch (a bounded, declared driver fetch — same contract as
+    knn_join_gemm's query batch) is closed over by a mapInPandas; each
+    corpus partition computes normalized C·Aᵀ in ONE BLAS call, masks
+    same-label and self pairs to -inf inside the numpy batch, and emits
+    only its LOCAL top-k per anchor — the shuffle into the global top-k
+    window carries O(partitions · |A| · k) rows. Scores are rounded to 6
+    BEFORE ranking (the float-ranking discipline), tie-break on corpus id.
+
+    This replaces the literal-battery form: |A|·dim unrolled codegen terms
+    fall off the whole-stage-codegen cliff past ~512 terms (BASELINE.md
+    round-2 negative result) — matrix-shaped batteries belong in
+    Arrow+BLAS.
+    """
+    import pandas as pd
+
+    arows = anchors.select(
+        F.col(anchor_id), F.col(anchor_label), _as_double(F.col(anchor_vec))
+    ).collect()
+    a_ids = [int(r[0]) for r in arows]
+    a_labels = [int(r[1]) for r in arows]
+    amat = [[float(x) for x in r[2]] for r in arows]
+    schema = f"{anchor_id} long, {corpus_id} long, {corpus_label} int, cosine_sim double"
+
+    def topk_batches(batches):
+        import numpy as np
+
+        am = np.asarray(amat, dtype=np.float64)
+        an = np.linalg.norm(am, axis=1)
+        an[an == 0.0] = 1.0
+        au = am / an[:, None]
+        aid = np.asarray(a_ids, dtype=np.int64)
+        alab = np.asarray(a_labels, dtype=np.int64)
+        frames = []
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            labs = pdf[corpus_label].to_numpy(dtype=np.int64)
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]])
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((x / norms[:, None]) @ au.T, 6)  # (batch, |A|)
+            sims[labs[:, None] == alab[None, :]] = -np.inf
+            sims[ids[:, None] == aid[None, :]] = -np.inf
+            frames.append(
+                pd.DataFrame(
+                    {
+                        anchor_id: np.repeat(aid, len(ids)),
+                        corpus_id: np.tile(ids, len(aid)),
+                        corpus_label: np.tile(labs, len(aid)).astype(np.int32),
+                        "cosine_sim": sims.T.ravel(),
+                    }
+                )
+            )
+        if not frames:
+            return
+        allp = pd.concat(frames, ignore_index=True)
+        allp = allp[np.isfinite(allp["cosine_sim"])]
+        allp = allp.sort_values(
+            [anchor_id, "cosine_sim", corpus_id], ascending=[True, False, True]
+        )
+        yield allp.groupby(anchor_id, sort=False).head(k)
+
+    local = corpus.select(
+        F.col(corpus_id), F.col(corpus_label), _as_double(F.col(corpus_vec)).alias(corpus_vec)
+    )
+    scored = local.mapInPandas(topk_batches, schema)
+    w = Window.partitionBy(anchor_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -490,50 +490,33 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT label — the negatives that actually move a contrastive
     loss (random negatives are trivially far).
 
-    Plan: the 8 anchors are a bounded, declared driver fetch (the
-    knn_join_gemm query-batch shape); their cosines compile as LITERAL
-    unrolled dot products — 8x64 = 512 codegen terms, inside the
-    documented literal-dot sweet spot — so the corpus is scanned ONCE
-    with zero joins, and only the different-label survivors shuffle into
-    the per-anchor top-3 window (WindowGroupLimit bounds rows). At 100 TB
-    the same shape holds with the per-partition local top-k trick
-    (knn_join_gemm) or a label-masked GEMM; ranks tie-break on neg_id and
-    scores are round-6 on both engines (the float-ranking discipline)."""
+    Plan (round 6 — VERDICT r5 #2): the 8 anchors are a bounded, declared
+    driver fetch closed over by ONE Arrow GEMM corpus pass
+    (similarity.hard_negative_join_gemm): each partition computes
+    normalized C·Aᵀ in one BLAS call, masks same-label/self pairs in
+    the numpy batch, and ships only its local top-3 per anchor into the
+    per-anchor window — O(partitions·8·3) shuffled rows. The previous
+    form unrolled 8×64 = 512 literal dot-product terms, which fell off
+    the whole-stage-codegen cliff (7.1 s warm vs 0.5 s for the identical
+    q_knn_join GEMM shape); matrix-shaped batteries belong in Arrow+BLAS
+    (BASELINE.md round-2 negative result). Ranks tie-break on neg_id and
+    scores are round-6 BEFORE ranking on both engines."""
     from pulsar_lunar_spark.operators import similarity as S
-    from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = (
-        emb.filter(F.col("vec_id") < _HN_ANCHORS)
-        .select("vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("av"))
-        .collect()
+    anchors = emb.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
     )
-    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    battery = F.array(
-        *[
-            F.struct(
-                F.lit(int(a["vec_id"])).alias("anchor_id"),
-                F.lit(int(a["label"])).alias("a_label"),
-                F.round(S.cosine_lit(vecd, [float(x) for x in a["av"]]), 6).alias("cos6"),
-            )
-            for a in anchors
-        ]
-    )
-    scored = (
-        ensure_parallelism(emb)
-        .select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"), F.explode(battery).alias("s"))
-        .select("neg_id", "neg_label", "s.anchor_id", "s.a_label", "s.cos6")
-        .filter((F.col("neg_label") != F.col("a_label")) & (F.col("neg_id") != F.col("anchor_id")))
-    )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos6"), F.asc("neg_id"))
-    return (
-        scored.select(
-            "anchor_id",
-            F.row_number().over(w).cast("bigint").alias("hn_rank"),
-            "neg_id",
-            "neg_label",
-            "cos6",
-        )
-        .filter(F.col("hn_rank") <= _HN_K)
-        .orderBy("anchor_id", "hn_rank")
-    )
+    # no ensure_parallelism: the GEMM is ~ms of BLAS per batch, and the
+    # repartition exchange ships the whole vector table (measured +0.5 s;
+    # q_knn_join's identical lane makes the same call)
+    out = S.hard_negative_join_gemm(anchors, emb, k=_HN_K)
+    return out.select(
+        "anchor_id",
+        F.col("rank").alias("hn_rank"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("cosine_sim").alias("cos6"),
+    ).orderBy("anchor_id", "hn_rank")

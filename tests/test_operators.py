@@ -208,6 +208,50 @@ def test_knn_join_gemm_matches_jvm_twin(spark, sf_dir):
     assert gemm.exceptAll(jvm).count() == 0
 
 
+def test_hard_negative_join_gemm_matches_jvm_twin(spark, sf_dir):
+    """The label-masked GEMM hard-negative lane must be value-identical
+    (at the rounded 6dp) to a pure-JVM cross-score + different-label
+    filter + window top-k — the declarative form of the same semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pulsar_lunar_spark.operators import similarity as S
+    from pulsar_lunar_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    cols = ["anchor_id", "vec_id", "label", "cosine_sim", "rank"]
+    gemm = S.hard_negative_join_gemm(anchors, emb, k=3).select(*cols)
+
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    ad = F.transform("av", lambda x: x.cast("double"))
+    scored = (
+        emb.select("vec_id", "label", vd.alias("__v"))
+        .join(F.broadcast(anchors.select("anchor_id", "a_label", ad.alias("__a"))))
+        .filter(
+            (F.col("label") != F.col("a_label"))
+            & (F.col("vec_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            F.round(S.cosine(F.col("__v"), F.col("__a")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    jvm = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(*cols)
+    )
+    assert jvm.exceptAll(gemm).count() == 0
+    assert gemm.exceptAll(jvm).count() == 0
+
+
 def test_containment_query_leaves_no_new_cached_rdds(spark, sf_dir):
     """The containment query must not pin anything in executor memory
     after it returns (round-3 judge criterion): the postings are a

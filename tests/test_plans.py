@@ -35,6 +35,7 @@ PYTHON_OK = {
     "q_dedup_simhash",  # vectorized Arrow per-bit vote by design
     "q_lsh_band_tuning",  # same vectorized signature path, two band configs
     "q_knn_join",  # GEMM path: BLAS scores + per-partition local top-k
+    "q_hard_negatives",  # label-masked GEMM, same lane as q_knn_join (r6 rewrite)
     "q_semdedup",  # per-cell GEMM pair stage (same fast lane as q_dedup_embedding)
     # mapInPandas codecs — Python is the declared decode/resize path
     "q_media_image_features",
@@ -227,6 +228,8 @@ EXCHANGE_BUDGETS = {
     "q_dsir_select": (3, 2),  # bucket fit agg + per-doc agg; posterior broadcasts
     "q_curriculum_interleave": (3, 1),  # per-source rn exchange + global serve window
     "q_aqe_skew_join": (1, 1),  # AQE skew split handles the rest at runtime
+    # round-6 rewrites
+    "q_hard_negatives": (3, 0),  # one GEMM pass; window + output sort only
 }
 
 
