@@ -119,13 +119,16 @@ def to_envelope(
     )
     props_col = properties if properties is not None else F.create_map().cast("map<string,string>")
     payload = F.to_json(F.struct(*[F.col(c) for c in payload_cols])).cast("binary")
+    # ALWAYS drop any pre-existing crc32 entry: re-enveloping a message
+    # from a prior checksummed hop re-serializes the payload, so a
+    # carried-forward stale crc32 would make verify_payload_integrity
+    # report false corruption downstream even with checksum=False; with
+    # checksum=True, map_concat alone would additionally throw
+    # DUPLICATED_MAP_KEY under the default EXCEPTION dedup policy
+    props_col = F.map_filter(props_col, lambda k, _v: k != F.lit("crc32"))
     if checksum:
-        # drop any pre-existing crc32 entry first: re-stamping (e.g.
-        # re-enveloping a message from a prior checksummed hop) REPLACES
-        # the stale checksum — map_concat alone would throw
-        # DUPLICATED_MAP_KEY under the default EXCEPTION dedup policy
         props_col = F.map_concat(
-            F.map_filter(props_col, lambda k, _v: k != F.lit("crc32")),
+            props_col,
             F.create_map(F.lit("crc32"), F.crc32(payload).cast("string")),
         )
 

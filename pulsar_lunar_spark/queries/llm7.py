@@ -148,11 +148,15 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition(1), NOT coalesce(1): coalesce propagates up and would
     # collapse the pair aggregation itself to one partition; repartition
     # adds a tiny (~1k-row) exchange and commits one file instead of 32
-    res.repartition(1).write.mode("overwrite").parquet(slot)
-    # blocking: the deterministic-cleanup guarantee is "no cached RDDs
-    # after the query returns" — the async default can leave the block
-    # registered for a beat after return (flaked under full-suite load)
-    posts.unpersist(blocking=True)
+    try:
+        res.repartition(1).write.mode("overwrite").parquet(slot)
+    finally:
+        # blocking: the deterministic-cleanup guarantee is "no cached RDDs
+        # after the query returns" — the async default can leave the block
+        # registered for a beat after return (flaked under full-suite
+        # load); finally: a failed spool write must not pin the cache
+        # for the session lifetime either
+        posts.unpersist(blocking=True)
     return spark.read.parquet(slot)
 
 

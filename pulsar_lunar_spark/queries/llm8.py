@@ -356,8 +356,13 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard_ppm",
     )
     slot = versioned_slot(scratch_root("pulsar_lunar_setsim", sf_dir), "setsim-res")
-    res.repartition(1).write.mode("overwrite").parquet(slot)
-    sh.unpersist(blocking=True)
+    try:
+        res.repartition(1).write.mode("overwrite").parquet(slot)
+    finally:
+        # release even if the spool write throws (disk full, interrupted
+        # job) — an un-unpersisted plan stays pinned in the JVM
+        # CacheManager for the session lifetime
+        sh.unpersist(blocking=True)
     return spark.read.parquet(slot).orderBy("id_a", "id_b")
 
 

@@ -86,3 +86,27 @@ def test_payload_integrity_flags_exactly_corrupted(spark):
                        sequence_id="id")
     vals = {r["crc_ok"] for r in verify_payload_integrity(bare).collect()}
     assert vals == {None}
+
+
+def test_reenvelope_without_checksum_strips_stale_crc(spark):
+    """Re-enveloping a message from a prior checksummed hop with
+    checksum=False must NOT carry the old crc32 forward onto the
+    re-serialized payload — downstream verification would report false
+    corruption (crc_ok=False); the correct report is null (unstamped)."""
+    from pulsar_lunar_spark.functions.envelope import verify_payload_integrity
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    hop1 = to_envelope(df, topic="t", payload_cols=["id", "name"],
+                       key="name", sequence_id="id", checksum=True)
+    # second hop re-envelopes a PROJECTION of the payload (bytes change)
+    # and passes the first hop's properties through unmodified
+    hop2 = to_envelope(
+        hop1.select("sequence_id", "key", "properties",
+                    F.lit(1).alias("id")),
+        topic="t2", payload_cols=["id"], key="key",
+        sequence_id="sequence_id", properties=F.col("properties"),
+        checksum=False,
+    )
+    row = verify_payload_integrity(hop2).collect()[0]
+    assert row["crc_ok"] is None
+    assert "crc32" not in row["properties"]
