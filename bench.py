@@ -76,6 +76,9 @@ HEADLINE = [
     "q_unsubscribe",
     "q_payload_integrity",
     "q_dsir_select",
+    # round-6 additions (the two VERDICT-r5 plan rewrites, tracked)
+    "q_hard_negatives",
+    "q_curriculum_interleave",
 ]
 
 

@@ -396,10 +396,13 @@ def hard_negative_join_gemm(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     corpus_label: str = "label",
+    same_label: bool = False,
 ) -> DataFrame:
     """Per-anchor top-k most-similar DIFFERENT-label corpus rows — the
     hard-negative mining primitive for contrastive training, in the
-    knn_join_gemm Arrow lane.
+    knn_join_gemm Arrow lane. With ``same_label=True`` the mask flips:
+    top-k most-similar SAME-label rows (excluding self) — positive-pair
+    mining for the same contrastive objective.
 
     The anchor batch (a bounded, declared driver fetch — same contract as
     knn_join_gemm's query batch) is closed over by a mapInPandas; each
@@ -441,7 +444,10 @@ def hard_negative_join_gemm(
             norms = np.linalg.norm(x, axis=1)
             norms[norms == 0.0] = 1.0
             sims = np.round((x / norms[:, None]) @ au.T, 6)  # (batch, |A|)
-            sims[labs[:, None] == alab[None, :]] = -np.inf
+            if same_label:
+                sims[labs[:, None] != alab[None, :]] = -np.inf
+            else:
+                sims[labs[:, None] == alab[None, :]] = -np.inf
             sims[ids[:, None] == aid[None, :]] = -np.inf
             frames.append(
                 pd.DataFrame(

@@ -19,8 +19,8 @@ a training run.
 - q_rrf_fusion: Reciprocal Rank Fusion of two retrieval rankings
   (integer 1e9 div (k + rank) scores, TakeOrdered candidate depths).
 - q_hard_negatives: contrastive hard-negative mining — per anchor, the
-  top-k most-similar DIFFERENT-label vectors via a literal cosine
-  battery (one scan, zero joins).
+  top-k most-similar DIFFERENT-label vectors via one label-masked Arrow
+  GEMM corpus pass (similarity.hard_negative_join_gemm; zero joins).
 """
 
 from __future__ import annotations

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm6",
     "pulsar_lunar_spark.queries.llm7",
     "pulsar_lunar_spark.queries.llm8",
+    "pulsar_lunar_spark.queries.llm9",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -244,5 +245,10 @@ def all_queries() -> dict[str, QuerySpec]:
 _NEWEST_FIRST = (
     # round-6 additions (each registered with oracle + tests + plan budget
     # + three-scale parity before the driver sees it)
+    "q_positive_pairs",
+    "q_repetition_gopher",
+    "q_tokenizer_fertility",
+    "q_temperature_mixture",
+    "q_mmr_select",
 )
 

@@ -1,0 +1,102 @@
+"""Batch-9 operator semantics: MMR diversity selection (diversity actually
+traded against relevance), repetition scoring (constructed repetitive vs
+clean docs), and temperature mixture (small sources up-weighted)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.queries import all_queries
+from pulsar_lunar_spark.session import load_table
+
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _cos(a, b):
+    return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+
+def test_mmr_rank1_is_global_max_and_diversity_improves(spark, sf_dir):
+    """MMR invariants: the first pick is the plain relevance argmax, the
+    selection is 8 distinct pool members, and the selected set's maximum
+    pairwise similarity is <= the plain top-8-by-relevance set's (that
+    inequality IS the point of MMR)."""
+    out = all_queries()["q_mmr_select"].fn(spark, sf_dir).collect()
+    assert [r["mmr_rank"] for r in out] == list(range(1, 9))
+    ids = [int(r["vec_id"]) for r in out]
+    assert len(set(ids)) == 8
+
+    emb = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+    rel = {
+        i: _cos(v, q) for i, v in emb.items() if i != 0
+    }
+    top_by_rel = sorted(rel, key=lambda i: (-rel[i], i))[:8]
+    # rank 1 == plain argmax
+    assert ids[0] == top_by_rel[0]
+
+    def max_pair_sim(sel):
+        return max(
+            _cos(emb[a], emb[b]) for a in sel for b in sel if a < b
+        )
+
+    assert max_pair_sim(ids) <= max_pair_sim(top_by_rel) + 1e-12
+
+
+def test_repetition_scores_constructed_docs(spark):
+    """A doc that repeats one phrase scores high duplicate-bigram ppm; a
+    doc of all-distinct bigrams scores 0."""
+    from pulsar_lunar_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    words = F.split(T.normalize_text(F.col("text")), " ")
+    staged = df.select("doc_id", words.alias("__w"))
+    r = staged.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(__w) - 1),"
+            " i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+        ).alias("__b"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "(1000000 * (size(__b) - size(array_distinct(__b)))) div size(__b)"
+        ).alias("rep_ppm"),
+    )
+    got = {r_["doc_id"]: r_["rep_ppm"] for r_ in r.collect()}
+    # 7 bigrams, 2 distinct ("spam ham", "ham spam") -> 5/7 duplicates
+    assert got[1] == (1_000_000 * 5) // 7
+    assert got[2] == 0
+
+
+def test_temperature_mixture_upweights_small_sources(spark, sf_dir):
+    """alpha=0.5 scaling: every source's temp share moves toward uniform —
+    sources below the proportional mean gain share, sources above lose."""
+    out = all_queries()["q_temperature_mixture"].fn(spark, sf_dir).collect()
+    n = len(out)
+    mean_ppm = 1_000_000 // n
+    for r in out:
+        if r["uniform_ppm"] < mean_ppm:
+            assert r["temp_ppm"] >= r["uniform_ppm"], r
+        elif r["uniform_ppm"] > mean_ppm:
+            assert r["temp_ppm"] <= r["uniform_ppm"], r
+    # shares sum to ~1e6 (integer floor division loses < n ppm)
+    for col in ("uniform_ppm", "temp_ppm"):
+        s = sum(r[col] for r in out)
+        assert 1_000_000 - n <= s <= 1_000_000

@@ -251,6 +251,17 @@ def test_hard_negative_join_gemm_matches_jvm_twin(spark, sf_dir):
     assert jvm.exceptAll(gemm).count() == 0
     assert gemm.exceptAll(jvm).count() == 0
 
+    # same_label=True flips the mask to positive-pair mining: every result
+    # row carries the anchor's own label, never the anchor itself
+    pos = S.hard_negative_join_gemm(anchors, emb, k=3, same_label=True)
+    rows = pos.join(
+        anchors.select("anchor_id", "a_label"), "anchor_id"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["label"] == r["a_label"]
+        assert r["vec_id"] != r["anchor_id"]
+
 
 def test_containment_query_leaves_no_new_cached_rdds(spark, sf_dir):
     """The containment query must not pin anything in executor memory

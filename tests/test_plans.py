@@ -36,6 +36,7 @@ PYTHON_OK = {
     "q_lsh_band_tuning",  # same vectorized signature path, two band configs
     "q_knn_join",  # GEMM path: BLAS scores + per-partition local top-k
     "q_hard_negatives",  # label-masked GEMM, same lane as q_knn_join (r6 rewrite)
+    "q_positive_pairs",  # same-label mask through the same GEMM lane
     "q_semdedup",  # per-cell GEMM pair stage (same fast lane as q_dedup_embedding)
     # mapInPandas codecs — Python is the declared decode/resize path
     "q_media_image_features",
@@ -254,6 +255,11 @@ EXCHANGE_BUDGETS = {
     "q_aqe_skew_join": (1, 1),  # AQE skew split handles the rest at runtime
     # round-6 rewrites
     "q_hard_negatives": (3, 0),  # one GEMM pass; window + output sort only
+    # round-6 additions
+    "q_positive_pairs": (3, 0),  # same GEMM lane as q_hard_negatives
+    "q_repetition_gopher": (3, 0),  # parallelize + 16-row agg + sort
+    "q_tokenizer_fertility": (3, 0),  # same shape
+    "q_temperature_mixture": (4, 1),  # source agg + own-total broadcast + sort
 }
 
 

@@ -139,6 +139,32 @@ def probes(spark, sf_dir: str, mult: int):
             .collect()
         )
 
+    def dsir_importance_persist_shape():
+        # the operator's own documented at-scale recipe (VERDICT r5 #7):
+        # repartition("bucket") + persist pays the scan+explode+md5 ONCE
+        # for both consumers and clusters the fit aggregate's exchange —
+        # probes whether the two-pass form's slope is shuffle-bound on
+        # the bucket exchange as the corpus multiplies
+        from pulsar_lunar_spark.operators.corpus import (
+            hashed_ngram_importance_from,
+            hashed_ngram_stream,
+        )
+
+        stream = hashed_ngram_stream(
+            docs, id_col="doc_id", text_col="text",
+            target=F.col("source") == "src0",
+        ).repartition("bucket").persist()
+        try:
+            out = (
+                hashed_ngram_importance_from(stream, id_col="doc_id")
+                .groupBy()
+                .agg(F.count(F.lit(1)), F.sum("avg_importance"))
+                .collect()
+            )
+        finally:
+            stream.unpersist(blocking=True)
+        return out
+
     def gini_decimal_shape():
         # the decimal(38,0) moment sums (q_gini_index): sum(i*v) passes
         # 2^63 near 1e6 rows — this probe THROWS under ANSI if anyone
@@ -222,6 +248,7 @@ def probes(spark, sf_dir: str, mult: int):
         "window_per_key": window_shape,
         "shingle_explode": shingle_shape,
         "dsir_importance": dsir_importance_shape,
+        "dsir_importance_persist": dsir_importance_persist_shape,
         "gini_decimal": gini_decimal_shape,
         "stream_session_state": stream_session_state_shape,
         "containment_dfcap": containment_shape,
