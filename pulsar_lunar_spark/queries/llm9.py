@@ -17,6 +17,10 @@ completion, corpus health filters, and mixture/diversity selection.
   redundancy tradeoff over a bounded candidate pool, integer-ppm scores;
   the DuckDB oracle replays the same greedy selection with a recursive
   CTE.
+- q_span_corruption: T5-style denoising pairs — deterministic md5 span
+  offsets, sentinel inputs + span targets, losslessly reconstructible.
+- q_epoch_shuffle: reproducible per-epoch permutations via md5 rank —
+  TakeOrdered heads, no random stream.
 
 Reference analog: none (the reference moves opaque payloads;
 SURVEY §2A.0) — this is the corpus-curation layer a training pipeline
@@ -447,4 +451,195 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "mmr_rank long, vec_id long, label int, rel_ppm long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (denoising-objective training prep)
+# ---------------------------------------------------------------------------
+
+_SC_WINDOW = 10  # one corrupted span per complete 10-word window
+_SC_SPAN = 3  # span length in words
+_SC_DOCS = 40
+
+
+@register(
+    "q_span_corruption",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT({_NORM}, ' ') AS words
+        FROM documents WHERE doc_id <= {_SC_DOCS}
+    ), sized AS (
+        SELECT doc_id, words, LEN(words) AS n,
+               LEN(words) // {_SC_WINDOW} AS nwin
+        FROM w WHERE LEN(words) >= 2 * {_SC_WINDOW}
+    ), marked AS (
+        SELECT doc_id, words, n, nwin,
+               LIST_TRANSFORM(RANGE(0, nwin), k ->
+                   k * {_SC_WINDOW}
+                   + CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR),
+                                                         ':', CAST(k AS VARCHAR))),
+                                              1, 6)) AS BIGINT)
+                     % {_SC_WINDOW - _SC_SPAN + 1}
+                   + 1) AS starts
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(nwin AS BIGINT) AS n_spans,
+           ARRAY_TO_STRING(LIST_FILTER(
+               LIST_TRANSFORM(RANGE(1, n + 1), i ->
+                   CASE
+                       WHEN (i - 1) // {_SC_WINDOW} >= nwin THEN words[i]
+                       WHEN i = starts[(i - 1) // {_SC_WINDOW} + 1]
+                           THEN CONCAT('<X_', CAST((i - 1) // {_SC_WINDOW}
+                                                   AS VARCHAR), '>')
+                       WHEN i > starts[(i - 1) // {_SC_WINDOW} + 1]
+                            AND i < starts[(i - 1) // {_SC_WINDOW} + 1]
+                                    + {_SC_SPAN}
+                           THEN NULL
+                       ELSE words[i]
+                   END),
+               x -> x IS NOT NULL), ' ') AS input_text,
+           ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, nwin), k ->
+               CONCAT('<X_', CAST(k AS VARCHAR), '> ',
+                      words[starts[k + 1]], ' ',
+                      words[starts[k + 1] + 1], ' ',
+                      words[starts[k + 1] + 2])), ' ') AS target_text
+    FROM marked ORDER BY doc_id
+    """,
+    tags=("llm", "span-corruption", "denoising", "training-prep"),
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: each complete 10-word window of a
+    document contributes one 3-word span, replaced in the input by a
+    numbered sentinel ``<X_k>`` and emitted (sentinel-prefixed) in the
+    target — the (input, target) pair a denoising seq2seq objective
+    trains on. Span starts are deterministic md5 offsets (no rand
+    stream), so the corruption is reproducible across engines, epochs,
+    and restarts, and windows guarantee spans never overlap.
+
+    Plan: pure codegen HOFs over the word array (sequence/transform/
+    filter/array_join) — one scan, zero joins, zero shuffles except the
+    bounded output sort. At 100 TB this is a map pass; the bounded
+    doc_id filter here only caps the oracle compare."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= _SC_DOCS)
+    words = F.split(T.normalize_text(F.col("text")), " ")
+    sized = (
+        d.select("doc_id", words.alias("__w"))
+        .filter(F.size("__w") >= 2 * _SC_WINDOW)
+        .select(
+            "doc_id",
+            "__w",
+            F.size("__w").alias("__n"),
+            (F.size("__w") / _SC_WINDOW).cast("long").alias("__nwin"),
+        )
+    )
+    starts = F.expr(
+        f"""transform(sequence(0, int(__nwin) - 1), k ->
+            k * {_SC_WINDOW}
+            + int(cast(conv(substring(md5(concat(cast(doc_id as string),
+                                             ':', cast(k as string))), 1, 6),
+                        16, 10) as bigint) % {_SC_WINDOW - _SC_SPAN + 1})
+            + 1)"""
+    )
+    marked = sized.select("doc_id", "__w", "__n", "__nwin", starts.alias("__s"))
+    input_text = F.expr(
+        f"""array_join(filter(transform(sequence(1, int(__n)), i ->
+            CASE
+                WHEN (i - 1) div {_SC_WINDOW} >= __nwin
+                    THEN element_at(__w, i)
+                WHEN i = element_at(__s, int((i - 1) div {_SC_WINDOW}) + 1)
+                    THEN concat('<X_', cast((i - 1) div {_SC_WINDOW} as string), '>')
+                WHEN i > element_at(__s, int((i - 1) div {_SC_WINDOW}) + 1)
+                     AND i < element_at(__s, int((i - 1) div {_SC_WINDOW}) + 1)
+                             + {_SC_SPAN}
+                    THEN NULL
+                ELSE element_at(__w, i)
+            END), x -> x IS NOT NULL), ' ')"""
+    )
+    target_text = F.expr(
+        f"""array_join(transform(sequence(0, int(__nwin) - 1), k ->
+            concat('<X_', cast(k as string), '> ',
+                   element_at(__w, element_at(__s, k + 1)), ' ',
+                   element_at(__w, element_at(__s, k + 1) + 1), ' ',
+                   element_at(__w, element_at(__s, k + 1) + 2))), ' ')"""
+    )
+    return marked.select(
+        "doc_id",
+        F.col("__nwin").cast("long").alias("n_spans"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multi-epoch shuffle (reproducible data-loader order)
+# ---------------------------------------------------------------------------
+
+_ES_TOPN = 10
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=f"""
+    WITH e1 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                   CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('1:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                   doc_id) AS rn
+        FROM documents
+    ), e2 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                   CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('2:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                   doc_id) AS rn
+        FROM documents
+    )
+    SELECT CAST(e1.rn AS BIGINT) AS serve_rank,
+           e1.doc_id AS epoch1_doc, e2.doc_id AS epoch2_doc
+    FROM e1 JOIN e2 ON e1.rn = e2.rn
+    WHERE e1.rn <= {_ES_TOPN}
+    ORDER BY serve_rank
+    """,
+    tags=("llm", "shuffle", "epoch", "training-prep"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shuffle: epoch e's serving order is a
+    rank over md5(e || ':' || doc_id) — a different, reproducible
+    permutation per epoch with NO random stream, so a restarted loader
+    (or a different engine) re-derives the identical order. Emits the
+    first 10 positions of epochs 1 and 2 side by side.
+
+    Plan: each epoch's head is a TakeOrderedAndProject over the md5 rank
+    key — top-N without a global sort — and the two 10-row heads join on
+    rank. At 100 TB the full-epoch order is served by
+    repartitionByRange(hash) + per-shard rank (the q_curriculum_interleave
+    zipWithIndex recipe); the head-only form here bounds the oracle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def epoch_head(e: int) -> DataFrame:
+        from pulsar_lunar_spark.operators.corpus import md5_int
+
+        h = md5_int(
+            F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")), hex_chars=8
+        )
+        top = (
+            d.select("doc_id", h.alias("__h"))
+            .orderBy("__h", "doc_id")
+            .limit(_ES_TOPN)
+        )
+        w = Window.orderBy("__h", "doc_id")
+        return top.select(
+            F.row_number().over(w).cast("bigint").alias("serve_rank"),
+            F.col("doc_id").alias(f"epoch{e}_doc"),
+        )
+
+    return (
+        epoch_head(1)
+        .join(epoch_head(2), "serve_rank")
+        .orderBy("serve_rank")
     )

@@ -250,5 +250,7 @@ _NEWEST_FIRST = (
     "q_tokenizer_fertility",
     "q_temperature_mixture",
     "q_mmr_select",
+    "q_span_corruption",
+    "q_epoch_shuffle",
 )
 

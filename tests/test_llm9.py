@@ -100,3 +100,41 @@ def test_temperature_mixture_upweights_small_sources(spark, sf_dir):
     for col in ("uniform_ppm", "temp_ppm"):
         s = sum(r[col] for r in out)
         assert 1_000_000 - n <= s <= 1_000_000
+
+
+def test_span_corruption_reconstructs_original(spark, sf_dir):
+    """Splicing each target span back over its sentinel in the input must
+    reproduce the original normalized document exactly — the lossless
+    invariant a denoising objective depends on."""
+    from pulsar_lunar_spark.operators import text as T
+
+    out = all_queries()["q_span_corruption"].fn(spark, sf_dir).collect()
+    assert out
+    originals = {
+        r["doc_id"]: r["norm"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 40)
+        .select("doc_id", T.normalize_text(F.col("text")).alias("norm"))
+        .collect()
+    }
+    for r in out:
+        spans = {}
+        toks = r["target_text"].split(" ")
+        # target = <X_k> w1 w2 w3 repeated
+        for j in range(0, len(toks), 4):
+            spans[toks[j]] = toks[j + 1 : j + 4]
+        assert len(spans) == r["n_spans"]
+        rebuilt = []
+        for t in r["input_text"].split(" "):
+            rebuilt.extend(spans[t] if t in spans else [t])
+        assert " ".join(rebuilt) == originals[r["doc_id"]], r["doc_id"]
+
+
+def test_epoch_shuffle_orders_differ_and_are_stable(spark, sf_dir):
+    """Epochs 1 and 2 are different permutations; re-running returns the
+    identical heads (no rand stream anywhere)."""
+    fn = all_queries()["q_epoch_shuffle"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r["epoch1_doc"] for r in a] != [r["epoch2_doc"] for r in a]

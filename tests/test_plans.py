@@ -260,6 +260,8 @@ EXCHANGE_BUDGETS = {
     "q_repetition_gopher": (3, 0),  # parallelize + 16-row agg + sort
     "q_tokenizer_fertility": (3, 0),  # same shape
     "q_temperature_mixture": (4, 1),  # source agg + own-total broadcast + sort
+    "q_span_corruption": (1, 0),  # pure map pass + bounded output sort
+    "q_epoch_shuffle": (3, 3),  # two TakeOrdered heads + 10-row rank join
 }
 
 
