@@ -180,3 +180,88 @@ def test_containment_pairs_property(spark, docs):
             if ov:
                 want[(i, j)] = (ov, len(sh(ti)), (1000000 * ov) // len(sh(ti)))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=20, max_value=47),  # word counts incl. tail windows
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_span_corruption_reconstruction_property(spark, word_counts):
+    """For arbitrary document lengths (complete-window boundaries, partial
+    tails, minimum length): splicing target spans over their sentinels in
+    the input reproduces the original text exactly, spans never overlap,
+    and n_spans == n_words div 10. One Spark job per example batch."""
+    from pulsar_lunar_spark.queries.llm9 import _SC_SPAN, _SC_WINDOW
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(word_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # replicate the registered query's transform on the synthetic frame
+    from pulsar_lunar_spark.operators import text as T
+
+    words = F.split(T.normalize_text(F.col("text")), " ")
+    sized = (
+        df.select("doc_id", words.alias("__w"))
+        .filter(F.size("__w") >= 2 * _SC_WINDOW)
+        .select(
+            "doc_id", "__w",
+            F.size("__w").alias("__n"),
+            (F.size("__w") / _SC_WINDOW).cast("long").alias("__nwin"),
+        )
+    )
+    starts = F.expr(
+        f"""transform(sequence(0, int(__nwin) - 1), k ->
+            k * {_SC_WINDOW}
+            + int(cast(conv(substring(md5(concat(cast(doc_id as string),
+                                             ':', cast(k as string))), 1, 6),
+                        16, 10) as bigint) % {_SC_WINDOW - _SC_SPAN + 1})
+            + 1)"""
+    )
+    marked = sized.select("doc_id", "__w", "__n", "__nwin", starts.alias("__s"))
+    input_text = F.expr(
+        f"""array_join(filter(transform(sequence(1, int(__n)), i ->
+            CASE
+                WHEN (i - 1) div {_SC_WINDOW} >= __nwin THEN element_at(__w, i)
+                WHEN i = element_at(__s, int((i - 1) div {_SC_WINDOW}) + 1)
+                    THEN concat('<X_', cast((i - 1) div {_SC_WINDOW} as string), '>')
+                WHEN i > element_at(__s, int((i - 1) div {_SC_WINDOW}) + 1)
+                     AND i < element_at(__s, int((i - 1) div {_SC_WINDOW}) + 1)
+                             + {_SC_SPAN}
+                    THEN NULL
+                ELSE element_at(__w, i)
+            END), x -> x IS NOT NULL), ' ')"""
+    )
+    target_text = F.expr(
+        f"""array_join(transform(sequence(0, int(__nwin) - 1), k ->
+            concat('<X_', cast(k as string), '> ',
+                   element_at(__w, element_at(__s, k + 1)), ' ',
+                   element_at(__w, element_at(__s, k + 1) + 1), ' ',
+                   element_at(__w, element_at(__s, k + 1) + 2))), ' ')"""
+    )
+    out = marked.select(
+        "doc_id",
+        F.col("__nwin").cast("long").alias("n_spans"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    ).collect()
+    originals = dict(rows)
+    assert len(out) == len(rows)
+    for r in out:
+        n_words = len(originals[r["doc_id"]].split(" "))
+        assert r["n_spans"] == n_words // _SC_WINDOW
+        spans = {}
+        toks = r["target_text"].split(" ")
+        for j in range(0, len(toks), _SC_SPAN + 1):
+            assert toks[j] not in spans  # sentinels unique => no overlap
+            spans[toks[j]] = toks[j + 1 : j + _SC_SPAN + 1]
+        rebuilt = []
+        for t in r["input_text"].split(" "):
+            rebuilt.extend(spans[t] if t in spans else [t])
+        assert " ".join(rebuilt) == originals[r["doc_id"]]
