@@ -643,3 +643,74 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(epoch_head(2), "serve_rank")
         .orderBy("serve_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (corpus forensics over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def _source_matrix_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm import _MINHASH_ORACLE
+
+    pairs = _MINHASH_ORACLE.replace("ORDER BY id_a, id_b", "")
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(p.jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "q_dedup_source_matrix",
+    oracle=_source_matrix_oracle(),
+    tags=("llm", "dedup", "forensics", "source-matrix"),
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — corpus forensics over the
+    MinHash-LSH verified near-dup pairs: for every (source, source) pair,
+    how many near-duplicate document pairs span it and the strongest
+    Jaccard seen. This is the view that tells a curation team WHICH feeds
+    mirror each other (syndication, scraping loops, re-crawls) before any
+    rows are dropped.
+
+    Plan: the verified pair list (tiny relative to the corpus — dedup
+    output, not input) broadcasts into two joins against the (doc_id,
+    source) projection, then a 16x16-bounded aggregate; the expensive
+    part remains the one shared LSH pipeline (O(docs·bands), the
+    q_dedup_minhash plan). max_jaccard (order-safe), never an avg of
+    floats. Oracle: the full md5-portable LSH SQL replica + the same two
+    joins."""
+    from pulsar_lunar_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3, hasher="md5")
+    src = d.select("doc_id", "source")
+    # the pair list is always the SMALL side (dedup output, not input):
+    # broadcast it into both source lookups so the corpus projection is
+    # never shuffled
+    j1 = src.join(F.broadcast(pairs), F.col("doc_id") == F.col("id_a")).select(
+        "id_b", F.col("source").alias("__sa"), "jaccard"
+    )
+    labeled = src.join(F.broadcast(j1), F.col("doc_id") == F.col("id_b")).select(
+        "__sa", F.col("source").alias("__sb"), "jaccard"
+    )
+    return (
+        labeled.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -252,5 +252,6 @@ _NEWEST_FIRST = (
     "q_mmr_select",
     "q_span_corruption",
     "q_epoch_shuffle",
+    "q_dedup_source_matrix",
 )
 

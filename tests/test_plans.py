@@ -31,6 +31,7 @@ PYTHON_OK = {
     # matrix-shaped similarity / signature math (BLAS & minimum.reduceat)
     "q_dedup_embedding",
     "q_dedup_minhash",
+    "q_dedup_source_matrix",  # same vectorized minhash pipeline + source joins
     "q_dedup_incremental",  # vectorized Arrow minhash signatures by design
     "q_dedup_simhash",  # vectorized Arrow per-bit vote by design
     "q_lsh_band_tuning",  # same vectorized signature path, two band configs
@@ -262,6 +263,7 @@ EXCHANGE_BUDGETS = {
     "q_temperature_mixture": (4, 1),  # source agg + own-total broadcast + sort
     "q_span_corruption": (1, 0),  # pure map pass + bounded output sort
     "q_epoch_shuffle": (3, 3),  # two TakeOrdered heads + 10-row rank join
+    "q_dedup_source_matrix": (4, 6),  # LSH pipeline + broadcast pair lookups
 }
 
 
