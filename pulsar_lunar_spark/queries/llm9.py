@@ -714,3 +714,106 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation metrics (per-class P/R/F1 over the lang-ID matrix)
+# ---------------------------------------------------------------------------
+
+
+def _langid_f1_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm import _lang_score_sql
+
+    return f"""
+    WITH scored AS (
+        SELECT lang,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('zh')} AS s_zh
+        FROM documents
+    ), detected AS (
+        SELECT lang,
+               CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS detected
+        FROM scored
+    ), classes AS (
+        SELECT DISTINCT lang AS cls FROM detected
+    )
+    SELECT c.cls AS lang,
+           CAST(COALESCE(SUM(CASE WHEN d.lang = c.cls AND d.detected = c.cls
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN d.lang != c.cls AND d.detected = c.cls
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+           CAST(COALESCE(SUM(CASE WHEN d.lang = c.cls AND d.detected != c.cls
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+           CAST(CASE WHEN SUM(CASE WHEN d.detected = c.cls THEN 1 ELSE 0 END) = 0
+                     THEN 0
+                     ELSE (1000000 * SUM(CASE WHEN d.lang = c.cls
+                                              AND d.detected = c.cls
+                                              THEN 1 ELSE 0 END))
+                          // SUM(CASE WHEN d.detected = c.cls THEN 1 ELSE 0 END)
+                END AS BIGINT) AS precision_ppm,
+           CAST((1000000 * SUM(CASE WHEN d.lang = c.cls AND d.detected = c.cls
+                                    THEN 1 ELSE 0 END))
+                // SUM(CASE WHEN d.lang = c.cls THEN 1 ELSE 0 END)
+                AS BIGINT) AS recall_ppm
+    FROM classes c CROSS JOIN detected d
+    GROUP BY c.cls ORDER BY lang
+    """
+
+
+@register(
+    "q_langid_f1",
+    oracle=_langid_f1_oracle(),
+    tags=("llm", "langid", "eval", "metrics"),
+)
+def q_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class classifier evaluation of the stopword language detector
+    against the labeled lang: true/false positives, false negatives, and
+    exact-integer precision/recall in ppm — the classification-eval twin
+    of q_retrieval_metrics (which covers ranking eval). The confusion
+    MATRIX itself is q_lang_detect; this is the derived quality report a
+    curation team reads before trusting the detector as a filter.
+
+    Plan: one scoring pass (pure codegen stopword counts), ONE aggregate:
+    per-class counters are conditional sums over the (lang, detected)
+    pairs against the tiny broadcast class list — no joins over the
+    corpus, all-integer arithmetic (no float division anywhere)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    det = d.select("lang", T.detect_lang(F.col("text")).alias("detected"))
+    classes = det.select(F.col("lang").alias("cls")).distinct()
+    joined = det.crossJoin(F.broadcast(classes))
+    tp = F.sum(
+        F.when((F.col("lang") == F.col("cls")) & (F.col("detected") == F.col("cls")), 1).otherwise(0)
+    )
+    det_as_cls = F.sum(F.when(F.col("detected") == F.col("cls"), 1).otherwise(0))
+    actual_cls = F.sum(F.when(F.col("lang") == F.col("cls"), 1).otherwise(0))
+    return (
+        joined.groupBy(F.col("cls").alias("lang"))
+        .agg(
+            tp.cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("lang") != F.col("cls")) & (F.col("detected") == F.col("cls")), 1).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("lang") == F.col("cls")) & (F.col("detected") != F.col("cls")), 1).otherwise(0)
+            ).cast("long").alias("fn"),
+            F.when(det_as_cls == 0, F.lit(0)).otherwise(
+                F.expr(
+                    "(1000000 * sum(CASE WHEN lang = cls AND detected = cls THEN 1 ELSE 0 END))"
+                    " div sum(CASE WHEN detected = cls THEN 1 ELSE 0 END)"
+                )
+            ).cast("long").alias("precision_ppm"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN lang = cls AND detected = cls THEN 1 ELSE 0 END))"
+                " div sum(CASE WHEN lang = cls THEN 1 ELSE 0 END)"
+            ).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("lang")
+    )

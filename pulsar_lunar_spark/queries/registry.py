@@ -253,5 +253,6 @@ _NEWEST_FIRST = (
     "q_span_corruption",
     "q_epoch_shuffle",
     "q_dedup_source_matrix",
+    "q_langid_f1",
 )
 

@@ -264,6 +264,7 @@ EXCHANGE_BUDGETS = {
     "q_span_corruption": (1, 0),  # pure map pass + bounded output sort
     "q_epoch_shuffle": (3, 3),  # two TakeOrdered heads + 10-row rank join
     "q_dedup_source_matrix": (4, 6),  # LSH pipeline + broadcast pair lookups
+    "q_langid_f1": (4, 2),  # scoring pass x broadcast class list + one agg
 }
 
 
