@@ -184,6 +184,17 @@ _DRIVER_CONFIRMED = frozenset(
         "q_decay_scores", "q_event_transitions", "q_ewma_smooth",
         "q_ohlc_bars", "q_rolling_7d", "q_seasonality", "q_top_paths",
         "q_approx_quantile",
+        # round 6 (CORRECTNESS_r06.json, 50/50 green — closed the ledger:
+        # every registered query now has a driver-green row and the latest
+        # status is green for all 271)
+        "q_chi2_cells", "q_cumulative_distinct", "q_dedup_source_matrix",
+        "q_dq_checks", "q_epoch_shuffle", "q_langid_f1", "q_mad_outliers",
+        "q_mmr_select", "q_null_handling", "q_pagination",
+        "q_percentrank_norm", "q_positive_pairs", "q_repetition_gopher",
+        "q_sample_stratified", "q_sample_weighted", "q_span_corruption",
+        "q_string_agg", "q_temperature_mixture", "q_tokenizer_fertility",
+        "q_trimmed_mean", "q_unpivot", "q_value_histogram",
+        "q_zscore_outliers",
     }
 )
 
@@ -217,8 +228,16 @@ def all_queries() -> dict[str, QuerySpec]:
             if q:
                 next_round.append(q)
         queues = next_round
-    fresh = [s for s in interleaved if s.name not in _DRIVER_CONFIRMED]
-    seen = [s for s in interleaved if s.name in _DRIVER_CONFIRMED]
+    # A name in _NEWEST_FIRST counts as fresh even if a previous round
+    # confirmed an OLDER implementation: rewrites are treated like additions
+    # (ADVICE r6) — the driver must re-verify the new plan in its own round.
+    fresh_names = {
+        s.name
+        for s in interleaved
+        if s.name in _NEWEST_FIRST or s.name not in _DRIVER_CONFIRMED
+    }
+    fresh = [s for s in interleaved if s.name in fresh_names]
+    seen = [s for s in interleaved if s.name not in fresh_names]
     # Newest operators first among the fresh: they are the least-verified
     # code in the repo, so a head-first correctness sample should reach
     # them this round, not N rounds from now.
@@ -231,28 +250,21 @@ def all_queries() -> dict[str, QuerySpec]:
 # Curated registry head: the driver samples ~50 queries head-first, so the
 # window is budgeted deliberately.  The head is DERIVED, not typed
 # (VERDICT r5 next-step #8): ``all_queries()`` sorts every query without a
-# _DRIVER_CONFIRMED row ahead of every confirmed one, so after the round-6
-# rotation (CORRECTNESS_r05's 50 greens folded in above) the 14 remaining
-# never-driver-sampled queries — the statistics/sampling tail plus
-# q_dq_checks/q_string_agg/q_unpivot/q_pagination/q_null_handling, all
-# judge-verified parity-green at sf0.01 in round 5 — fill the window head
-# automatically, leaving ~36 slots for round-6 additions.
+# _DRIVER_CONFIRMED row ahead of every confirmed one.  After the round-7
+# rotation (CORRECTNESS_r06's 50 greens folded in above) the cumulative
+# ledger is CLOSED — all 271 pre-round-7 queries are driver-confirmed — so
+# the window is spent on round-7 additions and REWRITES, then
+# re-confirmations.
 #
-# _NEWEST_FIRST now holds ONLY queries added in the current round, ordered
-# verify-first: brand-new code should meet the driver before anything else.
-# Rotation each round: fold the latest CORRECTNESS_r{N} greens into
-# _DRIVER_CONFIRMED and clear/refill this tuple with the new round's names.
+# _NEWEST_FIRST holds queries added OR materially rewritten in the current
+# round, ordered verify-first: brand-new code should meet the driver before
+# anything else (a rewrite's old confirmation row was earned by the old
+# plan — ADVICE r6).  Rotation each round: fold the latest
+# CORRECTNESS_r{N} greens into _DRIVER_CONFIRMED and clear/refill this
+# tuple with the new round's names.
 _NEWEST_FIRST = (
-    # round-6 additions (each registered with oracle + tests + plan budget
-    # + three-scale parity before the driver sees it)
-    "q_positive_pairs",
-    "q_repetition_gopher",
-    "q_tokenizer_fertility",
-    "q_temperature_mixture",
-    "q_mmr_select",
-    "q_span_corruption",
-    "q_epoch_shuffle",
-    "q_dedup_source_matrix",
-    "q_langid_f1",
+    # round-7 rewrites (plan changes to previously-confirmed queries)
+    "q_triangle_count",      # oriented edge list materialized once
+    "q_dedup_source_matrix", # pair-list broadcast bounded by a size guard
 )
 

@@ -28,10 +28,16 @@ def test_newest_first_has_no_duplicates():
     assert len(set(_NEWEST_FIRST)) == len(_NEWEST_FIRST)
 
 
-def test_newest_first_and_confirmed_disjoint():
-    # a confirmed query in the head would waste sample budget
-    overlap = set(_NEWEST_FIRST) & _DRIVER_CONFIRMED
-    assert not overlap, f"confirmed queries in _NEWEST_FIRST: {sorted(overlap)}"
+def test_newest_first_overrides_confirmed():
+    # rewrites are treated like additions (ADVICE r6): a name in
+    # _NEWEST_FIRST must sort at the very head even if an older
+    # implementation earned a _DRIVER_CONFIRMED row
+    names = list(all_queries())
+    for i, nm in enumerate(_NEWEST_FIRST):
+        assert names[i] == nm, (
+            f"head[{i}] = {names[i]!r}, expected {nm!r} — a rewrite is not "
+            "reaching the driver's sample window"
+        )
 
 
 def test_confirmed_names_exist():
@@ -88,6 +94,8 @@ def test_sample_head_leads_with_unconfirmed():
     # be fewer than 50 unconfirmed queries left — then the head is exactly
     # all of them)
     names = list(all_queries())
-    n_fresh = sum(1 for n in names if n not in _DRIVER_CONFIRMED)
-    confirmed_in_head = [n for n in names[:n_fresh] if n in _DRIVER_CONFIRMED]
+    fresh = {
+        n for n in names if n in _NEWEST_FIRST or n not in _DRIVER_CONFIRMED
+    }
+    confirmed_in_head = [n for n in names[: len(fresh)] if n not in fresh]
     assert not confirmed_in_head
