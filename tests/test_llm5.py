@@ -174,3 +174,51 @@ def test_pagerank_isolated_node_keeps_teleport_mass(spark):
     got = {r.node: r.rank for r in G.pagerank(ndf, edf, iterations=2).collect()}
     assert got[9] == 150_000  # no in-edges: teleport mass only
     assert got[1] > got[0] == 150_000
+
+
+def _tri_brute(edges: list[tuple[int, int]]) -> int:
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = 0
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if v not in nbrs[u]:
+                continue
+            for w in nodes:
+                if w > v and w in nbrs[u] and w in nbrs[v]:
+                    tri += 1
+    return tri
+
+
+def test_orient_edges_one_row_per_edge_and_acyclic(spark):
+    # star + path: hub 0 has degree 4, leaves 1; every edge must point
+    # AWAY from the lower-(degree, id) endpoint, so all star edges point
+    # INTO the hub (leaf -> hub), bounding the hub's out-adjacency at 0
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = [(r.a, r.b) for r in G.orient_edges(edf).collect()]
+    assert len(got) == len(edges) == len(set(got))
+    out_deg: dict[int, int] = {}
+    for a, b in got:
+        out_deg[a] = out_deg.get(a, 0) + 1
+        assert a != b
+    assert out_deg.get(0, 0) == 0  # the hub is a pure sink after orientation
+
+
+def test_triangle_forms_agree_with_brute_force(spark):
+    # K4 plus a pendant edge: 4 triangles; also exercises the pure-sink
+    # left-join path in the edge-iterator (the pendant's head)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    want = _tri_brute(edges)
+    assert want == 4
+    oriented = G.orient_edges(edf)
+    wedge = G.triangle_count_oriented(oriented).collect()[0]
+    assert wedge.n_triangles == want
+    it = G.triangle_count_adjacency(G.oriented_adjacency(oriented)).collect()[0]
+    assert it.n_triangles == want
+    assert it.n_edges == len(edges)
+    assert G.triangle_count(edf).collect()[0].n_triangles == want

@@ -70,7 +70,6 @@ CARTESIAN_OK = {
     "q_semdedup",  # K-row broadcast centroid side of the kmeans cell assign
     "q_pmi_collocations",  # single-row broadcast total-token side
     "q_assoc_rules",  # single-row broadcast basket-total side
-    "q_triangle_count",  # two single-row frames (count x edge-count)
     "q_dq_checks",  # 5 bounded (1-row violation-count x 1-row total) pairs
     "q_chi2_cells",  # single-row broadcast grand-total side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
@@ -266,6 +265,32 @@ EXCHANGE_BUDGETS = {
     "q_dedup_source_matrix": (4, 6),  # LSH pipeline + broadcast pair lookups
     "q_langid_f1": (4, 2),  # scoring pass x broadcast class list + one agg
 }
+
+
+def test_triangle_count_single_scan_via_reuse(spark, sf_dir):
+    """The r6 verdict's one actionable plan defect: q_triangle_count
+    re-executed its edge-building subtree per consumer (38 FileScans /
+    72 shuffles / 0 ReusedExchange). The round-7 single-job edge-iterator
+    form must keep every multi-consumer subtree folded: exactly ONE
+    lineitem scan and >=3 ReusedExchanges in the RUNTIME plan (AQE folds
+    at execution, so assert on the post-collect final plan, not the
+    static text — the static plan legitimately shows the subtree
+    repeated; same discipline as q_curriculum_interleave's reuse
+    assert)."""
+    import re
+
+    df = SPECS["q_triangle_count"].fn(spark, sf_dir)
+    df.collect()
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    final = txt.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, "edge subtree re-executed"
+    assert final.count("ReusedExchange") >= 3, "exchange reuse regressed"
+    shuffles = len(
+        re.findall(r"Exchange (?:hash|range)partitioning", final)
+    ) + final.count("Exchange SinglePartition")
+    # 8 observed at the test fixture's scale (AQE keeps more query stages
+    # distinct on tiny inputs); generous by 1 per the budget convention
+    assert shuffles <= 9, f"{shuffles} shuffles in the final plan (budget 9)"
 
 
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
