@@ -667,6 +667,12 @@ def _source_matrix_oracle() -> str:
     """
 
 
+# Broadcast the verified near-dup pair list only under this many rows
+# (~50 MB at 3 bigint-ish columns — comfortably inside executor broadcast
+# budgets); above it the source-matrix joins run shuffled instead.
+_PAIR_BROADCAST_CAP = 2_000_000
+
+
 @register(
     "q_dedup_source_matrix",
     oracle=_source_matrix_oracle(),
@@ -680,25 +686,33 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror each other (syndication, scraping loops, re-crawls) before any
     rows are dropped.
 
-    Plan: the verified pair list (tiny relative to the corpus — dedup
-    output, not input) broadcasts into two joins against the (doc_id,
-    source) projection, then a 16x16-bounded aggregate; the expensive
-    part remains the one shared LSH pipeline (O(docs·bands), the
-    q_dedup_minhash plan). max_jaccard (order-safe), never an avg of
-    floats. Oracle: the full md5-portable LSH SQL replica + the same two
-    joins."""
+    Plan: the verified pair list (dedup OUTPUT — tiny on a healthy
+    corpus) is spooled once to a per-call tmpfs slot and COUNTED, and the
+    two source-lookup joins broadcast it only while the count stays under
+    _PAIR_BROADCAST_CAP; above the cap (the adversarial case this view
+    exists to surface — a syndication-heavy crawl where pairs grow toward
+    O(n·dup_rate)) the hints are dropped and the joins run shuffled, so
+    the driver can never be asked to broadcast an unbounded pair list
+    (VERDICT r6 watch item). The expensive part remains the one shared
+    LSH pipeline (O(docs·bands), the q_dedup_minhash plan); the 16x16
+    aggregate is bounded either way. max_jaccard (order-safe), never an
+    avg of floats. Oracle: the full md5-portable LSH SQL replica + the
+    same two joins."""
     from pulsar_lunar_spark.operators import dedup as D
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3, hasher="md5")
+    raw = D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3, hasher="md5")
+    slot = versioned_slot(scratch_root("pulsar_lunar_srcmat", sf_dir), "pairs")
+    raw.write.mode("overwrite").parquet(slot)
+    pairs = spark.read.parquet(slot)
+    small = pairs.count() <= _PAIR_BROADCAST_CAP
+    hint = F.broadcast if small else (lambda df: df)
     src = d.select("doc_id", "source")
-    # the pair list is always the SMALL side (dedup output, not input):
-    # broadcast it into both source lookups so the corpus projection is
-    # never shuffled
-    j1 = src.join(F.broadcast(pairs), F.col("doc_id") == F.col("id_a")).select(
+    j1 = src.join(hint(pairs), F.col("doc_id") == F.col("id_a")).select(
         "id_b", F.col("source").alias("__sa"), "jaccard"
     )
-    labeled = src.join(F.broadcast(j1), F.col("doc_id") == F.col("id_b")).select(
+    labeled = src.join(hint(j1), F.col("doc_id") == F.col("id_b")).select(
         "__sa", F.col("source").alias("__sb"), "jaccard"
     )
     return (

@@ -138,3 +138,21 @@ def test_epoch_shuffle_orders_differ_and_are_stable(spark, sf_dir):
     b = fn(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert [r["epoch1_doc"] for r in a] != [r["epoch2_doc"] for r in a]
+
+
+def test_source_matrix_shuffled_path_matches_broadcast_path(spark, sf_dir):
+    """The pair-list broadcast is bounded by _PAIR_BROADCAST_CAP (VERDICT
+    r6 watch item): above the cap the joins run shuffled. Force the
+    shuffled path (cap=0) and assert it is value-identical to the
+    broadcast path, so the guard can never silently change results."""
+    from pulsar_lunar_spark.queries import llm9
+
+    fn = all_queries()["q_dedup_source_matrix"].fn
+    fast = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    old = llm9._PAIR_BROADCAST_CAP
+    llm9._PAIR_BROADCAST_CAP = 0
+    try:
+        slow = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    finally:
+        llm9._PAIR_BROADCAST_CAP = old
+    assert fast == slow and fast
