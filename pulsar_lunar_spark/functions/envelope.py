@@ -94,6 +94,15 @@ def to_envelope(
       polynomial, not Castagnoli) — documented deviation, same detection
       power. Verify on the consume side with
       :func:`verify_payload_integrity`; all JVM expressions, no Python.
+    - RESERVED PROPERTY KEY: ``"crc32"`` is owned by the framework. Any
+      caller-supplied ``properties["crc32"]`` is stripped unconditionally
+      (even with ``checksum=False``), because this call re-serializes the
+      payload and a carried-forward checksum from a prior hop would make
+      :func:`verify_payload_integrity` report false corruption downstream.
+      Consequence: a still-valid checksum on an unchanged payload is NOT
+      preserved across re-enveloping — pass ``checksum=True`` to re-stamp
+      it; and an unrelated user property that happens to be named
+      ``crc32`` is dropped. Pick a different key for user metadata.
     """
     payload_cols = list(payload_cols or df.columns)
     topic_col = F.lit(topic) if isinstance(topic, str) else topic

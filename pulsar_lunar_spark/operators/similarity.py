@@ -340,6 +340,11 @@ def knn_join_gemm(
     import pandas as pd
 
     qrows = queries.select(F.col(query_id), _as_double(F.col(query_vec))).collect()
+    if not qrows:
+        # an empty batch would make np.asarray(qmat) 1-D and raise an
+        # opaque axis error inside every executor task — fail at the
+        # driver with the actual cause instead
+        raise ValueError("knn_join_gemm: the query batch is empty")
     q_ids = [int(r[0]) for r in qrows]
     qmat = [[float(x) for x in r[1]] for r in qrows]
     schema = f"{query_id} long, {corpus_id} long, cosine_sim double"
@@ -412,6 +417,17 @@ def hard_negative_join_gemm(
     window carries O(partitions · |A| · k) rows. Scores are rounded to 6
     BEFORE ranking (the float-ranking discipline), tie-break on corpus id.
 
+    Residual cross-engine boundary risk (ADVICE r6, documented rather than
+    "fixed"): np.round here is half-to-even while the DuckDB oracles use
+    ROUND (half-away-from-zero) over a DIFFERENT FP operation order
+    (inner/(norm*norm) vs normalize-then-dot) — a cosine landing exactly
+    on a 1e-6 rounding boundary could round, and therefore rank,
+    differently across engines. Swapping np.round for floor(x*1e6+0.5)
+    would NOT close this (it differs from ROUND on negative boundaries
+    and the op-order difference remains), so the discipline is: ranks and
+    tie-breaks are integer/id-based, boundary landings are measure-zero
+    on real embeddings, and all three test scales are hash-verified.
+
     This replaces the literal-battery form: |A|·dim unrolled codegen terms
     fall off the whole-stage-codegen cliff past ~512 terms (BASELINE.md
     round-2 negative result) — matrix-shaped batteries belong in
@@ -422,6 +438,10 @@ def hard_negative_join_gemm(
     arows = anchors.select(
         F.col(anchor_id), F.col(anchor_label), _as_double(F.col(anchor_vec))
     ).collect()
+    if not arows:
+        # same guard as knn_join_gemm: an empty anchor frame would raise
+        # an opaque 1-D-array error inside every executor task
+        raise ValueError("hard_negative_join_gemm: the anchor batch is empty")
     a_ids = [int(r[0]) for r in arows]
     a_labels = [int(r[1]) for r in arows]
     amat = [[float(x) for x in r[2]] for r in arows]

@@ -156,3 +156,19 @@ def test_shard_assignment_stable_and_covering(spark, sf_dir, duck):
     for r in a:
         assert r["share_ppm"] == (1_000_000 * r["n_docs"]) // total_docs
         assert r["min_doc"] <= r["max_doc"]
+
+
+def test_curriculum_serve_rank_is_dense_and_order_consistent(spark, sf_dir):
+    """Value invariant backing the plan-level ReusedExchange assert
+    (ADVICE r6): if the offsets branch and the local-rank branch ever
+    observed DIFFERENT range exchanges (a reuse regression under AQE
+    re-planning), serve_rank would misalign silently. Lock the data
+    contract instead of only the plan text: the returned head is a dense
+    1..N rank sequence AND its order equals the declared total order
+    (pos, source, doc_id)."""
+    from pulsar_lunar_spark.queries import all_queries
+
+    rows = all_queries()["q_curriculum_interleave"].fn(spark, sf_dir).collect()
+    assert [r["serve_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(r["pos"], r["source"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)

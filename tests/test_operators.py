@@ -311,3 +311,32 @@ def test_containment_pairs_finds_planted_excerpt(spark):
     many = [(i, "x y z") for i in range(60)]
     df2 = spark.createDataFrame(many, "doc_id long, text string")
     assert containment_pairs(df2, "doc_id", "text", df_cap=50).count() == 0
+
+
+def test_gemm_lanes_reject_empty_batches(spark, sf_dir):
+    """ADVICE r6: an empty query/anchor frame used to reach the executors
+    as a 1-D np.asarray and die with an opaque axis error inside every
+    task — both GEMM lanes must fail fast at the driver instead."""
+    import pytest
+
+    from pulsar_lunar_spark.operators import similarity as S
+    from pulsar_lunar_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="query batch is empty"):
+        S.knn_join_gemm(
+            empty.select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+            ),
+            emb,
+        )
+    with pytest.raises(ValueError, match="anchor batch is empty"):
+        S.hard_negative_join_gemm(
+            empty.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("label").alias("a_label"),
+                F.col("embedding").alias("av"),
+            ),
+            emb,
+        )
