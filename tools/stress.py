@@ -236,6 +236,79 @@ def probes(spark, sf_dir: str, mult: int):
             )
         return [True]
 
+    def stream_join_state_shape():
+        # q_stream_outer_join-shaped STATE probe (VERDICT r6 #4 — the one
+        # remaining 100x-by-analogy claim): mult-x rows AND mult-x key
+        # cardinality through a watermarked LEFT-OUTER stream-stream range
+        # join on the RocksDB provider. Both join sides buffer state until
+        # the global watermark evicts them, so the slope proves the
+        # two-sided join store scales like the session-window store.
+        # Source parquet written outside the timed region; fresh
+        # checkpoint per run (the cursor must replay everything).
+        import uuid
+
+        from pulsar_lunar_spark.streaming.ops import run_available_now
+
+        events = multiply(
+            load_table(spark, sf_dir, "events"), ["event_id", "user_id"], mult
+        )
+        base = _stream_scratch()
+        src = os.path.join(base, f"jsrc_x{mult}")
+        if not os.path.isdir(os.path.join(src, "_done")):
+            events.select("user_id", "ts", "event_type").write.mode(
+                "overwrite"
+            ).parquet(src)
+            os.makedirs(os.path.join(src, "_done"), exist_ok=True)
+        schema = "user_id bigint, ts timestamp, event_type string"
+
+        def typed(etype, alias):
+            s = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .select(
+                    F.col("user_id").alias(f"{alias}_user"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    "event_type",
+                )
+            )
+            # watermark BEFORE the type filter (the q_stream_outer_join
+            # discipline: each side tracks its post-filter max otherwise)
+            return s.withWatermark(f"{alias}_ts", "30 minutes").filter(
+                F.col("event_type") == etype
+            )
+
+        pairs = typed("click", "c").join(
+            typed("purchase", "p"),
+            F.expr(
+                "p_user = c_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + interval 30 minutes"
+            ),
+            "left_outer",
+        ).select("c_user", "c_ts", "p_ts")
+        out = os.path.join(base, f"jout_{uuid.uuid4().hex}")
+        q = run_available_now(
+            pairs.writeStream.format("parquet").option("path", out).outputMode(
+                "append"
+            ),
+            os.path.join(base, f"jck_{uuid.uuid4().hex}"),
+            state_partitions=8,
+            state_store="rocksdb",
+        )
+        # PEAK state, not lastProgress: availableNow loads both sides into
+        # the join stores in the data batches and the trailing watermark
+        # batch evicts almost everything, so the final numRowsTotal only
+        # shows the tail — the peak is what actually sat in RocksDB
+        peak_rows = peak_mem = 0
+        for p in q.recentProgress:
+            for so in p.get("stateOperators") or []:
+                peak_rows = max(peak_rows, so.get("numRowsTotal") or 0)
+                peak_mem = max(peak_mem, so.get("memoryUsedBytes") or 0)
+        print(
+            f"#   join state peak rows={peak_rows} mem={peak_mem}",
+            file=sys.stderr,
+        )
+        return [True]
+
     # containment_dfcap LAST: its defensive clearCache() wipes EVERY
     # persisted plan in the session, so any probe measured after it in
     # the same pass would re-time a cold build of whatever it had warmed
@@ -251,6 +324,7 @@ def probes(spark, sf_dir: str, mult: int):
         "dsir_importance_persist": dsir_importance_persist_shape,
         "gini_decimal": gini_decimal_shape,
         "stream_session_state": stream_session_state_shape,
+        "stream_join_state": stream_join_state_shape,
         "containment_dfcap": containment_shape,
     }
 
@@ -268,6 +342,7 @@ def _stream_scratch() -> str:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark("pl-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -275,6 +350,8 @@ def main() -> None:
     base_rate: dict[str, float] = {}
     for m in (1, mult):
         ps = probes(spark, sf_dir, m)
+        if only is not None:
+            ps = {k: v for k, v in ps.items() if k in only}
         for name, fn in ps.items():
             fn()  # warm (codegen + python workers)
             t0 = time.perf_counter()
