@@ -799,3 +799,32 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def softdedup_weights(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """SoftDeDup-style dedup-aware example weights (soft deduplication:
+    down-weight duplicated examples instead of dropping them): cluster the
+    near-dup pair list with connected components and give every member of
+    a size-s cluster weight 1e6 DIV s micro-units — a cluster's TOTAL
+    training mass stays ~one document, and the exact-integer weights stay
+    hash-comparable across engines. Returns (doc_id, weight_ppm) for docs
+    that appear in at least one pair; absent docs implicitly weigh
+    1_000_000 (the caller's left-join + coalesce).
+
+    Scale: the pair list is dedup OUTPUT (small); components converge in
+    O(cluster diameter) label-propagation rounds (near-dup clusters are
+    star-shaped — see connected_components); the size join is keyed on
+    component, O(#clusters) rows on the build side.
+    """
+    from pulsar_lunar_spark.operators.corpus import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    nodes = edges.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).distinct()
+    comp = connected_components(nodes, edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("__sz"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.expr("1000000L div __sz").cast("long").alias("weight_ppm"),
+    )

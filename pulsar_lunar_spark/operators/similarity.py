@@ -317,6 +317,67 @@ def blocked_cosine_pairs(
     return src.groupBy(block_col).applyInPandas(pairs, schema)
 
 
+def blocked_cross_modal_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    side_col: str = "side",
+    threshold: float = 0.40,
+) -> DataFrame:
+    """Cross-modal near-dup pairs within coarse blocks — the image↔text
+    pair-dedup primitive for multimodal training corpora: rows carry a
+    binary ``side_col`` (0 = one embedding tower, e.g. image; 1 = the
+    other, e.g. text), and each block computes ONE normalized rectangular
+    GEMM between its two sides (A·Bᵀ, |A|x|B| scores), emitting only
+    cross-side pairs with cosine >= threshold as (id_a side-0, id_b
+    side-1, cosine_sim). Same-side duplicates are q_dedup_embedding's
+    job; this finds captions re-used across images, frames re-used across
+    transcripts, etc.
+
+    Scale shape is identical to :func:`blocked_cosine_pairs` (one
+    groupBy(block) exchange, Arrow+BLAS per cell, O(|A|·|B|) per-block
+    score memory — size blocks like IVF cells), except the score matrix
+    is rectangular and no triangle masking is needed.
+    """
+    import pandas as pd
+
+    schema = "id_a long, id_b long, cosine_sim double"
+
+    def pairs(key, pdf):
+        import numpy as np
+
+        out_empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        a_pdf = pdf[pdf[side_col] == 0]
+        b_pdf = pdf[pdf[side_col] == 1]
+        if a_pdf.empty or b_pdf.empty:
+            return out_empty
+
+        def norm_mat(p):
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in p[vec_col]])
+            n = np.linalg.norm(x, axis=1)
+            n[n == 0.0] = 1.0
+            return x / n[:, None]
+
+        sims = norm_mat(a_pdf) @ norm_mat(b_pdf).T
+        ai, bi = np.nonzero(sims >= threshold)
+        return pd.DataFrame(
+            {
+                "id_a": a_pdf[id_col].to_numpy()[ai],
+                "id_b": b_pdf[id_col].to_numpy()[bi],
+                "cosine_sim": sims[ai, bi],
+            }
+        )
+
+    src = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.col(side_col),
+        _as_double(F.col(vec_col)).alias(vec_col),
+    )
+    return src.groupBy(block_col).applyInPandas(pairs, schema)
+
+
 def knn_join_gemm(
     queries: DataFrame,
     corpus: DataFrame,

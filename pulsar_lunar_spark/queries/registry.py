@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm7",
     "pulsar_lunar_spark.queries.llm8",
     "pulsar_lunar_spark.queries.llm9",
+    "pulsar_lunar_spark.queries.llm10",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -263,8 +264,13 @@ def all_queries() -> dict[str, QuerySpec]:
 # CORRECTNESS_r{N} greens into _DRIVER_CONFIRMED and clear/refill this
 # tuple with the new round's names.
 _NEWEST_FIRST = (
+    # round-7 additions (each registered with oracle + tests + plan budget
+    # + three-scale parity before the driver sees it)
+    "q_crossmodal_dedup",
+    "q_softdedup_weights",
+    "q_calibration_ece",
     # round-7 rewrites (plan changes to previously-confirmed queries)
-    "q_triangle_count",      # oriented edge list materialized once
+    "q_triangle_count",      # single-job edge-iterator form
     "q_dedup_source_matrix", # pair-list broadcast bounded by a size guard
 )
 

@@ -1,0 +1,69 @@
+"""Batch-10 operator semantics: cross-modal blocked GEMM pairs (side
+masking, block isolation), SoftDeDup cluster weights (exact integer
+weights per component), and calibration-bucket arithmetic invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import dedup as D
+from pulsar_lunar_spark.operators import similarity as S
+from pulsar_lunar_spark.queries import all_queries
+
+
+def test_cross_modal_pairs_only_cross_side_and_within_block(spark):
+    rows = [
+        # block 0: vec 0 (side 0) identical to vec 1 (side 1) -> pair;
+        # vec 2 (side 0) orthogonal to vec 1 -> no pair;
+        # vecs 0 and 2 are SAME side -> never compared even though cos=1
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),
+        (3, 0, [0.0, 1.0]),
+        # block 1: identical to vec 0 but a different block -> no pair
+        (5, 1, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"]).withColumn(
+        "side", (F.col("vec_id") % 2).cast("int")
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.cosine_sim, 6)
+        for r in S.blocked_cross_modal_pairs(
+            df, block_col="label", side_col="side", threshold=0.5
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0, (2, 1): 1.0}
+
+
+def test_cross_modal_empty_side_emits_nothing(spark):
+    rows = [(0, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0])]  # side-0 only
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"]).withColumn(
+        "side", (F.col("vec_id") % 2).cast("int")
+    )
+    assert (
+        S.blocked_cross_modal_pairs(
+            df, block_col="label", side_col="side", threshold=0.0
+        ).count()
+        == 0
+    )
+
+
+def test_softdedup_weights_exact_integer_per_cluster(spark):
+    # chain 1-2-3 (one component of 3) and pair 5-6 (component of 2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.weight_ppm for r in D.softdedup_weights(pairs).collect()}
+    assert got == {1: 333333, 2: 333333, 3: 333333, 5: 500000, 6: 500000}
+
+
+def test_calibration_buckets_internally_consistent(spark, sf_dir):
+    rows = all_queries()["q_calibration_ece"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert r.gap_ppm == abs(r.mean_pred_ppm - r.frac_pos_ppm)
+        assert 0 <= r.frac_pos_ppm <= 1_000_000
+        # every row carries the same global ECE, recomputable exactly
+        assert r.ece_ppm == sum(x.n * x.gap_ppm for x in rows) // total

@@ -52,6 +52,8 @@ PYTHON_OK = {
     "q_map_in_arrow",
     "q_apply_in_arrow",
     "q_row_ids",  # mapInPandas partition-offset enumeration (zipWithIndex pattern)
+    # round-7: rectangular blocked GEMM, same lane as q_dedup_embedding
+    "q_crossmodal_dedup",
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -264,6 +266,10 @@ EXCHANGE_BUDGETS = {
     "q_epoch_shuffle": (3, 3),  # two TakeOrdered heads + 10-row rank join
     "q_dedup_source_matrix": (4, 6),  # LSH pipeline + broadcast pair lookups
     "q_langid_f1": (4, 2),  # scoring pass x broadcast class list + one agg
+    # round-7 additions
+    "q_crossmodal_dedup": (3, 1),  # one groupBy(block) exchange + sort
+    "q_softdedup_weights": (7, 1),  # post-spool CC labels + source agg
+    "q_calibration_ece": (4, 2),  # doc agg + bucket agg + 10-row window
 }
 
 
