@@ -79,6 +79,10 @@ HEADLINE = [
     # round-6 additions (the two VERDICT-r5 plan rewrites, tracked)
     "q_hard_negatives",
     "q_curriculum_interleave",
+    # round-7 additions (+ the VERDICT-r6 plan rewrite, tracked)
+    "q_triangle_count",
+    "q_crossmodal_dedup",
+    "q_calibration_ece",
 ]
 
 
