@@ -236,6 +236,64 @@ def probes(spark, sf_dir: str, mult: int):
             )
         return [True]
 
+    def blocked_gemm_shape():
+        # blocked cosine pair family (q_dedup_embedding / q_semdedup /
+        # q_crossmodal_dedup): multiply BOTH vec_id and label, so each
+        # copy's vectors land in DISJOINT blocks — block SIZE stays
+        # constant while block COUNT grows with mult. That is the
+        # operator's documented 100 TB contract ("K grows with n so cells
+        # stay IVF-sized"): cost is O(sum block^2 · dim) = linear in
+        # corpus size at fixed cell size. Multiplying rows into the SAME
+        # blocks would instead grow per-block cost quadratically — by
+        # design, and exactly what the contract says not to do.
+        from pulsar_lunar_spark.operators.similarity import blocked_cosine_pairs
+
+        emb = multiply(
+            load_table(spark, sf_dir, "embeddings"), ["vec_id", "label"], mult
+        )
+        return (
+            blocked_cosine_pairs(
+                emb, id_col="vec_id", vec_col="embedding",
+                block_col="label", threshold=0.40,
+            )
+            .groupBy()
+            .count()
+            .collect()
+        )
+
+    def triangle_adjacency_shape():
+        # the round-7 q_triangle_count plan (orient_edges ->
+        # oriented_adjacency -> edge-iterator): multiply orderkeys AND
+        # suppkeys so each copy forms a DISJOINT co-occurrence subgraph —
+        # vertex and edge counts scale with mult at constant density, the
+        # honest graph-growth model (multiplying only rows would densify
+        # one fixed 300-node graph toward its K_300 ceiling instead).
+        from pulsar_lunar_spark.operators.graph import (
+            orient_edges,
+            oriented_adjacency,
+            triangle_count_adjacency,
+        )
+
+        lig = multiply(
+            load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 300),
+            ["l_orderkey", "l_suppkey"],
+            mult,
+        ).select("l_orderkey", "l_suppkey")
+        per_order = (
+            lig.groupBy("l_orderkey")
+            .agg(F.collect_set("l_suppkey").alias("ss"))
+            .filter(F.size("ss") >= 2)
+        )
+        edges = (
+            per_order.select(F.explode("ss").alias("src"), F.col("ss"))
+            .select("src", F.explode("ss").alias("dst"))
+            .filter(F.col("src") < F.col("dst"))
+            .distinct()
+        )
+        return triangle_count_adjacency(
+            oriented_adjacency(orient_edges(edges))
+        ).collect()
+
     def stream_join_state_shape():
         # q_stream_outer_join-shaped STATE probe (VERDICT r6 #4 — the one
         # remaining 100x-by-analogy claim): mult-x rows AND mult-x key
@@ -323,6 +381,8 @@ def probes(spark, sf_dir: str, mult: int):
         "dsir_importance": dsir_importance_shape,
         "dsir_importance_persist": dsir_importance_persist_shape,
         "gini_decimal": gini_decimal_shape,
+        "blocked_gemm_pairs": blocked_gemm_shape,
+        "triangle_adjacency": triangle_adjacency_shape,
         "stream_session_state": stream_session_state_shape,
         "stream_join_state": stream_join_state_shape,
         "containment_dfcap": containment_shape,
