@@ -175,11 +175,13 @@ def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _calibration_oracle() -> str:
+def _clf_p_sql() -> str:
+    """Shared oracle prefix: hashed-classifier per-doc score_ppm + the
+    n_chars>=300 proxy label, as the CTE chain weights->tok->scored->p
+    (p has columns doc_id, score_ppm, pos)."""
     from pulsar_lunar_spark.queries.llm5 import _CLF_BUCKETS, _WORDS, _md5_int_sql
 
-    return f"""
-    WITH weights AS (
+    return f"""weights AS (
         SELECT i AS bucket,
                {_md5_int_sql("CAST(i AS VARCHAR)", 6, "w-")} % 2001 - 1000 AS w
     FROM RANGE({_CLF_BUCKETS}) AS t(i)
@@ -193,12 +195,60 @@ def _calibration_oracle() -> str:
         JOIN weights w ON {_md5_int_sql("t.word", 6)} % {_CLF_BUCKETS} = w.bucket
         GROUP BY t.doc_id, t.n_chars
     ), p AS (
-        SELECT CAST(FLOOR(1000000.0
+        SELECT doc_id,
+               CAST(FLOOR(1000000.0
                           / (1.0 + EXP(-(logit_sum * 1.0 / n_tokens) / 100.0))
                           + 0.5) AS BIGINT) AS score_ppm,
                CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
         FROM scored
-    ), b AS (
+    )"""
+
+
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _clf_p_sql's ``p`` CTE: (doc_id, score_ppm BIGINT,
+    pos INT) — the hashed bag-of-words classifier score in exact ppm plus
+    the n_chars>=300 proxy label. One broadcast weight join + one doc
+    aggregate (the q_quality_classifier plan)."""
+    from pulsar_lunar_spark.queries.llm5 import _CLF_BUCKETS
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    weights = spark.range(_CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-") % 2001
+            - 1000
+        ).alias("w"),
+    )
+    tok = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    scored = (
+        tok.withColumn("bucket", C.md5_int(F.col("word"), hex_chars=6) % _CLF_BUCKETS)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.sum("w").cast("long").alias("logit_sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.floor(
+            1000000.0
+            / (1.0 + F.exp(-(F.col("logit_sum") / F.col("n_tokens")) / 100.0))
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_ppm"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pos"),
+    )
+
+
+def _calibration_oracle() -> str:
+    return f"""
+    WITH {_clf_p_sql()}, b AS (
         SELECT LEAST(score_ppm // 100000, 9) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(score_ppm) AS BIGINT) AS ssum,
@@ -240,40 +290,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     fastText-filter shape), one doc-level aggregate, a <=10-row bucket
     aggregate, and the ECE as a window sum over those <=10 rows (the only
     SinglePartition exchange)."""
-    from pulsar_lunar_spark.queries.llm5 import _CLF_BUCKETS
-
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    weights = spark.range(_CLF_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (
-            C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-") % 2001
-            - 1000
-        ).alias("w"),
-    )
-    tok = d.select(
-        "doc_id",
-        "n_chars",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
-    )
-    scored = (
-        tok.withColumn("bucket", C.md5_int(F.col("word"), hex_chars=6) % _CLF_BUCKETS)
-        .join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id", "n_chars")
-        .agg(
-            F.sum("w").cast("long").alias("logit_sum"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-    )
-    p = scored.select(
-        F.floor(
-            1000000.0
-            / (1.0 + F.exp(-(F.col("logit_sum") / F.col("n_tokens")) / 100.0))
-            + 0.5
-        )
-        .cast("long")
-        .alias("score_ppm"),
-        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pos"),
-    )
+    p = _clf_scored(spark, sf_dir)
     b = (
         p.groupBy(
             F.least(F.expr("score_ppm div 100000"), F.lit(9)).alias("bucket")
@@ -308,3 +325,241 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ece_ppm"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Classifier operating-point sweep: P/R/F1 at each score threshold
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (300_000, 400_000, 500_000, 600_000, 700_000)
+
+
+def _threshold_sweep_oracle() -> str:
+    thr = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH {_clf_p_sql()}, thr AS (
+        SELECT UNNEST([{thr}]) AS thr_ppm
+    ), m AS (
+        SELECT t.thr_ppm,
+               CAST(SUM(CASE WHEN p.score_ppm >= t.thr_ppm THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN p.score_ppm >= t.thr_ppm AND p.pos = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN p.score_ppm >= t.thr_ppm AND p.pos = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN p.score_ppm < t.thr_ppm AND p.pos = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM p CROSS JOIN thr t GROUP BY t.thr_ppm
+    )
+    SELECT CAST(thr_ppm AS BIGINT) AS thr_ppm, n_flagged, tp, fp, fn,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                     ELSE (1000000 * tp) // (tp + fp) END AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+                     ELSE (1000000 * tp) // (tp + fn) END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN tp = 0 THEN 0
+                     ELSE (2 * ((1000000 * tp) // (tp + fp))
+                             * ((1000000 * tp) // (tp + fn)))
+                          // (((1000000 * tp) // (tp + fp))
+                              + ((1000000 * tp) // (tp + fn))) END AS BIGINT)
+               AS f1_ppm
+    FROM m ORDER BY thr_ppm
+    """
+
+
+@register(
+    "q_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
+    tags=("llm", "quality", "classifier", "eval", "threshold"),
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the hashed quality classifier: exact
+    precision/recall/F1 (ppm integers) at five score thresholds against
+    the n_chars>=300 proxy label — the table a curation team reads to
+    pick the filter cutoff (alongside q_calibration_ece, which says
+    whether the scores can be trusted BETWEEN the operating points).
+
+    Plan: ONE scoring pass (the broadcast weight join) cross-joined with
+    the 5-literal threshold array via explode, then a 5-row conditional
+    aggregate — the threshold sweep multiplies the per-doc stream 5x
+    INSIDE the aggregate's map side, never re-scoring the corpus per
+    threshold. F1 is computed from the ppm-floored P and R on both
+    engines (identical integer steps => identical hash); all divisions
+    guard zero denominators."""
+    p = _clf_scored(spark, sf_dir)
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    ).alias("thr_ppm")
+    m = (
+        p.select("score_ppm", "pos", thr)
+        .groupBy("thr_ppm")
+        .agg(
+            F.count(F.when(F.col("score_ppm") >= F.col("thr_ppm"), 1))
+            .cast("long")
+            .alias("n_flagged"),
+            F.count(
+                F.when((F.col("score_ppm") >= F.col("thr_ppm")) & (F.col("pos") == 1), 1)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.count(
+                F.when((F.col("score_ppm") >= F.col("thr_ppm")) & (F.col("pos") == 0), 1)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.count(
+                F.when((F.col("score_ppm") < F.col("thr_ppm")) & (F.col("pos") == 1), 1)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0)).otherwise(
+        F.expr("(1000000L * tp) div (tp + fp)")
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0)).otherwise(
+        F.expr("(1000000L * tp) div (tp + fn)")
+    )
+    withpr = m.select(
+        F.col("thr_ppm").cast("long").alias("thr_ppm"),
+        "n_flagged",
+        "tp",
+        "fp",
+        "fn",
+        prec.cast("long").alias("precision_ppm"),
+        rec.cast("long").alias("recall_ppm"),
+    )
+    f1 = F.when(F.col("tp") == 0, F.lit(0)).otherwise(
+        F.expr(
+            "(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)"
+        )
+    )
+    return withpr.select(
+        "thr_ppm", "n_flagged", "tp", "fp", "fn",
+        "precision_ppm", "recall_ppm",
+        f1.cast("long").alias("f1_ppm"),
+    ).orderBy("thr_ppm")
+
+
+# ---------------------------------------------------------------------------
+# Filter agreement: Cohen's kappa between the rule filter and the classifier
+# ---------------------------------------------------------------------------
+
+
+def _filter_agreement_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm5 import _WORDS
+
+    return f"""
+    WITH {_clf_p_sql()}, rule AS (
+        SELECT doc_id,
+               CASE WHEN LEN(words) >= 15
+                         AND LEN(LIST_DISTINCT(words)) * 5 >= LEN(words) * 2
+                    THEN 1 ELSE 0 END AS a
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ), both_f AS (
+        SELECT r.a, CASE WHEN p.score_ppm >= 500000 THEN 1 ELSE 0 END AS b
+        FROM rule r JOIN p ON r.doc_id = p.doc_id
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_rule,
+               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_clf,
+               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        FROM both_f
+    ), k AS (
+        SELECT n, n_both, n_only_rule, n_only_clf, n_neither,
+               (1000000 * (n_both + n_neither)) // n AS po_ppm,
+               (1000000 * ((n_both + n_only_rule) * (n_both + n_only_clf)
+                           + (n_only_clf + n_neither) * (n_only_rule + n_neither)))
+                   // (n * n) AS pe_ppm
+        FROM c
+    )
+    SELECT n, n_both, n_only_rule, n_only_clf, n_neither,
+           CAST(po_ppm AS BIGINT) AS po_ppm,
+           CAST(pe_ppm AS BIGINT) AS pe_ppm,
+           CAST(CASE WHEN pe_ppm = 1000000 THEN 0
+                     WHEN po_ppm >= pe_ppm
+                     THEN (1000000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm)
+                     ELSE -((1000000 * (pe_ppm - po_ppm)) // (1000000 - pe_ppm))
+                END AS BIGINT) AS kappa_ppm
+    FROM k
+    """
+
+
+@register(
+    "q_filter_agreement",
+    oracle=_filter_agreement_oracle(),
+    tags=("llm", "quality", "eval", "agreement", "kappa"),
+)
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality filters — the rule filter
+    (>=15 words AND distinct/total >= 0.4, integer cross-multiplied) and
+    the hashed classifier at its 0.5 operating point. Chance-corrected
+    agreement is the number that tells a team whether a cheap rule can
+    stand in for the classifier (kappa ~ 1) or the two disagree beyond
+    their base rates (kappa ~ 0). All exact ppm integers; the negative
+    branch is made explicit (sign * non-negative DIV) because Spark's
+    div FLOORS while DuckDB's // truncates toward zero — they agree only
+    on non-negative numerators (round-2 lesson).
+
+    Plan: the rule flags are a scan-level projection (split + distinct
+    size — no shuffle), the classifier side is the shared scoring pass,
+    one 60k-row join on doc_id, then a single 1-row aggregate."""
+    p = _clf_scored(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(normalize_text(F.col("text")), " ")
+    rule = d.select(
+        "doc_id",
+        F.when(
+            (F.size(words) >= 15)
+            & (F.size(F.array_distinct(words)) * 5 >= F.size(words) * 2),
+            1,
+        )
+        .otherwise(0)
+        .alias("a"),
+    )
+    joined = rule.join(
+        p.select("doc_id", F.when(F.col("score_ppm") >= 500_000, 1).otherwise(0).alias("b")),
+        "doc_id",
+    )
+    c = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("n_both"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("n_only_rule"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("n_only_clf"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    k = c.select(
+        "n", "n_both", "n_only_rule", "n_only_clf", "n_neither",
+        F.expr("(1000000L * (n_both + n_neither)) div n").alias("po_ppm"),
+        F.expr(
+            "(1000000L * ((n_both + n_only_rule) * (n_both + n_only_clf)"
+            " + (n_only_clf + n_neither) * (n_only_rule + n_neither)))"
+            " div (n * n)"
+        ).alias("pe_ppm"),
+    )
+    kappa = (
+        F.when(F.col("pe_ppm") == 1_000_000, F.lit(0))
+        .when(
+            F.col("po_ppm") >= F.col("pe_ppm"),
+            F.expr("(1000000L * (po_ppm - pe_ppm)) div (1000000L - pe_ppm)"),
+        )
+        .otherwise(
+            -F.expr("(1000000L * (pe_ppm - po_ppm)) div (1000000L - pe_ppm)")
+        )
+    )
+    return k.select(
+        "n", "n_both", "n_only_rule", "n_only_clf", "n_neither",
+        F.col("po_ppm").cast("long").alias("po_ppm"),
+        F.col("pe_ppm").cast("long").alias("pe_ppm"),
+        kappa.cast("long").alias("kappa_ppm"),
+    )

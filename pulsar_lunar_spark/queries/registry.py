@@ -269,6 +269,8 @@ _NEWEST_FIRST = (
     "q_crossmodal_dedup",
     "q_softdedup_weights",
     "q_calibration_ece",
+    "q_threshold_sweep",
+    "q_filter_agreement",
     # round-7 rewrites (plan changes to previously-confirmed queries)
     "q_triangle_count",      # single-job edge-iterator form
     "q_dedup_source_matrix", # pair-list broadcast bounded by a size guard

@@ -67,3 +67,47 @@ def test_calibration_buckets_internally_consistent(spark, sf_dir):
         assert 0 <= r.frac_pos_ppm <= 1_000_000
         # every row carries the same global ECE, recomputable exactly
         assert r.ece_ppm == sum(x.n * x.gap_ppm for x in rows) // total
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    rows = all_queries()["q_threshold_sweep"].fn(spark, sf_dir).collect()
+    assert [r.thr_ppm for r in rows] == sorted(r.thr_ppm for r in rows)
+    positives = {r.tp + r.fn for r in rows}
+    assert len(positives) == 1  # the label set does not depend on the threshold
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_flagged <= a.n_flagged  # higher cutoff flags fewer
+        assert b.recall_ppm <= a.recall_ppm  # recall only falls
+    for r in rows:
+        assert r.n_flagged == r.tp + r.fp
+        if r.tp:
+            assert r.precision_ppm == 1_000_000 * r.tp // (r.tp + r.fp)
+            assert r.recall_ppm == 1_000_000 * r.tp // (r.tp + r.fn)
+            assert r.f1_ppm == (2 * r.precision_ppm * r.recall_ppm) // (
+                r.precision_ppm + r.recall_ppm
+            )
+
+
+def test_filter_agreement_kappa_recomputes(spark, sf_dir):
+    r = all_queries()["q_filter_agreement"].fn(spark, sf_dir).collect()[0]
+    assert r.n == r.n_both + r.n_only_rule + r.n_only_clf + r.n_neither
+    po = 1_000_000 * (r.n_both + r.n_neither) // r.n
+    pe = (
+        1_000_000
+        * (
+            (r.n_both + r.n_only_rule) * (r.n_both + r.n_only_clf)
+            + (r.n_only_clf + r.n_neither) * (r.n_only_rule + r.n_neither)
+        )
+        // (r.n * r.n)
+    )
+    assert (r.po_ppm, r.pe_ppm) == (po, pe)
+    want = (
+        0
+        if pe == 1_000_000
+        else (
+            1_000_000 * (po - pe) // (1_000_000 - pe)
+            if po >= pe
+            else -(1_000_000 * (pe - po) // (1_000_000 - pe))
+        )
+    )
+    assert r.kappa_ppm == want
+    assert -1_000_000 <= r.kappa_ppm <= 1_000_000

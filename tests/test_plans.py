@@ -270,6 +270,8 @@ EXCHANGE_BUDGETS = {
     "q_crossmodal_dedup": (3, 1),  # one groupBy(block) exchange + sort
     "q_softdedup_weights": (7, 1),  # post-spool CC labels + source agg
     "q_calibration_ece": (4, 2),  # doc agg + bucket agg + 10-row window
+    "q_threshold_sweep": (4, 2),  # one scoring pass x 5-literal explode
+    "q_filter_agreement": (3, 3),  # rule projection join scoring pass
 }
 
 
