@@ -563,3 +563,209 @@ def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pe_ppm").cast("long").alias("pe_ppm"),
         kappa.cast("long").alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-constrained mixture selection (quota per source, then fill)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_TOKENS = 100_000
+
+
+@register(
+    "q_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(LEN(STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)),
+                                                    '\\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens,
+               CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('mix-',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS priority
+        FROM documents
+    ), w AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT)
+                   AS w_milli
+        FROM t GROUP BY source
+    ), q AS (
+        SELECT source, n_docs, w_milli,
+               CAST(({_MIX_BUDGET_TOKENS} * w_milli)
+                    // (SELECT SUM(w_milli) FROM w) AS BIGINT) AS quota_tokens
+        FROM w
+    ), ranked AS (
+        SELECT t.source, t.n_tokens,
+               SUM(t.n_tokens) OVER (PARTITION BY t.source
+                                     ORDER BY t.priority, t.doc_id) AS cum_tokens
+        FROM t
+    )
+    SELECT q.source, q.n_docs, q.w_milli, q.quota_tokens,
+           CAST(COALESCE(SUM(CASE WHEN r.cum_tokens <= q.quota_tokens
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(CASE WHEN r.cum_tokens <= q.quota_tokens
+                                  THEN r.n_tokens ELSE 0 END), 0) AS BIGINT)
+               AS tokens_selected
+    FROM q LEFT JOIN ranked r ON r.source = q.source
+    GROUP BY q.source, q.n_docs, q.w_milli, q.quota_tokens
+    ORDER BY q.source
+    """,
+    tags=("llm", "mixture", "sampling", "budget", "training-prep"),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained mixture selection — the step after
+    q_temperature_mixture: turn the alpha=0.5 source weights into exact
+    per-source TOKEN quotas for a fixed training budget, then fill each
+    quota deterministically (docs ordered by a salted md5 priority — the
+    q_sample_weighted discipline, no RNG stream) until the next doc would
+    overflow it. Output per source: weight, quota, and exactly what the
+    greedy fill selected. This is the table a pretraining run's data
+    loader is actually built from.
+
+    All-integer: token counts are word counts, weights are
+    FLOOR(SQRT(n)*1000) (IEEE sqrt engine-exact), quotas and fills are
+    BIGINT DIV / cumulative sums — no float anywhere. Plan: one doc-level
+    projection, one per-source count aggregate (broadcast back), one
+    per-source cumulative-sum window (shuffles on source — at 100 TB the
+    window key is the 16-source dimension, so use the zipWithIndex shard
+    form per source if a single source outgrows one partition's sort)."""
+    from pulsar_lunar_spark.queries.llm5 import _md5_int_sql  # noqa: F401  (oracle twin documented)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(normalize_text(F.col("text")), " ")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("long").alias("n_tokens"),
+        C.md5_int(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")), hex_chars=15)
+        .alias("priority"),
+    )
+    w = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+        .cast("long")
+        .alias("w_milli"),
+    )
+    total_w = w.agg(F.sum("w_milli").alias("__tw"))
+    q = w.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        "n_docs",
+        "w_milli",
+        F.expr(f"({_MIX_BUDGET_TOKENS}L * w_milli) div __tw")
+        .cast("long")
+        .alias("quota_tokens"),
+    )
+    cum = t.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(Window.partitionBy("source").orderBy("priority", "doc_id"))
+        .alias("cum_tokens"),
+    )
+    return (
+        q.join(cum, "source", "left")
+        .groupBy("source", "n_docs", "w_milli", "quota_tokens")
+        .agg(
+            F.coalesce(
+                F.count(F.when(F.col("cum_tokens") <= F.col("quota_tokens"), 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_selected"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cum_tokens") <= F.col("quota_tokens"),
+                        F.col("n_tokens"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val split (exact-dup groups never span splits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, source,
+               MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS grp
+        FROM documents
+    ), s AS (
+        SELECT doc_id, source, grp,
+               CASE WHEN SUBSTR(MD5(CONCAT('split-', grp)), 1, 2) < '1a'
+                    THEN 'val' ELSE 'train' END AS split
+        FROM g
+    ), leak AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky
+        FROM (SELECT grp FROM s GROUP BY grp
+              HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT s.source, s.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.grp) AS BIGINT) AS n_groups,
+           (SELECT n_leaky FROM leak) AS n_leaky_groups
+    FROM s GROUP BY s.source, s.split ORDER BY s.source, s.split
+    """,
+    tags=("llm", "split", "leakage", "eval", "training-prep"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val split — the GroupShuffleSplit discipline for
+    training data: the split decision hashes the DUPLICATE-GROUP key
+    (md5 of normalized text — exact-dup groups; at production scale the
+    near-dup component id from q_softdedup_weights slots in as the same
+    key), so every copy of a document lands in the SAME split and the
+    val set cannot leak into train through duplicates. ~10% to val via
+    an md5-prefix band (deterministic, no RNG — the q_sample_stratified
+    discipline). Output: per-(source, split) doc/group counts plus the
+    corpus-wide count of groups spanning both splits — 0 by construction,
+    and the oracle proves it rather than assuming it.
+
+    Plan: one scan-level projection (normalize + two md5s — all JVM
+    codegen), one aggregate; the leak check is a HAVING over the group
+    aggregate (broadcast 1-row back onto the 32-row result)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "source",
+        F.md5(normalize_text(F.col("text"))).alias("grp"),
+    )
+    s = g.select(
+        "source",
+        "grp",
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("split-"), F.col("grp"))), 1, 2)
+            < "1a",
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    leak = (
+        s.groupBy("grp")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_groups"))
+    )
+    return (
+        s.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("grp").cast("long").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("source", "split", "n_docs", "n_groups", "n_leaky_groups")
+        .orderBy("source", "split")
+    )

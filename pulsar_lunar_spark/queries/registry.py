@@ -271,6 +271,8 @@ _NEWEST_FIRST = (
     "q_calibration_ece",
     "q_threshold_sweep",
     "q_filter_agreement",
+    "q_token_budget_mix",
+    "q_leakage_safe_split",
     # round-7 rewrites (plan changes to previously-confirmed queries)
     "q_triangle_count",      # single-job edge-iterator form
     "q_dedup_source_matrix", # pair-list broadcast bounded by a size guard

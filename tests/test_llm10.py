@@ -111,3 +111,46 @@ def test_filter_agreement_kappa_recomputes(spark, sf_dir):
     )
     assert r.kappa_ppm == want
     assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+
+
+def test_token_budget_mix_fills_quota_greedily(spark, sf_dir):
+    import hashlib
+
+    from pulsar_lunar_spark.session import load_table
+
+    rows = all_queries()["q_token_budget_mix"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+
+    def norm_tokens(t):
+        return len(" ".join(t.strip().lower().split()).split(" "))
+
+    def pri(doc_id):
+        return int(hashlib.md5(f"mix-{doc_id}".encode()).hexdigest()[:15], 16)
+
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append((pri(d.doc_id), d.doc_id, norm_tokens(d.text)))
+    for r in rows:
+        assert r.tokens_selected <= r.quota_tokens
+        assert r.n_selected <= r.n_docs
+        # exact greedy replay: cumulative fill in priority order
+        cum = n = tok = 0
+        for _, _, nt in sorted(by_src[r.source]):
+            cum += nt
+            if cum > r.quota_tokens:
+                break
+            n += 1
+            tok += nt
+        assert (r.n_selected, r.tokens_selected) == (n, tok)
+
+
+def test_leakage_safe_split_has_zero_leaky_groups(spark, sf_dir):
+    from pulsar_lunar_spark.session import load_table
+
+    rows = all_queries()["q_leakage_safe_split"].fn(spark, sf_dir).collect()
+    assert rows and all(r.n_leaky_groups == 0 for r in rows)
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val"} and "train" in splits

@@ -73,6 +73,8 @@ CARTESIAN_OK = {
     "q_pmi_collocations",  # single-row broadcast total-token side
     "q_assoc_rules",  # single-row broadcast basket-total side
     "q_dq_checks",  # 5 bounded (1-row violation-count x 1-row total) pairs
+    "q_token_budget_mix",  # single-row broadcast weight-total side
+    "q_leakage_safe_split",  # single-row broadcast leak-count side
     "q_chi2_cells",  # single-row broadcast grand-total side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
 }
@@ -272,6 +274,8 @@ EXCHANGE_BUDGETS = {
     "q_calibration_ece": (4, 2),  # doc agg + bucket agg + 10-row window
     "q_threshold_sweep": (4, 2),  # one scoring pass x 5-literal explode
     "q_filter_agreement": (3, 3),  # rule projection join scoring pass
+    "q_token_budget_mix": (6, 3),  # count agg + quota bc + per-source cumsum
+    "q_leakage_safe_split": (7, 2),  # group agg + leak HAVING + 1-row bc
 }
 
 
