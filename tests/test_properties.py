@@ -265,3 +265,75 @@ def test_span_corruption_reconstruction_property(spark, word_counts):
         for t in r["input_text"].split(" "):
             rebuilt.extend(spans[t] if t in spans else [t])
         assert " ".join(rebuilt) == originals[r["doc_id"]]
+
+
+# --- round-7 graph + reweighting operators -------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=40,
+).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es}))
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edge_lists)
+def test_triangle_forms_match_bruteforce_property(spark, edges):
+    """For ANY undirected graph: both the wedge-join and edge-iterator
+    triangle counts equal brute force, and orientation emits exactly one
+    row per edge."""
+    from pulsar_lunar_spark.operators import graph as G
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nodes = sorted(nbrs)
+    want = sum(
+        1
+        for i, u in enumerate(nodes)
+        for v in nodes[i + 1 :]
+        if v in nbrs[u]
+        for w in nodes
+        if w > v and w in nbrs[u] and w in nbrs[v]
+    )
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    oriented = G.orient_edges(edf)
+    rows = oriented.collect()
+    assert len(rows) == len(edges)
+    assert {(min(r.a, r.b), max(r.a, r.b)) for r in rows} == set(edges)
+    got_wedge = G.triangle_count_oriented(oriented).collect()[0].n_triangles
+    it = G.triangle_count_adjacency(G.oriented_adjacency(oriented)).collect()[0]
+    assert got_wedge == want
+    assert it.n_triangles == want
+    assert it.n_edges == len(edges)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edge_lists)
+def test_softdedup_weights_match_unionfind_property(spark, pairs):
+    """For ANY pair list: weight_ppm == 1e6 // component size under a
+    python union-find reference, for every doc appearing in a pair."""
+    from pulsar_lunar_spark.operators.dedup import softdedup_weights
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes: dict[int, int] = {}
+    for n in list(parent):
+        sizes[find(n)] = sizes.get(find(n), 0) + 1
+    want = {n: 1_000_000 // sizes[find(n)] for n in parent}
+
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.doc_id: r.weight_ppm for r in softdedup_weights(pdf).collect()}
+    assert got == want
