@@ -9,7 +9,15 @@ curation team reaches for after round 6's selection/training-prep set —
   deduplication), exact integer micro-unit weights;
 - classifier calibration (``q_calibration_ece``): reliability buckets +
   expected calibration error for the hashed quality classifier, all exact
-  ppm integers — the calibration-eval twin of q_langid_f1.
+  ppm integers — the calibration-eval twin of q_langid_f1;
+- classifier operating-point sweep (``q_threshold_sweep``): exact P/R/F1
+  at five thresholds from one scoring pass;
+- filter agreement (``q_filter_agreement``): Cohen's kappa between the
+  rule filter and the classifier, sign-explicit integer DIV;
+- token-budget mixture fill (``q_token_budget_mix``): alpha=0.5 weights
+  -> exact token quotas -> deterministic greedy fill per source;
+- leakage-safe split (``q_leakage_safe_split``): train/val assignment
+  hashed on the duplicate-GROUP key so copies never span splits.
 
 Determinism discipline: cosines rounded to 6 on both sides (float-ranking
 rule); weights/calibration are integer ppm arithmetic end-to-end (BIGINT
