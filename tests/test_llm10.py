@@ -154,3 +154,14 @@ def test_leakage_safe_split_has_zero_leaky_groups(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total
     splits = {r.split for r in rows}
     assert splits <= {"train", "val"} and "train" in splits
+
+
+def test_softdedup_weights_empty_pairs(spark):
+    # a corpus with no near-dups must yield an empty weight table (every
+    # doc then weighs 1e6 via the caller's left-join + coalesce)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+    )
+    assert D.softdedup_weights(empty).count() == 0
