@@ -105,6 +105,8 @@ def connected_components(
     adversarially long chains swap the step for large-star/small-star,
     same driver loop.
     """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     sym = edges.select(
         F.col("src").cast("long").alias("s"), F.col("dst").cast("long").alias("d")
     )
@@ -140,8 +142,18 @@ def connected_components(
         )
         labels = updated
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    # Exhausting the loop with labels still moving means a component whose
+    # diameter exceeds max_iterations: returning the half-propagated labels
+    # would silently split one component into several (and inflate any
+    # per-cluster statistic built on top, e.g. softdedup weights — ADVICE
+    # r7). Fail loudly; callers with adversarially deep chains should raise
+    # max_iterations or switch the step to large-star/small-star.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        f"iterations ({n_changed} labels still changing); raise "
+        "max_iterations for graphs with diameter above this bound"
+    )
 
 
 def canonical_ids(components: DataFrame) -> DataFrame:

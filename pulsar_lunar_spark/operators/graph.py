@@ -186,7 +186,15 @@ def triangle_count_adjacency(adj: DataFrame) -> DataFrame:
             "w",
             "left",
         ).agg(
-            F.sum(F.coalesce(F.size(F.array_intersect("nb_u", "nb_w")), F.lit(0)))
+            # outer coalesce: SUM over ZERO rows (edgeless adjacency) is
+            # NULL — an empty graph must yield (0, 0) like the other
+            # triangle forms, not (NULL, 0) (ADVICE r7).
+            F.coalesce(
+                F.sum(
+                    F.coalesce(F.size(F.array_intersect("nb_u", "nb_w")), F.lit(0))
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_triangles"),
             F.count(F.lit(1)).alias("n_edges"),

@@ -475,13 +475,18 @@ def _filter_agreement_oracle() -> str:
                CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_clf,
                CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
         FROM both_f
-    ), k AS (
+    ), m AS (
         SELECT n, n_both, n_only_rule, n_only_clf, n_neither,
                (1000000 * (n_both + n_neither)) // n AS po_ppm,
-               (1000000 * ((n_both + n_only_rule) * (n_both + n_only_clf)
-                           + (n_only_clf + n_neither) * (n_only_rule + n_neither)))
-                   // (n * n) AS pe_ppm
+               (1000000 * (n_both + n_only_rule)) // n AS pa_ppm,
+               (1000000 * (n_both + n_only_clf)) // n AS pb_ppm
         FROM c
+    ), k AS (
+        SELECT n, n_both, n_only_rule, n_only_clf, n_neither, po_ppm,
+               (pa_ppm * pb_ppm
+                + (1000000 - pa_ppm) * (1000000 - pb_ppm)) // 1000000
+                   AS pe_ppm
+        FROM m
     )
     SELECT n, n_both, n_only_rule, n_only_clf, n_neither,
            CAST(po_ppm AS BIGINT) AS po_ppm,
@@ -507,9 +512,13 @@ def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement is the number that tells a team whether a cheap rule can
     stand in for the classifier (kappa ~ 1) or the two disagree beyond
     their base rates (kappa ~ 0). All exact ppm integers; the negative
-    branch is made explicit (sign * non-negative DIV) because Spark's
-    div FLOORS while DuckDB's // truncates toward zero — they agree only
-    on non-negative numerators (round-2 lesson).
+    branch is made explicit (sign * non-negative DIV) because DuckDB's
+    // FLOORS while Spark's div truncates toward zero — they agree only
+    on non-negative numerators (round-2 lesson). Chance agreement is
+    computed from ppm marginals (pa_ppm, pb_ppm first, then
+    pe = pa*pb + (1-pa)*(1-pb) in ppm) so no intermediate exceeds 1e12
+    — the direct count-product form overflows int64 once n > ~3M docs,
+    exactly the scale this query targets (ADVICE r7).
 
     Plan: the rule flags are a scan-level projection (split + distinct
     size — no shuffle), the classifier side is the shared scoring pass,
@@ -546,13 +555,17 @@ def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_neither"),
     )
-    k = c.select(
+    m = c.select(
         "n", "n_both", "n_only_rule", "n_only_clf", "n_neither",
         F.expr("(1000000L * (n_both + n_neither)) div n").alias("po_ppm"),
+        F.expr("(1000000L * (n_both + n_only_rule)) div n").alias("pa_ppm"),
+        F.expr("(1000000L * (n_both + n_only_clf)) div n").alias("pb_ppm"),
+    )
+    k = m.select(
+        "n", "n_both", "n_only_rule", "n_only_clf", "n_neither", "po_ppm",
         F.expr(
-            "(1000000L * ((n_both + n_only_rule) * (n_both + n_only_clf)"
-            " + (n_only_clf + n_neither) * (n_only_rule + n_neither)))"
-            " div (n * n)"
+            "(pa_ppm * pb_ppm"
+            " + (1000000L - pa_ppm) * (1000000L - pb_ppm)) div 1000000L"
         ).alias("pe_ppm"),
     )
     kappa = (

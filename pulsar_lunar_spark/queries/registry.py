@@ -196,6 +196,12 @@ _DRIVER_CONFIRMED = frozenset(
         "q_string_agg", "q_temperature_mixture", "q_tokenizer_fertility",
         "q_trimmed_mean", "q_unpivot", "q_value_histogram",
         "q_zscore_outliers",
+        # round 7 (CORRECTNESS_r07.json, 50/50 green — 7 additions, 2
+        # rewrites re-confirmed via the _NEWEST_FIRST override, 41
+        # re-confirmations; ledger stays closed at 278)
+        "q_crossmodal_dedup", "q_softdedup_weights", "q_calibration_ece",
+        "q_threshold_sweep", "q_filter_agreement", "q_token_budget_mix",
+        "q_leakage_safe_split",
     }
 )
 
@@ -263,18 +269,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # plan — ADVICE r6).  Rotation each round: fold the latest
 # CORRECTNESS_r{N} greens into _DRIVER_CONFIRMED and clear/refill this
 # tuple with the new round's names.
-_NEWEST_FIRST = (
-    # round-7 additions (each registered with oracle + tests + plan budget
-    # + three-scale parity before the driver sees it)
-    "q_crossmodal_dedup",
-    "q_softdedup_weights",
-    "q_calibration_ece",
-    "q_threshold_sweep",
-    "q_filter_agreement",
-    "q_token_budget_mix",
-    "q_leakage_safe_split",
-    # round-7 rewrites (plan changes to previously-confirmed queries)
-    "q_triangle_count",      # single-job edge-iterator form
-    "q_dedup_source_matrix", # pair-list broadcast bounded by a size guard
+_NEWEST_FIRST: tuple[str, ...] = (
+    # round-8 additions/rewrites are appended here as they land (each
+    # registered with oracle + tests + plan budget + three-scale parity
+    # before the driver sees it).
+    # round-8 rewrites
+    "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
 )
 

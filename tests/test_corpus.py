@@ -61,6 +61,23 @@ def test_connected_components_long_chain_converges(spark):
     assert {r["component"] for r in comp.collect()} == {0}
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    # a diameter-5 chain cannot finish min-label propagation in 2
+    # iterations; returning split components would silently corrupt any
+    # per-cluster statistic built on top, so the operator must refuse
+    import pytest
+
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        C.connected_components(nodes, edges, max_iterations=2)
+    with pytest.raises(ValueError, match="max_iterations"):
+        C.connected_components(nodes, edges, max_iterations=0)
+
+
 def test_sample_flag_deterministic_and_stratified(spark):
     df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
     keep = C.sample_flag(F.col("doc_id"), "29")

@@ -91,14 +91,12 @@ def test_filter_agreement_kappa_recomputes(spark, sf_dir):
     r = all_queries()["q_filter_agreement"].fn(spark, sf_dir).collect()[0]
     assert r.n == r.n_both + r.n_only_rule + r.n_only_clf + r.n_neither
     po = 1_000_000 * (r.n_both + r.n_neither) // r.n
-    pe = (
-        1_000_000
-        * (
-            (r.n_both + r.n_only_rule) * (r.n_both + r.n_only_clf)
-            + (r.n_only_clf + r.n_neither) * (r.n_only_rule + r.n_neither)
-        )
-        // (r.n * r.n)
-    )
+    # chance agreement via ppm marginals — the overflow-safe form (no
+    # intermediate above 1e12, vs n^2-scaled count products that wrap
+    # int64 past ~3M docs)
+    pa = 1_000_000 * (r.n_both + r.n_only_rule) // r.n
+    pb = 1_000_000 * (r.n_both + r.n_only_clf) // r.n
+    pe = (pa * pb + (1_000_000 - pa) * (1_000_000 - pb)) // 1_000_000
     assert (r.po_ppm, r.pe_ppm) == (po, pe)
     want = (
         0

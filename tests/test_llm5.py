@@ -222,3 +222,12 @@ def test_triangle_forms_agree_with_brute_force(spark):
     assert it.n_triangles == want
     assert it.n_edges == len(edges)
     assert G.triangle_count(edf).collect()[0].n_triangles == want
+
+
+def test_triangle_adjacency_empty_graph_yields_zero(spark):
+    # contract parity with the other forms: an edgeless input is (0, 0),
+    # not (NULL, 0) — SUM over zero rows is NULL without the coalesce
+    empty = spark.createDataFrame([], "a long, nb array<long>")
+    row = G.triangle_count_adjacency(empty).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_edges == 0
