@@ -47,6 +47,37 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scoped execution confs for q_triangle_count (restored in finally): with
+# two-bigint output the wall is stage-scheduling floors, which scale with
+# the shuffle partition count on tiny inputs; the 4 MB advisory keeps AQE
+# coalesce from collapsing the one data-bearing exchange to a single task.
+_TRI_CONFS = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+}
+
+
+def _triangle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed single-job edge-iterator plan (lazy). The plan
+    asserts in tests/test_plans.py target THIS frame (executed under
+    _TRI_CONFS, exactly as the registered query runs it); the registered
+    query collects it eagerly inside the scoped-conf window and returns
+    the localized two-bigint result."""
+    from pulsar_lunar_spark.operators.graph import (
+        orient_edges,
+        oriented_adjacency,
+        triangle_count_adjacency,
+    )
+
+    res = triangle_count_adjacency(
+        oriented_adjacency(orient_edges(_supplier_edges(spark, sf_dir)))
+    )
+    return res.select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+    )
+
+
 @register(
     "q_triangle_count",
     oracle="""
@@ -90,20 +121,33 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     spooled to tmpfs + second job 1.9 s (spool write + read-back jobs cost
     more than the folded reuse), spool + wedge-join 2.1 s (the wedge
     stream is O(sum out-deg^2) rows).
-    """
-    from pulsar_lunar_spark.operators.graph import (
-        orient_edges,
-        oriented_adjacency,
-        triangle_count_adjacency,
-    )
 
-    res = triangle_count_adjacency(
-        oriented_adjacency(orient_edges(_supplier_edges(spark, sf_dir)))
-    )
-    return res.select(
-        F.col("n_triangles").cast("long").alias("n_triangles"),
-        F.col("n_edges").cast("long").alias("n_edges"),
-    )
+    Round-8 shave (VERDICT r7 #3): the remaining wall is ~8 sequential
+    stage boundaries whose scheduling floor scales with the shuffle
+    partition count, so the query now executes under scoped confs
+    (_TRI_CONFS: 8 shuffle partitions + a 4 MB AQE advisory so coalesce
+    keeps parallelism where the data is) via the same eager
+    set->collect->restore-in-finally pattern as q_aqe_skew_join — the
+    result is two bigints, so localizing it costs nothing at any scale,
+    and the conf write cannot leak into other queries' plans. Measured
+    same-session A/B at sf0.1: plain 1.79 s median-of-5, scoped 1.51 s
+    (reps down to 1.43). At cluster scale the scoped values are a no-op
+    posture: AQE coalesce already right-sizes real data volumes.
+    """
+    prev = {k: spark.conf.get(k, None) for k in _TRI_CONFS}
+    for k, v in _TRI_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _triangle_df(spark, sf_dir)
+        rows = df.collect()  # optimize + execute while the confs are live
+        schema = df.schema
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(

@@ -189,8 +189,17 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit positions are set — bloom semantics exactly (no false negatives;
     false positives only on full k-way collisions), represented as a
     positions semi-join so DuckDB can verify it (see
-    corpus.bloom_positions for the bitmap-broadcast scale posture)."""
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    corpus.bloom_positions for the bitmap-broadcast scale posture).
+
+    Deliberately NO ensure_parallelism: the position battery is 3 md5
+    calls per row — far cheaper than the full-width round-robin exchange
+    of the text column, which the three pruning-divergent consumers
+    (hist / probe / totals) cannot share (measured r8: 1.85 s with the
+    exchange vs 0.94 s scanning the single split thrice; the r6-r7
+    1.2->1.6 s drift was this constant). At corpus scale the parquet
+    scan has many native splits and the battery parallelizes in the scan
+    stage for free."""
+    d = load_table(spark, sf_dir, "documents")
     norm = normalize_text(F.col("text"))
     pos = C.bloom_positions(norm, n_hashes=_BLOOM_K, n_bits=_BLOOM_BITS)
     # The probe slices, defined ONCE (and mirrored verbatim in the DuckDB

@@ -275,5 +275,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     # before the driver sees it).
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
+    "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)
+    "q_triangle_count",    # conf-scoped eager execution (8 shuffle partitions)
 )
 

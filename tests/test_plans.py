@@ -288,11 +288,26 @@ def test_triangle_count_single_scan_via_reuse(spark, sf_dir):
     at execution, so assert on the post-collect final plan, not the
     static text — the static plan legitimately shows the subtree
     repeated; same discipline as q_curriculum_interleave's reuse
-    assert)."""
+    assert). Round 8: the registered query returns a localized two-bigint
+    frame (conf-scoped eager execution, the q_aqe_skew_join pattern), so
+    this asserts on the inner distributed plan executed under the same
+    scoped confs the query uses."""
     import re
 
-    df = SPECS["q_triangle_count"].fn(spark, sf_dir)
-    df.collect()
+    from pulsar_lunar_spark.queries.analytics3 import _TRI_CONFS, _triangle_df
+
+    prev = {k: spark.conf.get(k, None) for k in _TRI_CONFS}
+    for k, v in _TRI_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _triangle_df(spark, sf_dir)
+        df.collect()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     txt = df._jdf.queryExecution().executedPlan().toString()
     final = txt.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1, "edge subtree re-executed"
