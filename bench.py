@@ -83,6 +83,10 @@ HEADLINE = [
     "q_triangle_count",
     "q_crossmodal_dedup",
     "q_calibration_ece",
+    # round-8 additions
+    "q_doremi_weights",
+    "q_span_decontamination",
+    "q_bootstrap_ci",
 ]
 
 

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm8",
     "pulsar_lunar_spark.queries.llm9",
     "pulsar_lunar_spark.queries.llm10",
+    "pulsar_lunar_spark.queries.llm11",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -270,9 +271,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # CORRECTNESS_r{N} greens into _DRIVER_CONFIRMED and clear/refill this
 # tuple with the new round's names.
 _NEWEST_FIRST: tuple[str, ...] = (
-    # round-8 additions/rewrites are appended here as they land (each
-    # registered with oracle + tests + plan budget + three-scale parity
-    # before the driver sees it).
+    # round-8 additions (each registered with oracle + tests + plan budget
+    # + three-scale parity before the driver sees it)
+    "q_doremi_weights",
+    "q_span_decontamination",
+    "q_bootstrap_ci",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
     "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)

@@ -276,6 +276,10 @@ EXCHANGE_BUDGETS = {
     "q_filter_agreement": (3, 3),  # rule projection join scoring pass
     "q_token_budget_mix": (6, 3),  # count agg + quota bc + per-source cumsum
     "q_leakage_safe_split": (7, 2),  # group agg + leak HAVING + 1-row bc
+    # round-8 additions
+    "q_doremi_weights": (3, 1),  # source agg + 20-row window iterations
+    "q_span_decontamination": (7, 2),  # bench bc join + hit distinct + agg
+    "q_bootstrap_ci": (5, 2),  # scoring pass + 21-row resample agg + window
 }
 
 
