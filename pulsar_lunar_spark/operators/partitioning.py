@@ -185,3 +185,92 @@ def stable_row_ids(df: DataFrame, order_col: str, n_ranges: int = 8) -> DataFram
             yield out
 
     return part.mapInPandas(enumerate_part, out_schema)
+
+
+def sharded_group_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cum",
+    n_ranges: int = 8,
+) -> DataFrame:
+    """Inclusive per-group cumulative sum of `value_col` in `order_cols`
+    order — WITHOUT a per-group single-partition sort.
+
+    The plain form, ``SUM(v) OVER (PARTITION BY group ORDER BY ...)``,
+    funnels EVERY row of a group through one task; when groups are a
+    small dimension (data sources, languages) a single group is the
+    whole corpus slice, so at 100 TB the window sort is the bottleneck
+    (the caveat documented on q_token_budget_mix). This is the
+    zipWithIndex pattern generalized from `stable_row_ids` to keyed
+    running sums:
+
+    1. range-repartition on (group, *order) and sort within partitions —
+       each group's rows are totally ordered ACROSS shards, split over
+       up to n_ranges of them;
+    2. per-(shard, group) subtotal aggregate — at most
+       n_ranges * n_groups rows, collected to the driver and turned into
+       exclusive prefix offsets per (shard, group). This collect is the
+       operator's scale contract: it is bounded by the SHARD x GROUP
+       grid, not by data volume — use this form exactly when groups are
+       few and huge (the regime where the window form dies); a
+       high-cardinality group column needs no sharding in the first
+       place (its per-group slices are small, the window form is fine);
+    3. one mapInPandas running-sum pass over the already-sorted shards,
+       carrying per-group state across Arrow batches within a shard and
+       seeding each group at its (shard, group) offset. No second
+       full-width exchange: the only data-bearing shuffle is the range
+       repartition in step 1.
+
+    The partitioned/sorted stage is localCheckpoint-ed so the subtotal
+    pass and the running-sum pass see the SAME materialized shards
+    (range boundaries are sampled — never recompute them twice).
+
+    Returns df's columns plus `out_col BIGINT` (value_col must be
+    integral; sums are exact int64). Value-identical to the window form
+    — locked by tests/test_partitioning.py against both a crafted frame
+    and the q_token_budget_mix fill.
+    """
+    part = (
+        df.repartitionByRange(n_ranges, F.col(group_col), *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(group_col, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sub = (
+        part.groupBy("__pid", group_col)
+        .agg(F.sum(value_col).cast("long").alias("__sub"))
+        .collect()
+    )
+    # exclusive prefix sum of shard subtotals per group, in shard order
+    offsets: dict[tuple[int, object], int] = {}
+    acc_by_group: dict[object, int] = {}
+    for r in sorted(sub, key=lambda r: (str(r[group_col]), r["__pid"])):
+        key = r[group_col]
+        offsets[(int(r["__pid"]), key)] = acc_by_group.get(key, 0)
+        acc_by_group[key] = acc_by_group.get(key, 0) + int(r["__sub"])
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name != "__pid"
+    ) + f", {out_col} long"
+
+    def running_sum(batches):
+        state: dict[object, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            cums = []
+            for g, v in zip(pdf[group_col], pdf[value_col]):
+                if g not in state:
+                    state[g] = offsets[(pid, g)]
+                state[g] += int(v)
+                cums.append(state[g])
+            out = pdf.drop(columns=["__pid"])
+            out[out_col] = cums
+            yield out
+
+    return part.mapInPandas(running_sum, out_schema)

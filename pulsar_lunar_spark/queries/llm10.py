@@ -646,9 +646,12 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR(SQRT(n)*1000) (IEEE sqrt engine-exact), quotas and fills are
     BIGINT DIV / cumulative sums — no float anywhere. Plan: one doc-level
     projection, one per-source count aggregate (broadcast back), one
-    per-source cumulative-sum window (shuffles on source — at 100 TB the
-    window key is the 16-source dimension, so use the zipWithIndex shard
-    form per source if a single source outgrows one partition's sort)."""
+    per-source cumulative-sum window (shuffles on source). At 100 TB the
+    window key is the bounded source dimension, so a single source's
+    window sort funnels through one task — the at-scale form is
+    partitioning.sharded_group_cumsum (range-sharded per-group running
+    sums, value-identical to this window; the swap is locked by
+    tests/test_partitioning.py::test_budget_fill_sharded_identical)."""
     from pulsar_lunar_spark.queries.llm5 import _md5_int_sql  # noqa: F401  (oracle twin documented)
     from pyspark.sql import Window
 

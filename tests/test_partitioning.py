@@ -123,3 +123,104 @@ def test_salt_distributes_rows(spark, sf_dir):
         .count()
     )
     assert spread.count() >= 4  # rows spread over at least half the salts
+
+
+def test_sharded_group_cumsum_matches_window(spark, sf_dir):
+    """The window-free per-group running sum must equal the plain
+    SUM() OVER (PARTITION BY group ORDER BY ...) form exactly — per-row,
+    including groups that span multiple range shards."""
+    from pyspark.sql import Window
+
+    from pulsar_lunar_spark.operators.partitioning import sharded_group_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("v")
+    )
+    got = {
+        (r.source, r.doc_id): r.cum
+        for r in sharded_group_cumsum(
+            d, "source", ["doc_id"], "v", n_ranges=8
+        ).collect()
+    }
+    want = {
+        (r.source, r.doc_id): r.cum
+        for r in d.select(
+            "source",
+            "doc_id",
+            F.sum("v")
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .alias("cum"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_budget_fill_sharded_identical(spark, sf_dir):
+    """q_token_budget_mix rebuilt on sharded_group_cumsum instead of the
+    per-source window yields the identical fill — the documented at-scale
+    swap is real, not a docstring promise."""
+    from pulsar_lunar_spark.operators import corpus as C
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+    from pulsar_lunar_spark.operators.partitioning import sharded_group_cumsum
+    from pulsar_lunar_spark.queries import all_queries
+    from pulsar_lunar_spark.queries.llm10 import _MIX_BUDGET_TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(normalize_text(F.col("text")), " ")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("long").alias("n_tokens"),
+        C.md5_int(
+            F.concat(F.lit("mix-"), F.col("doc_id").cast("string")), hex_chars=15
+        ).alias("priority"),
+    )
+    w = (
+        t.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+            .cast("long")
+            .alias("w_milli"),
+        )
+    )
+    total_w = w.agg(F.sum("w_milli").alias("__tw"))
+    q = w.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        "n_docs",
+        "w_milli",
+        F.expr(f"({_MIX_BUDGET_TOKENS}L * w_milli) div __tw")
+        .cast("long")
+        .alias("quota_tokens"),
+    )
+    cum = sharded_group_cumsum(
+        t, "source", ["priority", "doc_id"], "n_tokens", out_col="cum_tokens"
+    )
+    sharded = (
+        q.join(cum, "source", "left")
+        .groupBy("source", "n_docs", "w_milli", "quota_tokens")
+        .agg(
+            F.count(F.when(F.col("cum_tokens") <= F.col("quota_tokens"), 1))
+            .cast("long")
+            .alias("n_selected"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cum_tokens") <= F.col("quota_tokens"),
+                        F.col("n_tokens"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+    )
+    want = {
+        r.source: r.asDict()
+        for r in all_queries()["q_token_budget_mix"].fn(spark, sf_dir).collect()
+    }
+    got = {r.source: r.asDict() for r in sharded.collect()}
+    assert got == want
