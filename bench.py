@@ -87,6 +87,8 @@ HEADLINE = [
     "q_doremi_weights",
     "q_span_decontamination",
     "q_bootstrap_ci",
+    "q_pass_at_k",
+    "q_vocab_coverage",
 ]
 
 

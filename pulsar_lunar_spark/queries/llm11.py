@@ -12,7 +12,16 @@
 - bootstrap confidence interval (``q_bootstrap_ci``): Poisson-bootstrap
   resampling of the hashed-classifier accuracy via deterministic md5
   draws (the q_sample_* discipline) — exact integer percentile ranks,
-  no RNG stream anywhere.
+  no RNG stream anywhere;
+- pass@k estimation (``q_pass_at_k``): the unbiased 1 - C(n-c,k)/C(n,k)
+  estimator as exact ppm CASE literals from Python big-int
+  combinatorics — zero transcendentals;
+- PSI drift monitoring (``q_psi_drift``): population-stability-index
+  between two crawl snapshots over Laplace-smoothed length-bucket
+  shares — the crawler-regression alarm statistic;
+- vocabulary OOV coverage (``q_vocab_coverage``): per-source
+  out-of-vocabulary rate against the top-1000 corpus vocabulary — the
+  fertility-blowup predictor for a fixed tokenizer.
 
 Determinism discipline: every statistic is integer ppm/milli arithmetic
 (BIGINT DIV both sides); the one transcendental (EXP in the DoReMi
@@ -462,4 +471,313 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("boot_hi_ppm"),
         F.lit(_BOOTSTRAP_B).cast("long").alias("n_resamples"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass@k eval estimator (exact combinatorial, zero transcendentals)
+# ---------------------------------------------------------------------------
+
+_PASSK_N = 10          # attempts per task
+_PASSK_KS = (1, 5, 10)
+# Exact pass@k lookup for n=10: pass@k(c) = 1e6 - floor(1e6 * C(n-c, k)
+# / C(n, k)) — the unbiased estimator 1 - C(n-c,k)/C(n,k) in exact ppm,
+# computed ONCE with Python big-int combinatorics and embedded as
+# identical CASE literals in both engines (c is the per-task success
+# count; C(n-c,k) = 0 when fewer than k failures exist -> pass = 1e6).
+
+
+def _passk_ppm(c: int, k: int) -> int:
+    fail_num = math.comb(_PASSK_N - c, k) if _PASSK_N - c >= k else 0
+    return 1_000_000 - (1_000_000 * fail_num) // math.comb(_PASSK_N, k)
+
+
+def _passk_case(k: int) -> str:
+    branches = " ".join(
+        f"WHEN c = {c} THEN {_passk_ppm(c, k)}" for c in range(_PASSK_N + 1)
+    )
+    return f"CASE {branches} END"
+
+
+def _passk_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm5 import _md5_int_sql
+
+    u_sql = _md5_int_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)", 6, "att-"
+    )
+    per_k = ", ".join(
+        f"WHEN k = {k} THEN {_passk_case(k)}" for k in _PASSK_KS
+    ).replace(", WHEN", " WHEN")
+    return f"""
+    WITH att AS (
+        SELECT doc_id, r,
+               CASE WHEN ({u_sql}) % 100 < 30 THEN 1 ELSE 0 END AS ok
+        FROM documents, UNNEST(GENERATE_SERIES(0, {_PASSK_N - 1})) AS g(r)
+    ), per_task AS (
+        SELECT doc_id, CAST(SUM(ok) AS BIGINT) AS c FROM att GROUP BY doc_id
+    ), scored AS (
+        SELECT k, CAST(CASE {per_k} END AS BIGINT) AS pass_ppm
+        FROM per_task, UNNEST([{", ".join(str(k) for k in _PASSK_KS)}]) AS ks(k)
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm
+    FROM scored GROUP BY k ORDER BY k
+    """
+
+
+@register(
+    "q_pass_at_k",
+    oracle=_passk_oracle(),
+    tags=("llm", "eval", "pass-at-k", "combinatorial"),
+)
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k over a task suite: every document is a task, each task gets
+    n=10 deterministic attempts (md5 draw, 30% success rate — the
+    q_sample_* discipline), and pass@k is the standard unbiased
+    estimator 1 - C(n-c,k)/C(n,k) averaged over tasks, for k = 1, 5, 10.
+    ZERO transcendentals: with n fixed the estimator is a rational in
+    small integers, so the per-(c, k) values are exact ppm literals
+    computed once with Python big-int combinatorics and embedded
+    identically in both engines — no float anywhere, no rounding
+    boundary to disagree on.
+
+    Plan: one 10-way attempt explode on the (doc_id)-only projection
+    (the parquet reader never touches text), one per-task aggregate, a
+    3-literal k explode, one 3-row aggregate. At 100 TB: shuffle is
+    O(tasks) on doc_id; everything downstream of the per-task aggregate
+    is dimension-sized."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    att = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PASSK_N - 1))).alias("r"),
+    ).select(
+        "doc_id",
+        F.when(
+            C.md5_int(
+                F.concat_ws(":", F.col("doc_id"), F.col("r")), hex_chars=6,
+                salt="att-",
+            )
+            % 100
+            < 30,
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    per_task = att.groupBy("doc_id").agg(F.sum("ok").cast("long").alias("c"))
+    per_k = " ".join(f"WHEN k = {k} THEN {_passk_case(k)}" for k in _PASSK_KS)
+    scored = per_task.select(
+        "c",
+        F.explode(F.array(*[F.lit(k) for k in _PASSK_KS])).alias("k"),
+    ).select("k", F.expr(f"CAST(CASE {per_k} END AS BIGINT)").alias("pass_ppm"))
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tasks"),
+            F.expr("sum(pass_ppm) div count(*)").cast("long").alias("mean_pass_ppm"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "n_tasks", "mean_pass_ppm")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift between two crawl snapshots
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 8
+_PSI_WIDTH = 250  # n_chars per bucket; bucket = least(n_chars div 250, 7)
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(LEAST(n_chars // {_PSI_WIDTH}, {_PSI_BUCKETS - 1}) AS BIGINT)
+                   AS bucket,
+               doc_id % 2 AS snap
+        FROM documents
+    ), spine AS (
+        SELECT CAST(i AS BIGINT) AS bucket FROM RANGE({_PSI_BUCKETS}) AS t(i)
+    ), counts AS (
+        SELECT s.bucket,
+               CAST(COALESCE(SUM(CASE WHEN b.snap = 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_a,
+               CAST(COALESCE(SUM(CASE WHEN b.snap = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_b
+        FROM spine s LEFT JOIN b ON b.bucket = s.bucket
+        GROUP BY s.bucket
+    ), shares AS (
+        SELECT bucket, n_a, n_b,
+               CAST((1000000 * (n_a + 1))
+                    // (CAST(SUM(n_a) OVER () AS BIGINT) + {_PSI_BUCKETS})
+                    AS BIGINT) AS p_ppm,
+               CAST((1000000 * (n_b + 1))
+                    // (CAST(SUM(n_b) OVER () AS BIGINT) + {_PSI_BUCKETS})
+                    AS BIGINT) AS q_ppm
+        FROM counts
+    ), contrib AS (
+        SELECT bucket, n_a, n_b, p_ppm, q_ppm,
+               CAST(FLOOR((p_ppm - q_ppm)
+                          * LN(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))
+                          + 0.5) AS BIGINT) AS psi_contrib_micro
+        FROM shares
+    )
+    SELECT bucket, n_a, n_b, p_ppm, q_ppm, psi_contrib_micro,
+           CAST(SUM(psi_contrib_micro) OVER () AS BIGINT) AS psi_total_micro
+    FROM contrib ORDER BY bucket
+    """,
+    tags=("llm", "drift", "psi", "monitoring"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two crawl snapshots (even
+    vs odd doc_ids standing in for last month's and this month's crawl):
+    doc-length distribution over 8 fixed-width buckets, Laplace-smoothed
+    ppm shares, and the PSI contribution (p-q)*ln(p/q) per bucket plus
+    the total — the monitoring statistic a curation team alarms on when
+    an upstream crawler changes behavior (PSI > 0.2 = major shift).
+
+    Determinism: shares are exact integer ppm with +1 Laplace smoothing
+    (so LN never sees zero and EVERY bucket row exists via the spine
+    LEFT JOIN even at tiny scales); the single float op is
+    FLOOR((p-q)*LN(p/q) + 0.5) at micro scale — the q_unigram_surprisal
+    LN-floor precedent — and (p-q) and ln(p/q) always share a sign, so
+    the product is non-negative and the floor has no negative-truncation
+    hazard.
+
+    Plan: one scan into an 8-bucket aggregate (counts for both
+    snapshots ride one CASE pass — no second scan), a static 8-row
+    spine join, window sums on 8 rows. At 100 TB the only data-bearing
+    stage is the bucket aggregate: shuffle is 8 rows wide."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        F.least(
+            (F.col("n_chars") / _PSI_WIDTH).cast("long"),
+            F.lit(_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+        (F.col("doc_id") % 2).alias("snap"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    spine = spark.range(_PSI_BUCKETS).select(F.col("id").cast("long").alias("bucket"))
+    full = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    shares = full.select(
+        "bucket", "n_a", "n_b",
+        F.expr(
+            f"(1000000 * (n_a + 1)) div (SUM(n_a) OVER () + {_PSI_BUCKETS})"
+        )
+        .cast("long")
+        .alias("p_ppm"),
+        F.expr(
+            f"(1000000 * (n_b + 1)) div (SUM(n_b) OVER () + {_PSI_BUCKETS})"
+        )
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    contrib = shares.select(
+        "bucket", "n_a", "n_b", "p_ppm", "q_ppm",
+        F.expr(
+            "CAST(FLOOR((p_ppm - q_ppm)"
+            " * LN(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))"
+            " + 0.5) AS BIGINT)"
+        ).alias("psi_contrib_micro"),
+    )
+    return contrib.select(
+        "bucket", "n_a", "n_b", "p_ppm", "q_ppm", "psi_contrib_micro",
+        F.expr("SUM(psi_contrib_micro) OVER ()")
+        .cast("long")
+        .alias("psi_total_micro"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV rate per source
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 1000
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, UNNEST(STRING_SPLIT({_NORM}, ' ')) AS token
+        FROM documents
+    ), st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, token
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, SUM(cnt) AS tf FROM st GROUP BY token
+            ORDER BY tf DESC, token LIMIT {_VOCAB_SIZE}
+        )
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST((1000000 * SUM(CASE WHEN v.token IS NULL THEN cnt ELSE 0 END))
+                // SUM(cnt) AS BIGINT) AS oov_ppm
+    FROM st LEFT JOIN vocab v USING (token)
+    GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "tokenizer", "vocabulary", "oov", "training-prep"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: build the top-1000-by-frequency token
+    vocabulary (deterministic tiebreak by token), then per source the
+    total token count, out-of-vocabulary token count, and OOV rate in
+    exact ppm — the statistic that predicts how much of a new source a
+    fixed tokenizer will shred into bytes/unk (high OOV = fertility blowup
+    = budget burn, see q_tokenizer_fertility).
+
+    Plan: ONE corpus-sized shuffle — tokens aggregate to (source, token)
+    counts first; the global vocabulary re-aggregates THAT table (distinct
+    tokens, not the token stream), takes a TakeOrdered top-1000, and
+    broadcasts back as a LEFT join for the OOV flag. The token stream is
+    never shuffled twice and never joined row-at-a-time. At 100 TB the
+    (source, token) table is bounded by sources x vocabulary-of-corpus —
+    the natural compression of this statistic."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    vocab = (
+        st.groupBy("token")
+        .agg(F.sum("cnt").alias("tf"))
+        .orderBy(F.desc("tf"), "token")
+        .limit(_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        st.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN __in_vocab IS NULL THEN cnt ELSE 0 END))"
+                " div sum(cnt)"
+            )
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+        .orderBy("source")
     )

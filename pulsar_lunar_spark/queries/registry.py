@@ -276,6 +276,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_doremi_weights",
     "q_span_decontamination",
     "q_bootstrap_ci",
+    "q_pass_at_k",
+    "q_psi_drift",
+    "q_vocab_coverage",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
     "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)

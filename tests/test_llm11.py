@@ -111,3 +111,90 @@ def test_poisson_cdf_thresholds_exact():
         assert t == int(acc * (1 << 24))
     assert _POIS_CDF == sorted(_POIS_CDF)
     assert _POIS_CDF[-1] < (1 << 24)  # weight-5 tail is reachable
+
+
+def test_pass_at_k_literals_and_monotonicity(spark, sf_dir):
+    from pulsar_lunar_spark.queries.llm11 import _PASSK_N, _passk_ppm
+
+    # the embedded CASE literals are the exact unbiased estimator
+    # 1 - C(n-c,k)/C(n,k), floored at ppm with big-int arithmetic
+    for k in (1, 5, 10):
+        for c in range(_PASSK_N + 1):
+            fail_num = math.comb(_PASSK_N - c, k) if _PASSK_N - c >= k else 0
+            want = 1_000_000 - (1_000_000 * fail_num) // math.comb(_PASSK_N, k)
+            assert _passk_ppm(c, k) == want
+        assert _passk_ppm(0, k) < 1_000_000  # all-fail task never reads 100%
+        assert _passk_ppm(_PASSK_N, k) == 1_000_000
+    rows = {r.k: r for r in all_queries()["q_pass_at_k"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 5, 10}
+    # pass@k is monotone non-decreasing in k for every c, hence in the mean
+    assert (
+        rows[1].mean_pass_ppm <= rows[5].mean_pass_ppm <= rows[10].mean_pass_ppm
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert all(r.n_tasks == len(docs) for r in rows.values())
+
+
+def test_pass_at_k_replicates_in_python(spark, sf_dir):
+    import hashlib
+
+    from pulsar_lunar_spark.queries.llm11 import _PASSK_N, _passk_ppm
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_k = {1: [], 5: [], 10: []}
+    for doc_id in docs["doc_id"]:
+        c = 0
+        for r in range(_PASSK_N):
+            h = int(hashlib.md5(f"att-{doc_id}:{r}".encode()).hexdigest()[:6], 16)
+            c += 1 if h % 100 < 30 else 0
+        for k in per_k:
+            per_k[k].append(_passk_ppm(c, k))
+    want = {k: sum(v) // len(v) for k, v in per_k.items()}
+    got = {
+        r.k: r.mean_pass_ppm
+        for r in all_queries()["q_pass_at_k"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_psi_drift_invariants(spark, sf_dir):
+    from pulsar_lunar_spark.queries.llm11 import _PSI_BUCKETS
+
+    rows = all_queries()["q_psi_drift"].fn(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(_PSI_BUCKETS))  # full spine
+    total = rows[0].psi_total_micro
+    assert all(r.psi_total_micro == total for r in rows)
+    assert total == sum(r.psi_contrib_micro for r in rows)
+    # (p-q) and ln(p/q) share a sign -> every contribution is >= 0
+    assert all(r.psi_contrib_micro >= 0 for r in rows)
+    # Laplace-smoothed shares are a near-distribution (truncation only)
+    for col in ("p_ppm", "q_ppm"):
+        s = sum(getattr(r, col) for r in rows)
+        assert 1_000_000 - _PSI_BUCKETS <= s <= 1_000_000
+        assert all(getattr(r, col) > 0 for r in rows)  # smoothing: LN-safe
+
+
+def test_vocab_coverage_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+
+    per_source: dict[str, Counter] = {}
+    global_tf: Counter = Counter()
+    for r in docs.itertuples():
+        words = re.sub(r"\s+", " ", r.text.strip().lower()).split(" ")
+        per_source.setdefault(r.source, Counter()).update(words)
+        global_tf.update(words)
+    vocab = {
+        t
+        for t, _ in sorted(global_tf.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    }
+    want = {}
+    for src, cnt in per_source.items():
+        n = sum(cnt.values())
+        oov = sum(c for t, c in cnt.items() if t not in vocab)
+        want[src] = (n, oov, (1_000_000 * oov) // n)
+    got = {
+        r.source: (r.n_tokens, r.n_oov, r.oov_ppm)
+        for r in all_queries()["q_vocab_coverage"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -280,6 +280,9 @@ EXCHANGE_BUDGETS = {
     "q_doremi_weights": (3, 1),  # source agg + 20-row window iterations
     "q_span_decontamination": (7, 2),  # bench bc join + hit distinct + agg
     "q_bootstrap_ci": (5, 2),  # scoring pass + 21-row resample agg + window
+    "q_pass_at_k": (4, 1),  # per-task agg + 3-literal explode + 3-row agg
+    "q_psi_drift": (4, 2),  # 8-bucket agg + spine join + 8-row windows
+    "q_vocab_coverage": (5, 2),  # (src,tok) agg + vocab re-agg/top-k + out sort
 }
 
 
