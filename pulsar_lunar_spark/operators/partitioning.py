@@ -206,71 +206,72 @@ def sharded_group_cumsum(
     zipWithIndex pattern generalized from `stable_row_ids` to keyed
     running sums:
 
-    1. range-repartition on (group, *order) and sort within partitions —
+    1. range-repartition on (group, *order), localCheckpoint once —
        each group's rows are totally ordered ACROSS shards, split over
-       up to n_ranges of them;
-    2. per-(shard, group) subtotal aggregate — at most
-       n_ranges * n_groups rows, collected to the driver and turned into
-       exclusive prefix offsets per (shard, group). This collect is the
-       operator's scale contract: it is bounded by the SHARD x GROUP
-       grid, not by data volume — use this form exactly when groups are
-       few and huge (the regime where the window form dies); a
-       high-cardinality group column needs no sharding in the first
-       place (its per-group slices are small, the window form is fine);
-    3. one mapInPandas running-sum pass over the already-sorted shards,
-       carrying per-group state across Arrow batches within a shard and
-       seeding each group at its (shard, group) offset. No second
-       full-width exchange: the only data-bearing shuffle is the range
-       repartition in step 1.
+       up to n_ranges of them, and the two consumers below read the
+       SAME materialized shards (range boundaries are sampled — never
+       recompute them twice);
+    2. per-(shard, group) LOCAL running sum: a window partitioned by
+       (shard id, group) — every shard-slice is its own window
+       partition, so the sort parallelism is the shard x group grid,
+       not the group count;
+    3. per-(shard, group) subtotals aggregate into exclusive prefix
+       OFFSETS via a window over the tiny grid table (n_ranges *
+       n_groups rows — bounded by the grid, not data volume), broadcast
+       back, and added to the local running sums.
 
-    The partitioned/sorted stage is localCheckpoint-ed so the subtotal
-    pass and the running-sum pass see the SAME materialized shards
-    (range boundaries are sampled — never recompute them twice).
+    Everything is JVM-side (no Arrow round-trip — a first mapInPandas
+    form measured 35 s vs this form's 25.5 s at 25 M rows, the gap
+    being pure Arrow serde); the
+    data-bearing cost is one range exchange + one (shard, group) hash
+    exchange + shard-local sorts. Use this form when groups are few and
+    huge (the regime where `SUM OVER (PARTITION BY group)` funnels a
+    whole group through one task); a high-cardinality group column
+    needs no sharding in the first place.
+
+    `order_cols` must totally order rows WITHIN a group (ties would get
+    frame-dependent sums — same caveat as the plain window form).
 
     Returns df's columns plus `out_col BIGINT` (value_col must be
     integral; sums are exact int64). Value-identical to the window form
     — locked by tests/test_partitioning.py against both a crafted frame
     and the q_token_budget_mix fill.
     """
+    from pyspark.sql import Window
+
     part = (
-        df.repartitionByRange(n_ranges, F.col(group_col), *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(group_col, *order_cols)
+        df.repartitionByRange(
+            n_ranges, F.col(group_col), *[F.col(c) for c in order_cols]
+        )
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    sub = (
+    w_local = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = part.withColumn("__loc", F.sum(value_col).over(w_local).cast("long"))
+    # exclusive prefix sum of shard subtotals per group, in shard order —
+    # a window over the (shard x group) grid, never over data
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
         part.groupBy("__pid", group_col)
         .agg(F.sum(value_col).cast("long").alias("__sub"))
-        .collect()
+        .select(
+            "__pid",
+            group_col,
+            F.coalesce(F.sum("__sub").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
     )
-    # exclusive prefix sum of shard subtotals per group, in shard order
-    offsets: dict[tuple[int, object], int] = {}
-    acc_by_group: dict[object, int] = {}
-    for r in sorted(sub, key=lambda r: (str(r[group_col]), r["__pid"])):
-        key = r[group_col]
-        offsets[(int(r["__pid"]), key)] = acc_by_group.get(key, 0)
-        acc_by_group[key] = acc_by_group.get(key, 0) + int(r["__sub"])
-
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in part.schema.fields
-        if f.name != "__pid"
-    ) + f", {out_col} long"
-
-    def running_sum(batches):
-        state: dict[object, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            cums = []
-            for g, v in zip(pdf[group_col], pdf[value_col]):
-                if g not in state:
-                    state[g] = offsets[(pid, g)]
-                state[g] += int(v)
-                cums.append(state[g])
-            out = pdf.drop(columns=["__pid"])
-            out[out_col] = cums
-            yield out
-
-    return part.mapInPandas(running_sum, out_schema)
+    return (
+        loc.join(F.broadcast(offs), ["__pid", group_col])
+        .withColumn(out_col, (F.col("__loc") + F.col("__off")).cast("long"))
+        .drop("__pid", "__loc", "__off")
+    )

@@ -236,6 +236,45 @@ def probes(spark, sf_dir: str, mult: int):
             )
         return [True]
 
+    def group_cumsum_window_shape():
+        # the per-source running-sum WINDOW form (q_token_budget_mix's
+        # local plan): the source dimension is FIXED while rows multiply,
+        # so each source's whole slice funnels through one window-sort
+        # task — this probe exists to measure that funnel's slope next to
+        # the sharded form below (same output, same input)
+        from pyspark.sql import Window
+
+        return (
+            docs.select(
+                "source",
+                F.col("n_chars").cast("long").alias("v"),
+                F.sum(F.col("n_chars").cast("long"))
+                .over(Window.partitionBy("source").orderBy("doc_id"))
+                .alias("cum"),
+            )
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cum").alias("s"))
+            .collect()
+        )
+
+    def group_cumsum_sharded_shape():
+        # partitioning.sharded_group_cumsum — the documented at-scale
+        # swap: range shards spread each source across tasks, offsets are
+        # a shard x source grid, running sums are one mapInPandas pass.
+        # Value-identical to the window form (tests lock it); this probe
+        # pins the SLOPE difference.
+        from pulsar_lunar_spark.operators.partitioning import sharded_group_cumsum
+
+        out = sharded_group_cumsum(
+            docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("v")),
+            "source", ["doc_id"], "v", n_ranges=32,
+        )
+        return (
+            out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cum").alias("s"))
+            .collect()
+        )
+
     def blocked_gemm_shape():
         # blocked cosine pair family (q_dedup_embedding / q_semdedup /
         # q_crossmodal_dedup): multiply BOTH vec_id and label, so each
@@ -381,6 +420,8 @@ def probes(spark, sf_dir: str, mult: int):
         "dsir_importance": dsir_importance_shape,
         "dsir_importance_persist": dsir_importance_persist_shape,
         "gini_decimal": gini_decimal_shape,
+        "group_cumsum_window": group_cumsum_window_shape,
+        "group_cumsum_sharded": group_cumsum_sharded_shape,
         "blocked_gemm_pairs": blocked_gemm_shape,
         "triangle_adjacency": triangle_adjacency_shape,
         "stream_session_state": stream_session_state_shape,
