@@ -89,6 +89,7 @@ HEADLINE = [
     "q_bootstrap_ci",
     "q_pass_at_k",
     "q_vocab_coverage",
+    "q_rho_select",
 ]
 
 

@@ -1,0 +1,238 @@
+"""LLM-pipeline batch 12 (round 8, second wave): dedup economics and
+learnability-based selection —
+
+- dedup Pareto curve (``q_dedup_pareto``): what exact-prefix
+  (boilerplate) deduplication actually BUYS — group-size histogram with
+  exact byte savings at keep-one-per-group, the table a curation team
+  reads before deciding a dedup pass is worth its cost;
+- RHO-style learnability selection (``q_rho_select``): rank documents
+  by excess loss between a WEAK and a STRONG hashed classifier (the
+  deterministic stand-in for RHO-1's reference-vs-learned excess-loss
+  ranking) — the docs the stronger model handles much better than the
+  weak one are the learnable ones worth training on.
+
+Determinism: byte savings are pure integer sums; the RHO losses are
+cross-entropy micro-integers via the FLOOR(-LN(p)*1e6+0.5) precedent
+(q_unigram_surprisal), with p bounded away from {0,1} by the bounded
+logit construction (|avg logit| <= 10 after the /100 scale), so LN never
+sees 0 on either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators import corpus as C
+from pulsar_lunar_spark.operators.dedup import normalize_text
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
+
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+_PREFIX_CHARS = 64
+
+
+# ---------------------------------------------------------------------------
+# Dedup Pareto: what keep-one-per-prefix-group saves, by group size
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_pareto",
+    oracle=f"""
+    WITH g AS (
+        SELECT SUBSTR({_NORM}, 1, {_PREFIX_CHARS}) AS pfx,
+               CAST(COUNT(*) AS BIGINT) AS s,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+               CAST(ARG_MIN(n_chars, doc_id) AS BIGINT) AS chars_kept
+        FROM documents GROUP BY 1
+    )
+    SELECT s AS dup_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(s) AS BIGINT) AS n_docs,
+           CAST(SUM(chars_total) AS BIGINT) AS total_chars,
+           CAST(SUM(chars_kept) AS BIGINT) AS chars_after_keep1,
+           CAST((1000000 * (SUM(chars_total) - SUM(chars_kept)))
+                // SUM(chars_total) AS BIGINT) AS savings_ppm
+    FROM g GROUP BY s ORDER BY dup_size
+    """,
+    tags=("llm", "dedup", "pareto", "boilerplate", "economics"),
+)
+def q_dedup_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup economics: group documents by their normalized 64-char
+    PREFIX (the boilerplate-header signal — templated pages share exact
+    prefixes long before they share full bodies), then report the
+    group-size histogram with exact byte totals and what keep-one-per-
+    group (keeper = min doc_id) would save, per size and in ppm. This is
+    the Pareto table that decides whether a dedup pass pays for itself:
+    savings concentrate in the big-s rows or they don't exist.
+
+    All-integer: counts, char sums, and the savings ratio are BIGINT
+    arithmetic; the keeper's size rides the group aggregate as
+    min_by(n_chars, doc_id) — no second join back. Plan: one scan, one
+    prefix-group aggregate (shuffle keyed on the 64-char prefix — AQE
+    splits boilerplate skew), one size-histogram re-aggregate over the
+    GROUP table (already corpus-compressed). At 100 TB the group table
+    is bounded by distinct prefixes, the natural compression of the
+    statistic."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    g = (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.substring(normalize_text(F.col("text")), 1, _PREFIX_CHARS).alias("pfx"),
+        )
+        .groupBy("pfx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("s"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.min_by("n_chars", "doc_id").cast("long").alias("chars_kept"),
+        )
+    )
+    return (
+        g.groupBy(F.col("s").alias("dup_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("s").cast("long").alias("n_docs"),
+            F.sum("chars_total").cast("long").alias("total_chars"),
+            F.sum("chars_kept").cast("long").alias("chars_after_keep1"),
+            F.expr(
+                "(1000000 * (sum(chars_total) - sum(chars_kept)))"
+                " div sum(chars_total)"
+            )
+            .cast("long")
+            .alias("savings_ppm"),
+        )
+        .orderBy("dup_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RHO-style learnability selection (weak-vs-strong excess loss)
+# ---------------------------------------------------------------------------
+
+_RHO_WEAK_BUCKETS = 64
+_RHO_TOPK = 20
+
+
+def _scorer_sql(buckets: int, alias: str) -> str:
+    """CTE chain scoring documents with a hashed bag-of-words classifier
+    of `buckets` buckets (the q_quality_classifier construction — weight
+    hash salt 'w-' is shared, so the weak model IS a coarser projection
+    of the same weight source). Emits {alias}(doc_id, pos, loss_micro):
+    cross-entropy of the score against the n_chars>=300 proxy label in
+    exact micro units."""
+    from pulsar_lunar_spark.queries.llm5 import _WORDS, _md5_int_sql
+
+    return f"""w_{alias} AS (
+        SELECT i AS bucket,
+               {_md5_int_sql("CAST(i AS VARCHAR)", 6, "w-")} % 2001 - 1000 AS w
+        FROM RANGE({buckets}) AS t(i)
+    ), tok_{alias} AS (
+        SELECT doc_id, n_chars, UNNEST({_WORDS}) AS word FROM documents
+    ), sc_{alias} AS (
+        SELECT t.doc_id, t.n_chars,
+               CAST(SUM(w.w) AS BIGINT) AS logit_sum, COUNT(*) AS n_tokens
+        FROM tok_{alias} t
+        JOIN w_{alias} w ON {_md5_int_sql("t.word", 6)} % {buckets} = w.bucket
+        GROUP BY t.doc_id, t.n_chars
+    ), {alias} AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos,
+               CAST(FLOOR(-LN(
+                   CASE WHEN n_chars >= 300
+                        THEN 1.0 / (1.0 + EXP(-(logit_sum * 1.0 / n_tokens) / 100.0))
+                        ELSE 1.0 - 1.0 / (1.0 + EXP(-(logit_sum * 1.0 / n_tokens) / 100.0))
+                   END) * 1000000 + 0.5) AS BIGINT) AS loss_micro
+        FROM sc_{alias}
+    )"""
+
+
+@register(
+    "q_rho_select",
+    oracle=f"""
+    WITH {_scorer_sql(_RHO_WEAK_BUCKETS, "weak")},
+         {_scorer_sql(4096, "strong")}
+    SELECT w.doc_id, w.pos,
+           w.loss_micro AS loss_weak_micro,
+           s.loss_micro AS loss_strong_micro,
+           w.loss_micro - s.loss_micro AS excess_micro
+    FROM weak w JOIN strong s USING (doc_id)
+    ORDER BY excess_micro DESC, doc_id LIMIT {_RHO_TOPK}
+    """,
+    tags=("llm", "selection", "rho", "learnability", "training-prep"),
+)
+def q_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learnability-based data selection (the RHO-1 idea, deterministic
+    stand-in): score every document with a WEAK (64-bucket) and a STRONG
+    (4096-bucket) hashed classifier against the same proxy label, take
+    per-doc cross-entropy losses, and select the top-20 documents by
+    EXCESS loss (weak minus strong) — the documents where capacity helps
+    most are the learnable ones a reference-model-guided selection keeps;
+    documents both models get right (boilerplate) or both get wrong
+    (noise) rank low. The weak model is a coarser projection of the same
+    hashed weight source, exactly how a smaller reference model relates
+    to a larger one in the published recipe.
+
+    Determinism: losses are FLOOR(-LN(p)*1e6+0.5) micro-integers (the
+    q_unigram_surprisal precedent); p is bounded away from {{0,1}}
+    because |avg logit| <= 10 by the +-1000-weight / /100-scale
+    construction, so LN is well-conditioned on both engines; the top-20
+    has the (excess DESC, doc_id) total order.
+
+    Plan: ONE token explode feeds both scorers (two broadcast weight
+    joins of 64 and 4096 rows over the same pass — bucket ids are
+    computed per scorer from the same md5), two doc aggregates, one
+    doc_id join, TakeOrdered top-20. At 100 TB everything is one corpus
+    pass plus dimension-sized broadcasts."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+
+    def scored(buckets: int) -> DataFrame:
+        weights = spark.range(buckets).select(
+            F.col("id").alias("bucket"),
+            (
+                C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-")
+                % 2001
+                - 1000
+            ).alias("w"),
+        )
+        sc = (
+            tok.withColumn("bucket", C.md5_int(F.col("word"), hex_chars=6) % buckets)
+            .join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id", "n_chars")
+            .agg(
+                F.sum("w").cast("long").alias("logit_sum"),
+                F.count(F.lit(1)).alias("n_tokens"),
+            )
+        )
+        p = 1.0 / (1.0 + F.exp(-(F.col("logit_sum") / F.col("n_tokens")) / 100.0))
+        p_true = F.when(F.col("n_chars") >= 300, p).otherwise(1.0 - p)
+        return sc.select(
+            "doc_id",
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pos"),
+            F.floor(-F.log(p_true) * 1000000 + 0.5)
+            .cast("long")
+            .alias("loss_micro"),
+        )
+
+    weak = scored(_RHO_WEAK_BUCKETS)
+    strong = scored(4096).select(
+        F.col("doc_id").alias("s_doc_id"), F.col("loss_micro").alias("loss_strong_micro")
+    )
+    return (
+        weak.join(strong, weak.doc_id == strong.s_doc_id)
+        .select(
+            "doc_id",
+            "pos",
+            F.col("loss_micro").alias("loss_weak_micro"),
+            "loss_strong_micro",
+            (F.col("loss_micro") - F.col("loss_strong_micro")).alias("excess_micro"),
+        )
+        .orderBy(F.desc("excess_micro"), "doc_id")
+        .limit(_RHO_TOPK)
+    )

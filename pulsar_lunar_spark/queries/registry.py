@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm9",
     "pulsar_lunar_spark.queries.llm10",
     "pulsar_lunar_spark.queries.llm11",
+    "pulsar_lunar_spark.queries.llm12",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -279,6 +280,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_pass_at_k",
     "q_psi_drift",
     "q_vocab_coverage",
+    "q_dedup_pareto",
+    "q_rho_select",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
     "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)

@@ -283,6 +283,8 @@ EXCHANGE_BUDGETS = {
     "q_pass_at_k": (4, 1),  # per-task agg + 3-literal explode + 3-row agg
     "q_psi_drift": (4, 2),  # 8-bucket agg + spine join + 8-row windows
     "q_vocab_coverage": (5, 2),  # (src,tok) agg + vocab re-agg/top-k + out sort
+    "q_dedup_pareto": (3, 1),  # prefix-group agg + size re-agg + out sort
+    "q_rho_select": (5, 3),  # shared token explode x 2 bc scorers + join + topk
 }
 
 
