@@ -90,6 +90,7 @@ HEADLINE = [
     "q_pass_at_k",
     "q_vocab_coverage",
     "q_rho_select",
+    "q_perplexity_filter",
 ]
 
 

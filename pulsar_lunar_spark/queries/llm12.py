@@ -236,3 +236,128 @@ def q_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("excess_micro"), "doc_id")
         .limit(_RHO_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-LM perplexity filtering (CCNet-style, per source)
+# ---------------------------------------------------------------------------
+
+_PPL_REF_SOURCE = "src0"
+_PPL_KEEP_MICRO = 3_420_000  # mean word surprisal (micro-nats) keep line
+
+
+@register(
+    "q_perplexity_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, UNNEST(STRING_SPLIT({_NORM}, ' ')) AS word
+        FROM documents
+    ), ref AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE source = '{_PPL_REF_SOURCE}' GROUP BY word
+    ), scal AS (
+        SELECT CAST(SUM(tf) AS BIGINT) AS n_ref,
+               CAST(COUNT(*) + 1 AS BIGINT) AS v
+        FROM ref
+    ), ws AS (
+        SELECT t.doc_id, t.source,
+               CAST(FLOOR(-LN((COALESCE(r.tf, 0) + 1) * 1.0 / (s.n_ref + s.v))
+                          * 1000000 + 0.5) AS BIGINT) AS smic
+        FROM tok t LEFT JOIN ref r USING (word) CROSS JOIN scal s
+    ), dm AS (
+        SELECT doc_id, source,
+               CAST(SUM(smic) // COUNT(*) AS BIGINT) AS mean_micro
+        FROM ws GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mean_micro) // COUNT(*) AS BIGINT) AS avg_surprisal_micro,
+           CAST(SUM(CASE WHEN mean_micro <= {_PPL_KEEP_MICRO} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST((1000000 * SUM(CASE WHEN mean_micro <= {_PPL_KEEP_MICRO}
+                                    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+               AS kept_ppm
+    FROM dm GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "quality", "perplexity", "filtering", "training-prep"),
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-LM perplexity filtering (the CCNet recipe, unigram
+    stand-in): train a Laplace-smoothed unigram LM on the REFERENCE
+    slice (source 'src0' — the clean-corpus stand-in for the published
+    recipe's Wikipedia LM), score every document's mean word surprisal
+    against it, and report per source how many documents clear the keep
+    line — low perplexity under a clean reference = fluent text, the
+    classic pre-classifier quality gate. OOV words get the 1/(N+V)
+    smoothing mass, so a source full of reference-unseen vocabulary
+    scores honestly high instead of erroring.
+
+    Determinism: per-WORD surprisal is floored to micro-nats ONCE
+    (FLOOR(-LN((tf+1)/(N+V))*1e6+0.5) — the q_unigram_surprisal
+    precedent); everything downstream (per-doc mean, per-source
+    average, keep counts) is exact BIGINT arithmetic on those integers,
+    so engines can only disagree inside the one well-conditioned LN.
+
+    Plan: one token explode; the reference counts aggregate on the word
+    key and join back to the token stream on the same key (one shuffle
+    class — at 100 TB this is the shuffle-join-on-word the statistic
+    requires; the reference side is vocabulary-sized, broadcastable
+    when the reference slice is curated-small); then per-doc and
+    per-source aggregates. The N/V scalars ride a 1-row broadcast."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    ref = (
+        tok.filter(F.col("source") == _PPL_REF_SOURCE)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scal = ref.agg(
+        F.sum("tf").cast("long").alias("n_ref"),
+        (F.count(F.lit(1)) + 1).cast("long").alias("v"),
+    )
+    ws = (
+        tok.join(ref, "word", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            "source",
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0)) + 1)
+                    / (F.col("n_ref") + F.col("v"))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("smic"),
+        )
+    )
+    dm = ws.groupBy("doc_id", "source").agg(
+        F.expr("sum(smic) div count(*)").cast("long").alias("mean_micro")
+    )
+    return (
+        dm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(mean_micro) div count(*)")
+            .cast("long")
+            .alias("avg_surprisal_micro"),
+            F.sum(
+                F.when(F.col("mean_micro") <= _PPL_KEEP_MICRO, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                f"(1000000 * sum(CASE WHEN mean_micro <= {_PPL_KEEP_MICRO}"
+                " THEN 1 ELSE 0 END)) div count(*)"
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )

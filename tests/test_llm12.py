@@ -71,3 +71,39 @@ def test_rho_select_ordering_and_loss_reconstruction(spark, sf_dir):
 def test_rho_select_deterministic(spark, sf_dir):
     fn = all_queries()["q_rho_select"].fn
     assert fn(spark, sf_dir).collect() == fn(spark, sf_dir).collect()
+
+
+def test_perplexity_filter_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+
+    tok = {
+        int(r.doc_id): (r.source, _norm(r.text).split(" "))
+        for r in docs.itertuples()
+    }
+    ref: Counter = Counter()
+    for src, words in tok.values():
+        if src == "src0":
+            ref.update(words)
+    n_ref, v = sum(ref.values()), len(ref) + 1
+    per_source: dict[str, list[int]] = {}
+    for src, words in tok.values():
+        total = sum(
+            int(math.floor(-math.log((ref.get(w, 0) + 1) / (n_ref + v)) * 1e6 + 0.5))
+            for w in words
+        )
+        per_source.setdefault(src, []).append(total // len(words))
+    want = {}
+    for src, means in per_source.items():
+        kept = sum(1 for m in means if m <= 3_420_000)
+        want[src] = (
+            len(means),
+            sum(means) // len(means),
+            kept,
+            (1_000_000 * kept) // len(means),
+        )
+    got = {
+        r.source: (r.n_docs, r.avg_surprisal_micro, r.n_kept, r.kept_ppm)
+        for r in all_queries()["q_perplexity_filter"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
