@@ -9,7 +9,10 @@ learnability-based selection —
   by excess loss between a WEAK and a STRONG hashed classifier (the
   deterministic stand-in for RHO-1's reference-vs-learned excess-loss
   ranking) — the docs the stronger model handles much better than the
-  weak one are the learnable ones worth training on.
+  weak one are the learnable ones worth training on;
+- reference-LM perplexity filtering (``q_perplexity_filter``): the
+  CCNet quality gate — Laplace-smoothed unigram LM on a clean reference
+  slice, per-source keep counts at a fixed mean-surprisal line.
 
 Determinism: byte savings are pure integer sums; the RHO losses are
 cross-entropy micro-integers via the FLOOR(-LN(p)*1e6+0.5) precedent
