@@ -337,3 +337,43 @@ def test_softdedup_weights_match_unionfind_property(spark, pairs):
     pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
     got = {r.doc_id: r.weight_ppm for r in softdedup_weights(pdf).collect()}
     assert got == want
+
+
+_cumsum_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # group (few, huge regime)
+        st.integers(min_value=0, max_value=50),     # order key (ties allowed
+                                                    # ACROSS groups, unique
+                                                    # within via uniqueness)
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),  # total order within each group
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_cumsum_rows)
+def test_sharded_group_cumsum_property(spark, rows):
+    """For ANY (group, order, value) frame with a per-group total order:
+    the range-sharded running sum equals the plain window form row for
+    row — including negative values, single-row groups, and n_ranges
+    larger than the row count."""
+    from pyspark.sql import Window
+
+    from pulsar_lunar_spark.operators.partitioning import sharded_group_cumsum
+
+    df = spark.createDataFrame(rows, "g long, o long, v long")
+    got = {
+        (r.g, r.o): r.cum
+        for r in sharded_group_cumsum(df, "g", ["o"], "v", n_ranges=4).collect()
+    }
+    want = {
+        (r.g, r.o): r.cum
+        for r in df.select(
+            "g", "o",
+            F.sum("v").over(Window.partitionBy("g").orderBy("o")).alias("cum"),
+        ).collect()
+    }
+    assert got == want
