@@ -139,3 +139,41 @@ def test_contamination_hits_inverted_index(spark):
     )
     got = {(r["bench_id"], r["corpus_id"]) for r in C.contamination_hits(corp, sh).collect()}
     assert got == {(1, 10)}
+
+
+def test_cc_star_matches_min_label_known_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in C.connected_components_star(nodes, edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7)}
+
+
+def test_cc_star_deep_chain_beats_min_label_budget(spark):
+    # a 200-hop chain: min-label needs 200 rounds (raises at 20); star
+    # contraction converges in O(log^2 n) — well under its default 50
+    import pytest
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        C.connected_components(nodes, edges)  # default 20 iterations
+    comp = C.connected_components_star(nodes, edges)
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_cc_star_empty_and_isolated(spark):
+    nodes = spark.createDataFrame([(7,), (9,)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in C.connected_components_star(nodes, edges).collect()
+    }
+    assert got == {(7, 7), (9, 9)}

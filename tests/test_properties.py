@@ -377,3 +377,36 @@ def test_sharded_group_cumsum_property(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+_graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_graph_edges)
+def test_cc_star_equals_min_label_property(spark, raw_edges):
+    """For ANY small random graph (self-loops, duplicates, both
+    directions): star contraction and min-label propagation produce the
+    same (node, component) labeling."""
+    from pulsar_lunar_spark.operators import corpus as C
+
+    nodes = spark.createDataFrame([(i,) for i in range(16)], "node long")
+    edges = spark.createDataFrame(
+        raw_edges or [(0, 0)], "src long, dst long"  # empty-list guard
+    )
+    star = {
+        (r.node, r.component)
+        for r in C.connected_components_star(nodes, edges).collect()
+    }
+    minl = {
+        (r.node, r.component)
+        for r in C.connected_components(nodes, edges, max_iterations=32).collect()
+    }
+    assert star == minl
