@@ -275,6 +275,23 @@ def probes(spark, sf_dir: str, mult: int):
             .collect()
         )
 
+    def cc_star_chain_shape():
+        # connected_components_star on a PATH GRAPH of length 20k*mult —
+        # the adversarial diameter case min-label propagation cannot
+        # finish in bounded rounds. Star contraction's round count grows
+        # O(log^2 n), so wall-clock should grow ~logarithmically while
+        # the chain grows linearly (slope << linear).
+        from pulsar_lunar_spark.operators.corpus import connected_components_star
+
+        n = 20_000 * mult
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        out = connected_components_star(nodes, edges, max_rounds=60)
+        assert out.filter(F.col("component") != 0).count() == 0
+        return n
+
     def blocked_gemm_shape():
         # blocked cosine pair family (q_dedup_embedding / q_semdedup /
         # q_crossmodal_dedup): multiply BOTH vec_id and label, so each
@@ -422,6 +439,7 @@ def probes(spark, sf_dir: str, mult: int):
         "gini_decimal": gini_decimal_shape,
         "group_cumsum_window": group_cumsum_window_shape,
         "group_cumsum_sharded": group_cumsum_sharded_shape,
+        "cc_star_chain": cc_star_chain_shape,
         "blocked_gemm_pairs": blocked_gemm_shape,
         "triangle_adjacency": triangle_adjacency_shape,
         "stream_session_state": stream_session_state_shape,
