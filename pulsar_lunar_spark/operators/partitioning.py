@@ -239,6 +239,13 @@ def sharded_group_cumsum(
     """
     from pyspark.sql import Window
 
+    reserved = {"__pid", "__loc", "__off", out_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"sharded_group_cumsum: input columns collide with internal/"
+            f"output names: {sorted(clash)}"
+        )
     part = (
         df.repartitionByRange(
             n_ranges, F.col(group_col), *[F.col(c) for c in order_cols]
