@@ -1330,3 +1330,128 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_stream_psi_drift",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 6400, 7)
+                   AS bucket,
+               event_id % 2 AS side
+        FROM events
+    ), spine AS (
+        SELECT CAST(i AS BIGINT) AS bucket FROM RANGE(8) AS t(i)
+    ), counts AS (
+        SELECT s.bucket,
+               CAST(COALESCE(SUM(CASE WHEN b.side = 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_base,
+               CAST(COALESCE(SUM(CASE WHEN b.side = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_cur
+        FROM spine s LEFT JOIN b ON b.bucket = s.bucket
+        GROUP BY s.bucket
+    ), shares AS (
+        SELECT bucket, n_base, n_cur,
+               CAST((1000000 * (n_base + 1))
+                    // (CAST(SUM(n_base) OVER () AS BIGINT) + 8) AS BIGINT)
+                   AS p_ppm,
+               CAST((1000000 * (n_cur + 1))
+                    // (CAST(SUM(n_cur) OVER () AS BIGINT) + 8) AS BIGINT)
+                   AS q_ppm
+        FROM counts
+    ), contrib AS (
+        SELECT bucket, n_base, n_cur, p_ppm, q_ppm,
+               CAST(FLOOR((p_ppm - q_ppm)
+                          * LN(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))
+                          + 0.5) AS BIGINT) AS psi_contrib_micro
+        FROM shares
+    )
+    SELECT bucket, n_base, n_cur, p_ppm, q_ppm, psi_contrib_micro,
+           CAST(SUM(psi_contrib_micro) OVER () AS BIGINT) AS psi_total_micro
+    FROM contrib ORDER BY bucket
+    """,
+    tags=("streaming", "llm", "drift", "psi", "monitoring"),
+)
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: the live traffic slice (odd event_ids)
+    flows through a real availableNow stream into a complete-mode
+    value-bucket count, then its distribution is PSI-compared against
+    the static baseline profile (even event_ids, batch-read) — the
+    streaming twin of q_psi_drift, and the shape a production monitor
+    runs: profile once, stream the current window's counts, alarm on
+    PSI. The drained stream's bucket counts hash-match the batch twin
+    exactly (availableNow is a deterministic drain), so the oracle is
+    plain SQL over events.
+
+    Buckets are cents-integer arithmetic AFTER one float floor
+    (FLOOR(value*100+0.5) — the streaming family's cents discipline, so
+    the envelope JSON round-trip cannot perturb bucket edges); shares
+    and PSI follow q_psi_drift's Laplace-smoothed ppm/micro-floor form.
+
+    Plan: streaming side = subscribe → filter → 8-bucket complete-mode
+    count (one shuffle, 4 state partitions); batch side = one scan into
+    the same 8-bucket aggregate; PSI math on 8-row frames. At 100 TB the
+    monitor's state is 8 rows regardless of traffic."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    log = _shared_log(spark, sf_dir)
+    payload = StructType([StructField("value", DoubleType())])
+    bucket_of = lambda col: F.least(  # noqa: E731
+        F.expr(f"CAST(FLOOR({col} * 100 + 0.5) AS BIGINT) div 6400"), F.lit(7)
+    )
+    stream = (
+        log.subscribe("events", payload_schema=payload)
+        .filter(F.col("sequence_id") % 2 == 1)
+        .select(bucket_of("payload.value").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    )
+    run_available_now(
+        stream.writeStream.format("memory")
+        .queryName("q_stream_psi_sink")
+        .outputMode("complete"),
+        _fresh_checkpoint(sf_dir, "psidrift"),
+        state_partitions=4,
+        no_data_batches=False,  # complete-mode agg
+    )
+    cur = spark.table("q_stream_psi_sink")
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select(bucket_of("value").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
+    spine = spark.range(8).select(F.col("id").cast("long").alias("bucket"))
+    counts = (
+        spine.join(base, "bucket", "left")
+        .join(cur, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    shares = counts.select(
+        "bucket", "n_base", "n_cur",
+        F.expr("(1000000 * (n_base + 1)) div (SUM(n_base) OVER () + 8)")
+        .cast("long")
+        .alias("p_ppm"),
+        F.expr("(1000000 * (n_cur + 1)) div (SUM(n_cur) OVER () + 8)")
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    contrib = shares.select(
+        "bucket", "n_base", "n_cur", "p_ppm", "q_ppm",
+        F.expr(
+            "CAST(FLOOR((p_ppm - q_ppm)"
+            " * LN(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))"
+            " + 0.5) AS BIGINT)"
+        ).alias("psi_contrib_micro"),
+    )
+    return contrib.select(
+        "bucket", "n_base", "n_cur", "p_ppm", "q_ppm", "psi_contrib_micro",
+        F.expr("SUM(psi_contrib_micro) OVER ()")
+        .cast("long")
+        .alias("psi_total_micro"),
+    ).orderBy("bucket")
