@@ -118,7 +118,7 @@ def connected_components(
         F.col("node").cast("long").alias("node"), F.col("node").cast("long").alias("component")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    def _step(labels: DataFrame) -> tuple[DataFrame, int]:
         # min over (own label, neighbors' labels)
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["node"])
@@ -141,15 +141,24 @@ def connected_components(
             .filter(F.col("u.component") != F.col("l.component"))
             .count()
         )
-        labels = updated
+        return updated, n_changed
+
+    for _ in range(max_iterations):
+        labels, n_changed = _step(labels)
         if n_changed == 0:
             return labels
-    # Exhausting the loop with labels still moving means a component whose
-    # diameter exceeds max_iterations: returning the half-propagated labels
-    # would silently split one component into several (and inflate any
+    # The loop's LAST iteration still moved labels — that alone does not
+    # mean the graph failed to converge (a diameter == max_iterations path
+    # finishes propagating on exactly the final pass). One verification
+    # step settles it: no further movement => converged, return.
+    labels, n_changed = _step(labels)
+    if n_changed == 0:
+        return labels
+    # Labels genuinely still moving past the budget: a component's diameter
+    # exceeds max_iterations. Returning half-propagated labels would
+    # silently split one component into several (and inflate any
     # per-cluster statistic built on top, e.g. softdedup weights — ADVICE
-    # r7). Fail loudly; callers with adversarially deep chains should raise
-    # max_iterations or switch the step to large-star/small-star.
+    # r7). Fail loudly instead.
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         f"iterations ({n_changed} labels still changing); raise "

@@ -239,7 +239,7 @@ def sharded_group_cumsum(
     """
     from pyspark.sql import Window
 
-    reserved = {"__pid", "__loc", "__off", out_col}
+    reserved = {"__pid", "__loc", "__off", "__opid", "__ogrp", out_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
@@ -270,15 +270,22 @@ def sharded_group_cumsum(
         part.groupBy("__pid", group_col)
         .agg(F.sum(value_col).cast("long").alias("__sub"))
         .select(
-            "__pid",
-            group_col,
+            F.col("__pid").alias("__opid"),
+            F.col(group_col).alias("__ogrp"),
             F.coalesce(F.sum("__sub").over(w_off), F.lit(0))
             .cast("long")
             .alias("__off"),
         )
     )
+    # eqNullSafe on the group key: the window form treats NULL as its own
+    # partition, so a plain equi-join would silently DROP null-group rows
+    # and break the documented value-identity.
     return (
-        loc.join(F.broadcast(offs), ["__pid", group_col])
+        loc.join(
+            F.broadcast(offs),
+            (F.col("__pid") == F.col("__opid"))
+            & F.col(group_col).eqNullSafe(F.col("__ogrp")),
+        )
         .withColumn(out_col, (F.col("__loc") + F.col("__off")).cast("long"))
-        .drop("__pid", "__loc", "__off")
+        .drop("__pid", "__loc", "__off", "__opid", "__ogrp")
     )

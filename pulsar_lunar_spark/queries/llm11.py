@@ -316,13 +316,15 @@ for _k in range(5):
     _acc += math.exp(-1.0) / math.factorial(_k)
     _POIS_CDF.append(int(_acc * (1 << 24)))
 
-_POIS_CASE = (
-    f"CASE WHEN u < {_POIS_CDF[0]} THEN 0 "
-    f"WHEN u < {_POIS_CDF[1]} THEN 1 "
-    f"WHEN u < {_POIS_CDF[2]} THEN 2 "
-    f"WHEN u < {_POIS_CDF[3]} THEN 3 "
-    f"WHEN u < {_POIS_CDF[4]} THEN 4 ELSE 5 END"
-)
+def _pois_case(u_expr: str) -> str:
+    """Poisson(1) inverse-CDF CASE over a uniform-in-[0, 2^24) SQL
+    expression — parameterized (never textual substitution into a
+    template: a str.replace would silently corrupt the SQL in BOTH
+    engines the moment the template gained another matching token)."""
+    branches = " ".join(
+        f"WHEN ({u_expr}) < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
 
 
 def _bootstrap_oracle() -> str:
@@ -340,7 +342,7 @@ def _bootstrap_oracle() -> str:
         FROM p
     ), draws AS (
         SELECT r, correct,
-               CASE WHEN r = -1 THEN 1 ELSE {_POIS_CASE.replace("u", f"({u_sql})")} END AS w
+               CASE WHEN r = -1 THEN 1 ELSE {_pois_case(u_sql)} END AS w
         FROM lab, UNNEST(GENERATE_SERIES(-1, {_BOOTSTRAP_B - 1})) AS g(r)
     ), accs AS (
         SELECT r,
@@ -422,10 +424,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("r") == -1, F.lit(1))
         .otherwise(
             F.expr(
-                _POIS_CASE.replace(
-                    "u",
-                    "(CAST(conv(substring(md5(concat('bs-', CAST(r AS STRING),"
-                    " ':', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT))",
+                _pois_case(
+                    "CAST(conv(substring(md5(concat('bs-', CAST(r AS STRING),"
+                    " ':', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)"
                 )
             )
         )

@@ -177,3 +177,15 @@ def test_cc_star_empty_and_isolated(spark):
         for r in C.connected_components_star(nodes, edges).collect()
     }
     assert got == {(7, 7), (9, 9)}
+
+
+def test_cc_converges_at_exact_diameter_budget(spark):
+    # diameter == max_iterations must RETURN (the final pass finishes the
+    # propagation); only genuinely-still-moving labels may raise
+    n = 6  # path 0-1-2-3-4-5: diameter 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comp = C.connected_components(nodes, edges, max_iterations=n - 1)
+    assert {r["component"] for r in comp.collect()} == {0}

@@ -224,3 +224,27 @@ def test_budget_fill_sharded_identical(spark, sf_dir):
     }
     got = {r.source: r.asDict() for r in sharded.collect()}
     assert got == want
+
+
+def test_sharded_group_cumsum_keeps_null_groups(spark):
+    """The window form treats NULL as its own partition; the sharded form
+    must not silently drop null-group rows through its offsets join."""
+    from pyspark.sql import Window
+
+    from pulsar_lunar_spark.operators.partitioning import sharded_group_cumsum
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 5), ("a", 1, 7)], "g string, o long, v long"
+    )
+    got = {
+        (r.g, r.o): r.cum
+        for r in sharded_group_cumsum(df, "g", ["o"], "v", n_ranges=3).collect()
+    }
+    want = {
+        (r.g, r.o): r.cum
+        for r in df.select(
+            "g", "o",
+            F.sum("v").over(Window.partitionBy("g").orderBy("o")).alias("cum"),
+        ).collect()
+    }
+    assert got == want and len(got) == 3

@@ -259,10 +259,12 @@ def probes(spark, sf_dir: str, mult: int):
 
     def group_cumsum_sharded_shape():
         # partitioning.sharded_group_cumsum — the documented at-scale
-        # swap: range shards spread each source across tasks, offsets are
-        # a shard x source grid, running sums are one mapInPandas pass.
-        # Value-identical to the window form (tests lock it); this probe
-        # pins the SLOPE difference.
+        # swap: range shards spread each source across tasks, local sums
+        # run as a per-(shard, group) JVM window, offsets are a
+        # shard x source grid broadcast back (pure JVM — the earlier
+        # mapInPandas form lost on Arrow serde). Value-identical to the
+        # window form (tests lock it); this probe pins the SLOPE
+        # difference.
         from pulsar_lunar_spark.operators.partitioning import sharded_group_cumsum
 
         out = sharded_group_cumsum(
