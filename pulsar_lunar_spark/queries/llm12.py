@@ -371,3 +371,115 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: per-source datasheet row (sizes + language entropy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dataset_card",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(LEN(STRING_SPLIT({_NORM}, ' ')) AS BIGINT) AS n_words
+        FROM documents
+    ), sl AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY source, lang
+    ), ent AS (
+        SELECT source,
+               CAST(SUM(CAST(FLOOR(
+                   -(CAST(p_ppm AS DOUBLE) / 1000000.0)
+                     * LN(CAST(p_ppm AS DOUBLE) / 1000000.0) * 1000000
+                   + 0.5) AS BIGINT)) AS BIGINT) AS lang_entropy_micro,
+               CAST(MAX(p_ppm) AS BIGINT) AS top_lang_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM (
+            SELECT source, lang, n,
+                   (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY source)
+                                        AS BIGINT) AS p_ppm
+            FROM sl
+        ) GROUP BY source
+    ), sz AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+        FROM t GROUP BY source
+    )
+    SELECT sz.source, n_docs, total_chars, total_words, mean_chars,
+           n_langs, top_lang_ppm, lang_entropy_micro
+    FROM sz JOIN ent ON sz.source = ent.source
+    ORDER BY sz.source
+    """,
+    tags=("llm", "datasheet", "card", "entropy", "governance"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row-per-source datasheet a curation team
+    publishes with a corpus — document/char/word totals, mean length,
+    language count, dominant-language share, and the Shannon entropy of
+    the language mix (micro-nats) — the single number that separates a
+    monolingual source (entropy ~0) from a balanced multilingual one
+    (~ln K).
+
+    Determinism: language shares are exact integer ppm; each entropy
+    TERM -p*ln(p) is floored to micro-nats independently and the terms
+    summed as BIGINTs (per-term flooring — the one-float-op-then-integer
+    discipline of q_psi_drift), so engines can only disagree inside one
+    well-conditioned LN per (source, lang). p > 0 by construction
+    (present languages only).
+
+    Plan: one scan into a (source, lang) aggregate; shares via a window
+    over the source dimension (<= sources x langs rows); sizes ride a
+    second aggregate of the same scan-level projection joined back on
+    source. At 100 TB everything after the first aggregate is
+    dimension-sized."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(normalize_text(F.col("text")), " "))
+        .cast("long")
+        .alias("n_words"),
+    )
+    sl = t.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shares = sl.select(
+        "source",
+        F.expr(
+            "(1000000 * n) div SUM(n) OVER (PARTITION BY source)"
+        )
+        .cast("long")
+        .alias("p_ppm"),
+    )
+    ent = shares.groupBy("source").agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(-(CAST(p_ppm AS DOUBLE) / 1000000.0)"
+                " * LN(CAST(p_ppm AS DOUBLE) / 1000000.0) * 1000000"
+                " + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("lang_entropy_micro"),
+        F.max("p_ppm").cast("long").alias("top_lang_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    sz = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.expr("sum(n_chars) div count(*)").cast("long").alias("mean_chars"),
+    )
+    return (
+        sz.join(ent, "source")
+        .select(
+            "source", "n_docs", "total_chars", "total_words", "mean_chars",
+            "n_langs", "top_lang_ppm", "lang_entropy_micro",
+        )
+        .orderBy("source")
+    )

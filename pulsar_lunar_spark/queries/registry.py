@@ -284,6 +284,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_rho_select",
     "q_perplexity_filter",
     "q_stream_psi_drift",
+    "q_dataset_card",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
     "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)

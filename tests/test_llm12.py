@@ -107,3 +107,43 @@ def test_perplexity_filter_matches_brute_force(spark, sf_dir):
         for r in all_queries()["q_perplexity_filter"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dataset_card_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_source: dict[str, dict] = {}
+    for r in docs.itertuples():
+        s = per_source.setdefault(
+            r.source, {"n": 0, "chars": 0, "words": 0, "langs": {}}
+        )
+        s["n"] += 1
+        s["chars"] += int(r.n_chars)
+        s["words"] += len(_norm(r.text).split(" "))
+        s["langs"][r.lang] = s["langs"].get(r.lang, 0) + 1
+    want = {}
+    for src, s in per_source.items():
+        shares = [(1_000_000 * n) // s["n"] for n in s["langs"].values()]
+        ent = sum(
+            int(
+                math.floor(
+                    -(p / 1_000_000) * math.log(p / 1_000_000) * 1_000_000 + 0.5
+                )
+            )
+            for p in shares
+        )
+        want[src] = (
+            s["n"], s["chars"], s["words"], s["chars"] // s["n"],
+            len(s["langs"]), max(shares), ent,
+        )
+    got = {
+        r.source: (
+            r.n_docs, r.total_chars, r.total_words, r.mean_chars,
+            r.n_langs, r.top_lang_ppm, r.lang_entropy_micro,
+        )
+        for r in all_queries()["q_dataset_card"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # entropy sanity: 0 for a monolingual source would be exact 0; always
+    # bounded by ln(n_langs) in micro-nats (+1 per-term rounding slack)
+    for r in all_queries()["q_dataset_card"].fn(spark, sf_dir).collect():
+        assert 0 <= r.lang_entropy_micro <= int(math.log(max(r.n_langs, 1)) * 1e6) + r.n_langs

@@ -286,6 +286,7 @@ EXCHANGE_BUDGETS = {
     "q_dedup_pareto": (3, 1),  # prefix-group agg + size re-agg + out sort
     "q_rho_select": (5, 3),  # shared token explode x 2 bc scorers + join + topk
     "q_perplexity_filter": (6, 2),  # ref word agg + word join + doc/src aggs
+    "q_dataset_card": (5, 2),  # (src,lang) agg + share window + size agg join
 }
 
 
