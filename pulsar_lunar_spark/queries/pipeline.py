@@ -224,7 +224,14 @@ def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.createDataFrame(rows, schema)
+    # one-slice localization: bare createDataFrame slices even a 1-row
+    # result into defaultParallelism pickled partitions (a 32-task job,
+    # ~0.3 s/collect), and coalesce(1) is WORSE (one task evaluates all
+    # 32 slices' Python round-trips sequentially, ~3.8 s); parallelize
+    # with numSlices=1 collects in ~0.17 s (r8 A/B, all three measured)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 @register(
@@ -456,7 +463,14 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.createDataFrame(rows, schema)
+    # one-slice localization: bare createDataFrame slices even a 1-row
+    # result into defaultParallelism pickled partitions (a 32-task job,
+    # ~0.3 s/collect), and coalesce(1) is WORSE (one task evaluates all
+    # 32 slices' Python round-trips sequentially, ~3.8 s); parallelize
+    # with numSlices=1 collects in ~0.17 s (r8 A/B, all three measured)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -568,4 +582,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.createDataFrame(rows, schema)
+    # one-slice localization: bare createDataFrame slices even a 1-row
+    # result into defaultParallelism pickled partitions (a 32-task job,
+    # ~0.3 s/collect), and coalesce(1) is WORSE (one task evaluates all
+    # 32 slices' Python round-trips sequentially, ~3.8 s); parallelize
+    # with numSlices=1 collects in ~0.17 s (r8 A/B, all three measured)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
