@@ -91,6 +91,12 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_rho_select",
     "q_perplexity_filter",
+    # round-8 third wave (llm13)
+    "q_k_anonymity",
+    "q_bitext_mining",
+    "q_silhouette",
+    "q_kneser_ney",
+    "q_zipf_fit",
 ]
 
 

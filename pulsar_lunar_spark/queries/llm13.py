@@ -1,0 +1,879 @@
+"""LLM-pipeline batch 13 (round 8, third wave): privacy, alignment
+mining, and corpus-statistics asks —
+
+- k-anonymity audit (``q_k_anonymity``): quasi-identifier group-size
+  risk sweep over the customer table — the table a privacy reviewer
+  reads before a dataset leaves the building;
+- DP noisy top-k plumbing (``q_dp_noisy_topk``): report-noisy-max over
+  token counts with discrete-Laplace noise drawn through a
+  deterministic md5 inverse-CDF (the q_bootstrap_ci Poisson-threshold
+  discipline) — the MECHANISM's distributed plumbing, testable
+  end-to-end; a production run swaps the md5 uniform for a real RNG
+  stream (deterministic noise is NOT differential privacy);
+- margin-based bitext mining (``q_bitext_mining``): CCMatrix/LASER-style
+  ratio-margin scoring of best cross-side embedding matches — the
+  aligned-pair miner for parallel-corpus construction;
+- cluster-quality silhouette (``q_silhouette``): centroid-based
+  simplified silhouette per label over the embeddings table — the
+  go/no-go statistic before trusting cluster labels for SemDeDup cells
+  or topic balancing;
+- Kneser-Ney bigram LM (``q_kneser_ney``): interpolated KN-smoothed
+  bigram probabilities (absolute discount 3/4) — the classical LM
+  quality-scoring backbone, exact ppm integers;
+- Zipf law fit (``q_zipf_fit``): OLS slope of the log-log
+  rank-frequency curve over the top-100 tokens — the corpus-health
+  check that catches template explosions (slope drifts far from -1).
+
+Determinism discipline: every statistic is integer ppm/milli BIGINT
+arithmetic with sign-separated division (Spark div truncates toward
+zero, DuckDB // floors — they agree only on non-negative numerators);
+embedding elements are floor-quantized to exact micro integers BEFORE
+any sum (the q_label_centroids precedent), so dot products and squared
+distances are exact BIGINT and SQRT/LN over exact integers is the
+IEEE-754 correctly-rounded double both engines share; the one uniform
+draw (DP noise) is an md5 integer against CASE thresholds embedded
+literal-for-literal in both engines from one Python computation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators.dedup import normalize_text
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
+
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_KANON_KS = (2, 5, 10, 20)
+
+
+def _kanon_oracle() -> str:
+    per_k = ", ".join(
+        f"CAST(SUM(CASE WHEN s < {k} THEN s ELSE 0 END) AS BIGINT) AS rk{k}, "
+        f"CAST(SUM(CASE WHEN s < {k} THEN 1 ELSE 0 END) AS BIGINT) AS gk{k}"
+        for k in _KANON_KS
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS k, rk{k} AS rows_at_risk, gk{k} AS groups_at_risk,"
+        f" total FROM agg"
+        for k in _KANON_KS
+    )
+    return f"""
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_kilo,
+               CAST(COUNT(*) AS BIGINT) AS s
+        FROM customer GROUP BY 1, 2, 3
+    ), agg AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS total, {per_k} FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, rows_at_risk, groups_at_risk,
+           CAST((1000000 * (total - rows_at_risk)) // total AS BIGINT)
+               AS safe_ppm,
+           total AS total_rows
+    FROM ({unions}) ORDER BY k
+    """
+
+
+@register(
+    "q_k_anonymity",
+    oracle=_kanon_oracle(),
+    tags=("llm", "privacy", "k-anonymity", "audit"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk sweep: group customers by the quasi-identifier
+    triple (market segment, nation, account-balance kilo-bucket), then
+    for k in {2, 5, 10, 20} report how many rows sit in groups smaller
+    than k (re-identifiable at that k), how many groups those are, and
+    the surviving-share in exact ppm. This is the privacy reviewer's
+    headline table: a dataset is k-anonymous at level k exactly when
+    rows_at_risk = 0.
+
+    All-integer; numerators are non-negative by construction so DIV is
+    engine-portable without sign separation. Plan: one scan, one
+    quasi-identifier hash aggregate (the only shuffle — keyed on the QI
+    triple, AQE handles segment skew), one single-row conditional-sum
+    aggregate over the group table, then a 4-row stack — no joins. At
+    100 TB the group table is bounded by distinct QI combinations, the
+    natural compression of the audit."""
+    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    g = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kilo"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("s"))
+    aggs = [F.sum("s").cast("long").alias("total")]
+    for k in _KANON_KS:
+        aggs.append(
+            F.sum(F.when(F.col("s") < k, F.col("s")).otherwise(0))
+            .cast("long")
+            .alias(f"rk{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("s") < k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"gk{k}")
+        )
+    one = g.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}L, rk{k}, gk{k}" for k in _KANON_KS
+    )
+    stacked = one.select(
+        "total",
+        F.expr(
+            f"stack({len(_KANON_KS)}, {stack_args})"
+            " AS (k, rows_at_risk, groups_at_risk)"
+        ),
+    )
+    return stacked.select(
+        "k",
+        "rows_at_risk",
+        "groups_at_risk",
+        F.expr("(1000000L * (total - rows_at_risk)) div total").alias(
+            "safe_ppm"
+        ),
+        F.col("total").alias("total_rows"),
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# DP noisy top-k (report-noisy-max plumbing, deterministic harness)
+# ---------------------------------------------------------------------------
+
+_DP_B = 2.0  # discrete-Laplace scale (in count units)
+_DP_SUPPORT = 8  # truncate noise to |z| <= 8
+_DP_TOPK = 10
+
+
+def _dp_noise_case(u_expr: str) -> str:
+    """CASE mapping a uniform integer u in [0, 1e6) to a truncated
+    discrete-Laplace draw via inverse CDF. Support is ordered
+    [0, +1, -1, +2, -2, ...] so the highest-probability outcomes take
+    the low-u range; thresholds are exact integer literals computed once
+    here and shared literal-for-literal by Spark and DuckDB."""
+    support = [0]
+    for k in range(1, _DP_SUPPORT + 1):
+        support.extend((k, -k))
+    weights = [math.exp(-abs(z) / _DP_B) for z in support]
+    total = sum(weights)
+    branches = []
+    cum = 0.0
+    for z in support[:-1]:
+        cum += math.exp(-abs(z) / _DP_B) / total
+        branches.append(f"WHEN {u_expr} < {int(cum * 1_000_000)} THEN {z}")
+    return (
+        "CASE " + " ".join(branches) + f" ELSE {support[-1]} END"
+    )
+
+
+def _dp_oracle() -> str:
+    u = "CAST('0x' || SUBSTR(MD5('dp|' || token), 1, 6) AS BIGINT) % 1000000"
+    return f"""
+    WITH t AS (
+        SELECT UNNEST(STRING_SPLIT({_NORM}, ' ')) AS token FROM documents
+    ), c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM t GROUP BY 1
+    ), n AS (
+        SELECT token, true_count,
+               CAST({_dp_noise_case(u)} AS BIGINT) AS noise
+        FROM c
+    ), r AS (
+        SELECT token, true_count, noise, true_count + noise AS noisy_count,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY true_count + noise DESC, token) AS BIGINT) AS rank
+        FROM n
+    )
+    SELECT rank, token, true_count, noise, noisy_count
+    FROM r WHERE rank <= {_DP_TOPK} ORDER BY rank
+    """
+
+
+@register(
+    "q_dp_noisy_topk",
+    oracle=_dp_oracle(),
+    tags=("llm", "privacy", "dp", "noisy-topk"),
+)
+def q_dp_noisy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-noisy-max top-k over corpus token counts: each token's
+    exact count gets a truncated discrete-Laplace perturbation (scale
+    b=2, |z| <= 8) drawn through an inverse CDF, and the top-10 by NOISY
+    count is released alongside the true counts for audit. This is the
+    distributed PLUMBING of the DP release — exact count aggregate,
+    per-key noise, noisy re-rank — made deterministic for testing by
+    sourcing the uniform from md5(token): a production release swaps
+    that one expression for a real RNG stream (deterministic noise is
+    NOT differential privacy, and this docstring is the loud label).
+
+    The inverse-CDF thresholds are exact integer literals computed once
+    in Python and embedded in BOTH engines' CASE (the q_bootstrap_ci
+    Poisson discipline) — no transcendentals at query time. Plan: one
+    scan, one explode riding the scan, one token hash aggregate (the
+    only data-bearing shuffle), then a 10-row top-k; at 100 TB the
+    aggregate output is vocabulary-bounded."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    )
+    c = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    u = "conv(substring(md5(concat('dp|', token)), 1, 6), 16, 10) % 1000000"
+    n = c.select(
+        "token",
+        "true_count",
+        F.expr(f"CAST({_dp_noise_case(u)} AS BIGINT)").alias("noise"),
+    ).select(
+        "token",
+        "true_count",
+        "noise",
+        (F.col("true_count") + F.col("noise")).alias("noisy_count"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("noisy_count"), F.asc("token"))
+    return (
+        n.select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            "true_count",
+            "noise",
+            "noisy_count",
+        )
+        .filter(F.col("rank") <= _DP_TOPK)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (CCMatrix/LASER ratio margin)
+# ---------------------------------------------------------------------------
+
+_BT_ANCHOR_CAP = 32  # anchors: even vec_ids below this (declared batch)
+_BT_K = 4  # margin denominator: mean of top-4 neighbours each side
+
+
+def _bitext_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), a AS (
+        SELECT vec_id AS anchor_id, qv AS av FROM q
+        WHERE vec_id % 2 = 0 AND vec_id < {_BT_ANCHOR_CAP}
+    ), b AS (
+        SELECT vec_id AS cand_id, qv AS bv FROM q WHERE vec_id % 2 = 1
+    ), sims AS (
+        SELECT a.anchor_id, b.cand_id,
+               CAST(FLOOR((LIST_INNER_PRODUCT(a.av, b.bv)
+                    / (SQRT(LIST_INNER_PRODUCT(a.av, a.av))
+                       * SQRT(LIST_INNER_PRODUCT(b.bv, b.bv))))
+                    * 1000000 + 0.5) AS BIGINT) AS sim_micro
+        FROM a CROSS JOIN b
+    ), ra AS (
+        SELECT anchor_id, cand_id, sim_micro,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim_micro DESC, cand_id) AS rna
+        FROM sims
+    ), ta AS (
+        SELECT anchor_id,
+               CAST(SUM(CASE WHEN rna <= {_BT_K} THEN sim_micro ELSE 0 END)
+                    AS BIGINT) AS top4_anchor_sum
+        FROM ra GROUP BY 1
+    ), rb AS (
+        SELECT anchor_id, cand_id, sim_micro,
+               ROW_NUMBER() OVER (PARTITION BY cand_id
+                                  ORDER BY sim_micro DESC, anchor_id) AS rnb
+        FROM sims
+    ), tb AS (
+        SELECT cand_id,
+               CAST(SUM(CASE WHEN rnb <= {_BT_K} THEN sim_micro ELSE 0 END)
+                    AS BIGINT) AS top4_cand_sum
+        FROM rb GROUP BY 1
+    ), best AS (
+        SELECT anchor_id, cand_id, sim_micro FROM ra WHERE rna = 1
+    )
+    SELECT best.anchor_id, best.cand_id, best.sim_micro,
+           ta.top4_anchor_sum, tb.top4_cand_sum,
+           CASE WHEN best.sim_micro >= 0 THEN
+               CAST((8000000 * best.sim_micro)
+                    // GREATEST(ta.top4_anchor_sum + tb.top4_cand_sum, 1)
+                    AS BIGINT)
+           ELSE
+               -CAST((8000000 * (-best.sim_micro))
+                     // GREATEST(ta.top4_anchor_sum + tb.top4_cand_sum, 1)
+                     AS BIGINT)
+           END AS margin_ppm
+    FROM best
+    JOIN ta USING (anchor_id) JOIN tb USING (cand_id)
+    ORDER BY anchor_id
+    """
+
+
+@register(
+    "q_bitext_mining",
+    oracle=_bitext_oracle(),
+    tags=("llm", "embedding", "bitext", "margin", "alignment"),
+)
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix/LASER ratio-margin
+    criterion): for each of 16 declared anchor vectors (even vec_ids —
+    "language A"), the best cosine match among odd vec_ids ("language
+    B"), scored by margin = 2*cos(a,b) / (mean top-4 cos of a + mean
+    top-4 cos of b). Raw cosine rewards hubs — vectors close to
+    everything; the margin denominator normalizes by each side's local
+    neighbourhood density, which is what makes mined pairs precise
+    enough to train on.
+
+    Exactness: elements are floor-quantized to micro integers BEFORE the
+    dot product, so dots and norms are exact BIGINT; SQRT over exact
+    integers is correctly-rounded IEEE on both engines, and the margin is
+    sign-separated integer DIV over the micro-rounded sims. Plan: the
+    similarity matrix is a sparse-dense matmul expressed relationally —
+    candidates explode by dimension and broadcast-join the 1024-row
+    anchor-element table on pos (anchor norms ride the group key, no
+    second scan), one (cand, anchor) hash aggregate — never a crossJoin;
+    both margin denominators are WINDOW aggregates over the rank's own
+    partition, so the sims pipeline executes exactly once (2 FileScans /
+    4 exchanges total, plan-budget-locked). At 100 TB the anchor batch
+    is the declared bounded dimension, so every stage is
+    O(candidates * anchors) with a broadcast dim table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.expr(
+        "transform(embedding, x ->"
+        " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    q = emb.select("vec_id", micro.alias("qv"))
+    a = q.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < _BT_ANCHOR_CAP)
+    ).select(F.col("vec_id").alias("anchor_id"), F.col("qv").alias("av"))
+    b = q.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("bv")
+    )
+    # Anchor side: ONE frame carrying both the exploded elements and the
+    # anchor norm (16 x dim rows, broadcast) — na is constant per anchor
+    # so it rides the group key instead of costing a second scan + join.
+    a_long = a.select(
+        "anchor_id",
+        F.aggregate(
+            F.expr("transform(av, v -> v * v)"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("na"),
+        F.posexplode("av").alias("pos", "aq"),
+    )
+    b_long = b.select(
+        "cand_id",
+        F.aggregate(
+            F.expr("transform(bv, v -> v * v)"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("nb"),
+        F.posexplode("bv").alias("pos", "xq"),
+    )
+    sims = (
+        b_long.join(F.broadcast(a_long), "pos")
+        .groupBy("cand_id", "anchor_id", "nb", "na")
+        .agg(F.sum(F.col("xq") * F.col("aq")).alias("dot"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.floor(
+                (
+                    F.col("dot").cast("double")
+                    / (F.sqrt(F.col("na").cast("double"))
+                       * F.sqrt(F.col("nb").cast("double")))
+                )
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # Both per-side statistics ride WINDOW aggregates over the rank's own
+    # partition (not groupBy + join-back), so the sims pipeline executes
+    # exactly once: one exchange per side, no re-scan.
+    wa = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim_micro"), F.asc("cand_id")
+    )
+    wa_all = Window.partitionBy("anchor_id")
+    wb = Window.partitionBy("cand_id").orderBy(
+        F.desc("sim_micro"), F.asc("anchor_id")
+    )
+    wb_all = Window.partitionBy("cand_id")
+    ranked = (
+        sims.withColumn("rna", F.row_number().over(wa))
+        .withColumn(
+            "top4_anchor_sum",
+            F.sum(
+                F.when(F.col("rna") <= _BT_K, F.col("sim_micro")).otherwise(0)
+            )
+            .over(wa_all)
+            .cast("long"),
+        )
+        .withColumn("rnb", F.row_number().over(wb))
+        .withColumn(
+            "top4_cand_sum",
+            F.sum(
+                F.when(F.col("rnb") <= _BT_K, F.col("sim_micro")).otherwise(0)
+            )
+            .over(wb_all)
+            .cast("long"),
+        )
+    )
+    joined = ranked.filter(F.col("rna") == 1)
+    margin = F.when(
+        F.col("sim_micro") >= 0,
+        F.expr(
+            "(8000000L * sim_micro)"
+            " div GREATEST(top4_anchor_sum + top4_cand_sum, 1L)"
+        ),
+    ).otherwise(
+        -F.expr(
+            "(8000000L * (-sim_micro))"
+            " div GREATEST(top4_anchor_sum + top4_cand_sum, 1L)"
+        )
+    )
+    return joined.select(
+        "anchor_id",
+        "cand_id",
+        "sim_micro",
+        "top4_anchor_sum",
+        "top4_cand_sum",
+        margin.cast("long").alias("margin_ppm"),
+    ).orderBy("anchor_id")
+
+
+# ---------------------------------------------------------------------------
+# Centroid-based simplified silhouette
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_oracle() -> str:
+    return """
+    WITH raw AS (
+        SELECT vec_id, label,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        FROM embeddings
+    ), pts AS (
+        SELECT vec_id, label, pos,
+               CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS xq
+        FROM raw
+    ), cent AS (
+        SELECT label AS clabel, pos,
+               CASE WHEN SUM(xq) >= 0
+                    THEN CAST(SUM(xq) // COUNT(*) AS BIGINT)
+                    ELSE -CAST((-SUM(xq)) // COUNT(*) AS BIGINT)
+               END AS cq
+        FROM pts GROUP BY 1, 2
+    ), d2 AS (
+        SELECT p.vec_id, p.label, c.clabel,
+               CAST(SUM((p.xq - c.cq) * (p.xq - c.cq)) AS BIGINT) AS dsq
+        FROM pts p JOIN cent c USING (pos) GROUP BY 1, 2, 3
+    ), dd AS (
+        SELECT vec_id, label, clabel,
+               CAST(FLOOR(SQRT(CAST(dsq AS DOUBLE)) + 0.5) AS BIGINT) AS dm
+        FROM d2
+    ), ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel = label THEN dm END) AS a,
+               MIN(CASE WHEN clabel <> label THEN dm END) AS b
+        FROM dd GROUP BY 1, 2
+    ), s AS (
+        SELECT label,
+               CASE WHEN b >= a
+                    THEN CAST((1000 * (b - a))
+                              // GREATEST(GREATEST(a, b), 1) AS BIGINT)
+                    ELSE -CAST((1000 * (a - b))
+                               // GREATEST(GREATEST(a, b), 1) AS BIGINT)
+               END AS s_milli
+        FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CASE WHEN SUM(s_milli) >= 0
+                THEN CAST(SUM(s_milli) // COUNT(*) AS BIGINT)
+                ELSE -CAST((-SUM(s_milli)) // COUNT(*) AS BIGINT)
+           END AS mean_sil_milli,
+           CAST(SUM(CASE WHEN s_milli < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM s GROUP BY label ORDER BY label
+    """
+
+
+@register(
+    "q_silhouette",
+    oracle=_silhouette_oracle(),
+    tags=("llm", "embedding", "clustering", "silhouette", "quality"),
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based simplified silhouette per label: for every vector,
+    a = distance to its own label centroid and b = distance to the
+    nearest OTHER centroid; s = (b - a) / max(a, b) in exact milli
+    units, reported as the per-label mean plus the count of negative-s
+    points (vectors closer to a foreign centroid than their own — the
+    mislabel signal). This is the go/no-go check before label clusters
+    are trusted for SemDeDup cells, topic balancing, or stratified
+    splits.
+
+    Exactness: elements floor-quantize to micro integers before the
+    exact BIGINT centroid sums; the centroid itself is a sign-separated
+    truncating division (part of the spec'd statistic); squared
+    distances are exact BIGINT and their SQRT is the correctly-rounded
+    IEEE double on both engines, micro-rounded before the comparison.
+    Plan: one scan, posexplode riding it, one (label, pos) centroid
+    aggregate, then a broadcast join of points-by-dimension against the
+    labels*dims centroid table (bounded dim table at any corpus size)
+    into a (vec, candidate-label) hash aggregate — never a crossJoin —
+    and two cheap re-aggregates. Scales as O(points * labels * dims)
+    with only broadcast dimension tables shuffle-side."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    micro = F.expr(
+        "transform(embedding, x ->"
+        " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    pts = emb.select(
+        "vec_id", "label", F.posexplode(micro).alias("pos0", "xq")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "xq")
+    cent = (
+        pts.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("xq").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "clabel",
+            "pos",
+            F.when(
+                F.col("sx") >= 0, F.expr("sx div n")
+            )
+            .otherwise(-F.expr("(-sx) div n"))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    d2 = (
+        pts.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
+            .cast("long")
+            .alias("dsq")
+        )
+    )
+    dd = d2.select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.floor(F.sqrt(F.col("dsq").cast("double")) + 0.5)
+        .cast("long")
+        .alias("dm"),
+    )
+    ab = dd.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dm"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dm"))).alias(
+            "b"
+        ),
+    )
+    s = ab.select(
+        "label",
+        F.when(
+            F.col("b") >= F.col("a"),
+            F.expr("(1000L * (b - a)) div GREATEST(GREATEST(a, b), 1L)"),
+        )
+        .otherwise(
+            -F.expr("(1000L * (a - b)) div GREATEST(GREATEST(a, b), 1L)")
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("s_milli").alias("ssum"),
+            F.sum(F.when(F.col("s_milli") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+        .select(
+            "label",
+            "n_points",
+            F.when(
+                F.col("ssum") >= 0, F.expr("ssum div n_points")
+            )
+            .otherwise(-F.expr("(-ssum) div n_points"))
+            .cast("long")
+            .alias("mean_sil_milli"),
+            "n_negative",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (discount 3/4)
+# ---------------------------------------------------------------------------
+
+_KN_TOPK = 20
+
+
+def _kn_oracle() -> str:
+    return f"""
+    WITH w AS (
+        SELECT STRING_SPLIT({_NORM}, ' ') AS words FROM documents
+    ), bg AS (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(words)),
+                                     i -> words[i] || ' ' || words[i + 1]))
+                   AS b
+        FROM w WHERE LEN(words) >= 2
+    ), cnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1
+    ), bi AS (
+        SELECT SPLIT_PART(b, ' ', 1) AS w1, SPLIT_PART(b, ' ', 2) AS w2, c12
+        FROM cnt
+    ), u1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS nfoll
+        FROM bi GROUP BY 1
+    ), u2 AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec FROM bi GROUP BY 1
+    ), d AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM bi
+    ), p AS (
+        SELECT bi.w1, bi.w2, bi.c12, u1.c1, u1.nfoll, u2.nprec, d.nbi
+        FROM bi JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN d
+    ), k AS (
+        SELECT w1, w2, c12, c1,
+               CAST((1000000 * (4 * c12 - 3)) // (4 * c1) AS BIGINT)
+               + CAST((3 * nfoll * ((1000000 * nprec) // nbi))
+                      // (4 * c1) AS BIGINT) AS p_kn_ppm
+        FROM p
+    ), r AS (
+        SELECT w1, w2, c12, c1, p_kn_ppm,
+               ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2) AS rn
+        FROM k
+    )
+    SELECT w1, w2, c12, c1, p_kn_ppm
+    FROM r WHERE rn <= {_KN_TOPK} ORDER BY c12 DESC, w1, w2
+    """
+
+
+@register(
+    "q_kneser_ney",
+    oracle=_kn_oracle(),
+    tags=("llm", "lm", "kneser-ney", "ngram"),
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    d = 3/4) for the corpus's top-20 bigrams:
+
+        p_kn(w2|w1) = (c12 - 3/4)/c1 + (3/4 * N1+(w1,*)/c1) * p_cont(w2)
+        p_cont(w2)  = N1+(*, w2) / |distinct bigrams|
+
+    — the classical smoothed-LM backbone behind perplexity-based quality
+    scoring, in exact ppm integers: the discount rides as the 4x-scaled
+    numerator (4*c12 - 3, never negative since c12 >= 1), and every
+    division has a non-negative numerator so Spark's div and DuckDB's //
+    agree without sign separation.
+
+    Plan: one scan; bigrams form as an array transform riding the scan
+    (no pre-shuffle) and explode into ONE hash aggregate keyed on the
+    bigram string; everything after operates on the bigram-TYPE table
+    (vocabulary-squared bounded — the natural compression), so the
+    follower/predecessor aggregates and the final joins are over the
+    compressed table, broadcast-sized at any corpus scale. The bigram
+    table has FOUR downstream consumers (itself, both marginals, the
+    total), so it is spooled once to tmpfs (the q_dedup_source_matrix
+    pattern) — the corpus scan runs exactly once, not four times. The
+    single 1-row distinct-bigram total joins via the scalar-frame
+    crossJoin precedent."""
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    words = F.split(normalize_text(F.col("text")), " ")
+    staged = docs.select(words.alias("__w")).filter(F.size("__w") >= 2)
+    bg = staged.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__w) - 1),"
+                " i -> concat(element_at(__w, i), ' ',"
+                " element_at(__w, i + 1)))"
+            )
+        ).alias("b")
+    )
+    raw_cnt = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    slot = versioned_slot(scratch_root("pulsar_lunar_kn", sf_dir), "bigrams")
+    raw_cnt.write.mode("overwrite").parquet(slot)
+    cnt = spark.read.parquet(slot)
+    bi = cnt.select(
+        F.expr("split_part(b, ' ', 1)").alias("w1"),
+        F.expr("split_part(b, ' ', 2)").alias("w2"),
+        "c12",
+    )
+    u1 = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("nfoll"),
+    )
+    u2 = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nprec"))
+    d = bi.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
+    p = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(d))
+    )
+    k = p.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        (
+            F.expr("(1000000L * (4 * c12 - 3)) div (4 * c1)")
+            + F.expr(
+                "(3 * nfoll * ((1000000L * nprec) div nbi)) div (4 * c1)"
+            )
+        )
+        .cast("long")
+        .alias("p_kn_ppm"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    return (
+        k.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KN_TOPK)
+        .select("w1", "w2", "c12", "c1", "p_kn_ppm")
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (OLS slope on log-log, milli-LN quantization)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+
+def _zipf_oracle() -> str:
+    return f"""
+    WITH t AS (
+        SELECT UNNEST(STRING_SPLIT({_NORM}, ' ')) AS token FROM documents
+    ), c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1
+    ), r AS (
+        SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                         AS BIGINT) AS rnk
+        FROM c
+    ), l AS (
+        SELECT cnt,
+               CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+                   AS lr,
+               CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+                   AS lf
+        FROM r WHERE rnk <= {_ZIPF_TOPK}
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lr) AS BIGINT) AS sx,
+               CAST(SUM(lf) AS BIGINT) AS sy,
+               CAST(SUM(lr * lr) AS BIGINT) AS sxx,
+               CAST(SUM(lr * lf) AS BIGINT) AS sxy,
+               CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(MAX(cnt) AS BIGINT) AS topf
+        FROM l
+    )
+    SELECT n AS n_terms, tot AS total_occurrences, topf AS top_freq,
+           CASE WHEN (n * sxy - sx * sy) >= 0
+                THEN CAST((1000000 * (n * sxy - sx * sy))
+                          // GREATEST(n * sxx - sx * sx, 1) AS BIGINT)
+                ELSE -CAST((1000000 * (sx * sy - n * sxy))
+                           // GREATEST(n * sxx - sx * sx, 1) AS BIGINT)
+           END AS slope_micro,
+           CAST(sy // n AS BIGINT) AS mean_lnf_milli
+    FROM s
+    """
+
+
+@register(
+    "q_zipf_fit",
+    oracle=_zipf_oracle(),
+    tags=("llm", "corpus-stats", "zipf", "regression"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token rank-frequency curve: OLS slope of
+    ln(frequency) against ln(rank) for the top-100 tokens — healthy
+    natural-language corpora sit near slope -1; template explosions and
+    boilerplate floods bend it shallow. Both logs quantize to exact
+    MILLI integers (not the usual micro) before the OLS cross-products
+    so every sum-of-products stays far inside int64 (lr <= 4 605, lf
+    bounded by ln(corpus) — n*Sxy tops out near 1e12 even at 100 TB
+    counts, and the 1e6-scaled slope numerator stays under 1e18); the
+    slope division is sign-separated because the numerator is negative
+    for any Zipf-like corpus. LN over exact integer inputs is the same
+    libm double on both engines (the q_unigram_surprisal precedent).
+
+    Plan: one scan, one explode riding it, one token hash aggregate
+    (vocabulary-bounded output), a 100-row window + single-row OLS
+    aggregate — the statistic compresses to one row regardless of corpus
+    size."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    )
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    top = (
+        c.select("cnt", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= _ZIPF_TOPK)
+    )
+    l = top.select(
+        "cnt",
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("lr"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("lf"),
+    )
+    s = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lr").cast("long").alias("sx"),
+        F.sum("lf").cast("long").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).cast("long").alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).cast("long").alias("sxy"),
+        F.sum("cnt").cast("long").alias("tot"),
+        F.max("cnt").cast("long").alias("topf"),
+    )
+    slope = F.when(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) >= 0,
+        F.expr(
+            "(1000000L * (n * sxy - sx * sy))"
+            " div GREATEST(n * sxx - sx * sx, 1L)"
+        ),
+    ).otherwise(
+        -F.expr(
+            "(1000000L * (sx * sy - n * sxy))"
+            " div GREATEST(n * sxx - sx * sx, 1L)"
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.col("tot").alias("total_occurrences"),
+        F.col("topf").alias("top_freq"),
+        slope.cast("long").alias("slope_micro"),
+        F.expr("sy div n").cast("long").alias("mean_lnf_milli"),
+    )

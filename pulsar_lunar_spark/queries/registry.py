@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm10",
     "pulsar_lunar_spark.queries.llm11",
     "pulsar_lunar_spark.queries.llm12",
+    "pulsar_lunar_spark.queries.llm13",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -285,6 +286,12 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_perplexity_filter",
     "q_stream_psi_drift",
     "q_dataset_card",
+    "q_k_anonymity",
+    "q_dp_noisy_topk",
+    "q_bitext_mining",
+    "q_silhouette",
+    "q_kneser_ney",
+    "q_zipf_fit",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
     "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)

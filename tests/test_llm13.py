@@ -1,0 +1,241 @@
+"""Batch-13 operator semantics vs pure-Python brute force: k-anonymity
+risk sweep accounting, DP noisy top-k noise reconstruction, bitext
+margin scoring, centroid silhouette, Kneser-Ney probabilities, and the
+Zipf OLS slope."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+
+from pulsar_lunar_spark.queries import all_queries
+from pulsar_lunar_spark.queries.llm13 import (
+    _BT_ANCHOR_CAP,
+    _BT_K,
+    _DP_B,
+    _DP_SUPPORT,
+    _DP_TOPK,
+    _KANON_KS,
+    _KN_TOPK,
+    _ZIPF_TOPK,
+)
+
+
+def _norm_words(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating (toward-zero) integer division — the sign-separated
+    semantics both query engines are pinned to."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_k_anonymity_matches_brute_force(spark, sf_dir):
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    sizes = Counter(
+        (r.c_mktsegment, r.c_nationkey, math.floor(r.c_acctbal / 1000))
+        for r in cust.itertuples()
+    )
+    total = sum(sizes.values())
+    want = {}
+    for k in _KANON_KS:
+        rows = sum(s for s in sizes.values() if s < k)
+        groups = sum(1 for s in sizes.values() if s < k)
+        want[k] = (rows, groups, (1_000_000 * (total - rows)) // total, total)
+    got = {
+        r.k: (r.rows_at_risk, r.groups_at_risk, r.safe_ppm, r.total_rows)
+        for r in all_queries()["q_k_anonymity"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # risk is monotone non-decreasing in k; safe share non-increasing
+    ks = sorted(got)
+    for lo, hi in zip(ks, ks[1:]):
+        assert got[lo][0] <= got[hi][0]
+        assert got[lo][2] >= got[hi][2]
+
+
+def _dp_noise(token: str) -> int:
+    u = int(hashlib.md5(f"dp|{token}".encode()).hexdigest()[:6], 16) % 1_000_000
+    support = [0]
+    for k in range(1, _DP_SUPPORT + 1):
+        support.extend((k, -k))
+    total = sum(math.exp(-abs(z) / _DP_B) for z in support)
+    cum = 0.0
+    for z in support[:-1]:
+        cum += math.exp(-abs(z) / _DP_B) / total
+        if u < int(cum * 1_000_000):
+            return z
+    return support[-1]
+
+
+def test_dp_noisy_topk_noise_reconstruction(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    counts = Counter(w for t in docs.text for w in _norm_words(t))
+    rows = all_queries()["q_dp_noisy_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == min(_DP_TOPK, len(counts))
+    ranked = sorted(
+        ((c + _dp_noise(t), t) for t, c in counts.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    for i, r in enumerate(rows):
+        assert r.rank == i + 1
+        assert r.true_count == counts[r.token]
+        assert r.noise == _dp_noise(r.token)
+        assert r.noisy_count == r.true_count + r.noise
+        assert abs(r.noise) <= _DP_SUPPORT
+        assert (r.noisy_count, r.token) == ranked[i]
+
+
+def _quant(v: float) -> int:
+    return math.floor(v * 1_000_000 + 0.5)
+
+
+def test_bitext_mining_matches_brute_force(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [_quant(float(x)) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    anchors = sorted(v for v in vecs if v % 2 == 0 and v < _BT_ANCHOR_CAP)
+    cands = sorted(v for v in vecs if v % 2 == 1)
+    assert anchors and len(cands) >= _BT_K
+
+    def sim(a, b):
+        qa, qb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na = sum(x * x for x in qa)
+        nb = sum(x * x for x in qb)
+        return math.floor(
+            (dot / (math.sqrt(na) * math.sqrt(nb))) * 1_000_000 + 0.5
+        )
+
+    sims = {(a, b): sim(a, b) for a in anchors for b in cands}
+    t4a = {
+        a: sum(
+            sorted(((sims[(a, b)], -b) for b in cands), reverse=True)[
+                : _BT_K
+            ][i][0]
+            for i in range(min(_BT_K, len(cands)))
+        )
+        for a in anchors
+    }
+    t4b = {
+        b: sum(
+            sorted(((sims[(a, b)], -a) for a in anchors), reverse=True)[
+                : _BT_K
+            ][i][0]
+            for i in range(min(_BT_K, len(anchors)))
+        )
+        for b in cands
+    }
+    got = all_queries()["q_bitext_mining"].fn(spark, sf_dir).collect()
+    assert len(got) == len(anchors)
+    for r in got:
+        a = r.anchor_id
+        best = max(cands, key=lambda b: (sims[(a, b)], -b))
+        assert r.cand_id == best
+        assert r.sim_micro == sims[(a, best)]
+        assert r.top4_anchor_sum == t4a[a]
+        assert r.top4_cand_sum == t4b[best]
+        denom = max(t4a[a] + t4b[best], 1)
+        assert r.margin_ppm == _tdiv(8_000_000 * r.sim_micro, denom)
+
+
+def test_silhouette_matches_brute_force(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pts = [
+        (int(r.label), [_quant(float(x)) for x in r.embedding])
+        for r in emb.itertuples()
+    ]
+    labels = sorted({l for l, _ in pts})
+    dim = len(pts[0][1])
+    cent = {}
+    for lab in labels:
+        members = [v for l, v in pts if l == lab]
+        cent[lab] = [
+            _tdiv(sum(v[i] for v in members), len(members))
+            for i in range(dim)
+        ]
+    per_label: dict[int, list[int]] = {lab: [] for lab in labels}
+    for lab, v in pts:
+        dists = {
+            cl: math.floor(
+                math.sqrt(sum((x - c) ** 2 for x, c in zip(v, cent[cl])))
+                + 0.5
+            )
+            for cl in labels
+        }
+        a = dists[lab]
+        b = min(d for cl, d in dists.items() if cl != lab)
+        per_label[lab].append(_tdiv(1000 * (b - a), max(max(a, b), 1)))
+    got = {
+        r.label: (r.n_points, r.mean_sil_milli, r.n_negative)
+        for r in all_queries()["q_silhouette"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        lab: (
+            len(s),
+            _tdiv(sum(s), len(s)),
+            sum(1 for x in s if x < 0),
+        )
+        for lab, s in per_label.items()
+    }
+    assert got == want
+
+
+def test_kneser_ney_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bigrams: Counter = Counter()
+    for t in docs.text:
+        ws = _norm_words(t)
+        bigrams.update(zip(ws, ws[1:]))
+    c1: Counter = Counter()
+    nfoll: Counter = Counter()
+    nprec: Counter = Counter()
+    for (w1, w2), c in bigrams.items():
+        c1[w1] += c
+        nfoll[w1] += 1
+        nprec[w2] += 1
+    nbi = len(bigrams)
+    rows = all_queries()["q_kneser_ney"].fn(spark, sf_dir).collect()
+    assert len(rows) == min(_KN_TOPK, nbi)
+    top = sorted(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))[:_KN_TOPK]
+    for r, ((w1, w2), c12) in zip(rows, top):
+        assert (r.w1, r.w2, r.c12) == (w1, w2, c12)
+        assert r.c1 == c1[w1]
+        pcont = (1_000_000 * nprec[w2]) // nbi
+        want = (1_000_000 * (4 * c12 - 3)) // (4 * c1[w1]) + (
+            3 * nfoll[w1] * pcont
+        ) // (4 * c1[w1])
+        assert r.p_kn_ppm == want
+        # a probability: strictly positive, never above 1
+        assert 0 < r.p_kn_ppm <= 1_000_000
+
+
+def test_zipf_fit_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    counts = Counter(w for t in docs.text for w in _norm_words(t))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPK]
+    lrs = [
+        math.floor(math.log(i + 1) * 1000 + 0.5) for i in range(len(top))
+    ]
+    lfs = [math.floor(math.log(c) * 1000 + 0.5) for _, c in top]
+    n = len(top)
+    sx, sy = sum(lrs), sum(lfs)
+    sxx = sum(x * x for x in lrs)
+    sxy = sum(x * y for x, y in zip(lrs, lfs))
+    slope = _tdiv(1_000_000 * (n * sxy - sx * sy), max(n * sxx - sx * sx, 1))
+    [r] = all_queries()["q_zipf_fit"].fn(spark, sf_dir).collect()
+    assert r.n_terms == n
+    assert r.total_occurrences == sum(c for _, c in top)
+    assert r.top_freq == top[0][1]
+    assert r.slope_micro == slope
+    assert r.mean_lnf_milli == sy // n
+    # a token histogram is Zipf-ish: the fitted slope must be negative
+    assert r.slope_micro < 0

@@ -77,6 +77,7 @@ CARTESIAN_OK = {
     "q_leakage_safe_split",  # single-row broadcast leak-count side
     "q_chi2_cells",  # single-row broadcast grand-total side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
+    "q_kneser_ney",  # single-row broadcast distinct-bigram total side
 }
 
 
@@ -287,6 +288,13 @@ EXCHANGE_BUDGETS = {
     "q_rho_select": (5, 3),  # shared token explode x 2 bc scorers + join + topk
     "q_perplexity_filter": (6, 2),  # ref word agg + word join + doc/src aggs
     "q_dataset_card": (5, 2),  # (src,lang) agg + share window + size agg join
+    # round-8 third wave (llm13)
+    "q_k_anonymity": (3, 0),  # QI agg + 1-row conditional-sum agg + 4-row sort
+    "q_dp_noisy_topk": (2, 0),  # token agg + global noisy-rank window
+    "q_bitext_mining": (5, 1),  # dot agg + 2 side windows + sort; anchors bc
+    "q_silhouette": (6, 1),  # centroid agg bc + d2/ab/s aggs + sort
+    "q_kneser_ney": (4, 3),  # spooled bigram table; marginals broadcast
+    "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
 }
 
 
