@@ -96,6 +96,7 @@ HEADLINE = [
     "q_bitext_mining",
     "q_silhouette",
     "q_kneser_ney",
+    "q_kn_doc_surprisal",
     "q_zipf_fit",
 ]
 

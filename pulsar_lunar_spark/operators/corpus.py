@@ -734,3 +734,63 @@ def bpe_train(
             new_syms.append((out, freq))
         syms = new_syms
     return merges
+
+
+def kn_bigram_probs(cnt: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    3/4) over a bigram-TYPE count table ``cnt`` with columns
+    ``(b, c12)`` where ``b`` is the space-joined bigram string:
+
+        p_kn(w2|w1) = (c12 - 3/4)/c1 + (3/4 * N1+(w1,*)/c1) * p_cont(w2)
+        p_cont(w2)  = N1+(*, w2) / |distinct bigrams|
+
+    in exact ppm integers (the discount rides as the 4x-scaled numerator
+    4*c12 - 3, never negative since c12 >= 1, so every division has a
+    non-negative numerator and Spark div == DuckDB //). The result is
+    clamped to >= 1 ppm so a downstream LN never sees zero (a
+    singleton bigram under a very heavy history can floor both terms
+    to 0 at corpus scale).
+
+    Returns ``(b, w1, w2, c12, c1, nfoll, nprec, p_kn_ppm)``. All
+    aggregates operate on the bigram-type table (vocabulary-squared
+    bounded), so the marginals broadcast at any corpus size; callers
+    should spool ``cnt`` first when it feeds multiple consumers (the
+    q_kneser_ney pattern). Shared by q_kneser_ney and
+    q_kn_doc_surprisal."""
+    from pyspark.sql import functions as F
+
+    bi = cnt.select(
+        "b",
+        F.expr("split_part(b, ' ', 1)").alias("w1"),
+        F.expr("split_part(b, ' ', 2)").alias("w2"),
+        "c12",
+    )
+    u1 = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("nfoll"),
+    )
+    u2 = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nprec"))
+    d = bi.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
+    p = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(d))
+    )
+    return p.select(
+        "b",
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "nfoll",
+        "nprec",
+        F.greatest(
+            (
+                F.expr("(1000000L * (4 * c12 - 3)) div (4 * c1)")
+                + F.expr(
+                    "(3 * nfoll * ((1000000L * nprec) div nbi)) div (4 * c1)"
+                )
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("p_kn_ppm"),
+    )

@@ -20,6 +20,9 @@ mining, and corpus-statistics asks —
 - Kneser-Ney bigram LM (``q_kneser_ney``): interpolated KN-smoothed
   bigram probabilities (absolute discount 3/4) — the classical LM
   quality-scoring backbone, exact ppm integers;
+- bigram-LM document surprisal (``q_kn_doc_surprisal``): the KN model
+  applied as a self-normalizing per-source quality filter — the
+  bigram-order upgrade of q_perplexity_filter's unigram gate;
 - Zipf law fit (``q_zipf_fit``): OLS slope of the log-log
   rank-frequency curve over the top-100 tokens — the corpus-health
   check that catches template explosions (slope drifts far from -1).
@@ -659,9 +662,11 @@ def _kn_oracle() -> str:
         FROM bi JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN d
     ), k AS (
         SELECT w1, w2, c12, c1,
-               CAST((1000000 * (4 * c12 - 3)) // (4 * c1) AS BIGINT)
-               + CAST((3 * nfoll * ((1000000 * nprec) // nbi))
-                      // (4 * c1) AS BIGINT) AS p_kn_ppm
+               GREATEST(
+                   CAST((1000000 * (4 * c12 - 3)) // (4 * c1) AS BIGINT)
+                   + CAST((3 * nfoll * ((1000000 * nprec) // nbi))
+                          // (4 * c1) AS BIGINT),
+                   1) AS p_kn_ppm
         FROM p
     ), r AS (
         SELECT w1, w2, c12, c1, p_kn_ppm,
@@ -689,7 +694,9 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, in exact ppm integers: the discount rides as the 4x-scaled
     numerator (4*c12 - 3, never negative since c12 >= 1), and every
     division has a non-negative numerator so Spark's div and DuckDB's //
-    agree without sign separation.
+    agree without sign separation. The ppm value clamps to >= 1 so the
+    downstream LN in q_kn_doc_surprisal never sees zero (operator
+    contract, mirrored in the oracle).
 
     Plan: one scan; bigrams form as an array transform riding the scan
     (no pre-shuffle) and explode into ONE hash aggregate keyed on the
@@ -720,36 +727,9 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot = versioned_slot(scratch_root("pulsar_lunar_kn", sf_dir), "bigrams")
     raw_cnt.write.mode("overwrite").parquet(slot)
     cnt = spark.read.parquet(slot)
-    bi = cnt.select(
-        F.expr("split_part(b, ' ', 1)").alias("w1"),
-        F.expr("split_part(b, ' ', 2)").alias("w2"),
-        "c12",
-    )
-    u1 = bi.groupBy("w1").agg(
-        F.sum("c12").cast("long").alias("c1"),
-        F.count(F.lit(1)).cast("long").alias("nfoll"),
-    )
-    u2 = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nprec"))
-    d = bi.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
-    p = (
-        bi.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(d))
-    )
-    k = p.select(
-        "w1",
-        "w2",
-        "c12",
-        "c1",
-        (
-            F.expr("(1000000L * (4 * c12 - 3)) div (4 * c1)")
-            + F.expr(
-                "(3 * nfoll * ((1000000L * nprec) div nbi)) div (4 * c1)"
-            )
-        )
-        .cast("long")
-        .alias("p_kn_ppm"),
-    )
+    from pulsar_lunar_spark.operators.corpus import kn_bigram_probs
+
+    k = kn_bigram_probs(cnt).select("w1", "w2", "c12", "c1", "p_kn_ppm")
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
@@ -876,4 +856,151 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("topf").alias("top_freq"),
         slope.cast("long").alias("slope_micro"),
         F.expr("sy div n").cast("long").alias("mean_lnf_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document surprisal (the KN model applied as a quality filter)
+# ---------------------------------------------------------------------------
+
+
+def _kn_surprisal_oracle() -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id, source, STRING_SPLIT({_NORM}, ' ') AS words
+        FROM documents
+    ), bgd AS (
+        SELECT doc_id, source,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(words)),
+                                     i -> words[i] || ' ' || words[i + 1]))
+                   AS b
+        FROM w WHERE LEN(words) >= 2
+    ), cnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c12 FROM bgd GROUP BY 1
+    ), bi AS (
+        SELECT b, SPLIT_PART(b, ' ', 1) AS w1, SPLIT_PART(b, ' ', 2) AS w2,
+               c12
+        FROM cnt
+    ), u1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS nfoll
+        FROM bi GROUP BY 1
+    ), u2 AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec FROM bi GROUP BY 1
+    ), d AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM bi
+    ), probs AS (
+        SELECT bi.b,
+               GREATEST(
+                   CAST((1000000 * (4 * bi.c12 - 3)) // (4 * u1.c1)
+                        AS BIGINT)
+                   + CAST((3 * u1.nfoll * ((1000000 * u2.nprec) // d.nbi))
+                          // (4 * u1.c1) AS BIGINT),
+                   1) AS p_kn_ppm
+        FROM bi JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN d
+    ), sc AS (
+        SELECT bgd.doc_id, bgd.source,
+               CAST(FLOOR(-LN(probs.p_kn_ppm / 1000000.0) * 1000000 + 0.5)
+                    AS BIGINT) AS s
+        FROM bgd JOIN probs USING (b)
+    ), docm AS (
+        SELECT doc_id, source,
+               CAST(SUM(s) // COUNT(*) AS BIGINT) AS m
+        FROM sc GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(m) // COUNT(*) AS BIGINT) AS mu FROM docm
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(m) // COUNT(*) AS BIGINT) AS avg_surprisal_micro,
+           CAST(SUM(CASE WHEN m < tot.mu THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_corpus_mean
+    FROM docm CROSS JOIN tot
+    GROUP BY source, tot.mu ORDER BY source
+    """
+
+
+@register(
+    "q_kn_doc_surprisal",
+    oracle=_kn_surprisal_oracle(),
+    tags=("llm", "lm", "kneser-ney", "quality", "surprisal"),
+)
+def q_kn_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kneser-Ney bigram LM applied as a document quality signal:
+    every document's mean per-bigram surprisal under the corpus-trained
+    KN model (-ln p_kn in exact micro-nats), rolled up per source with
+    the count of documents scoring BELOW the corpus-wide mean — the
+    bigram-order upgrade of q_perplexity_filter's unigram gate (word-
+    ORDER anomalies like shuffled boilerplate score high under a bigram
+    LM but look normal to a unigram one). The threshold is the corpus's
+    own mean, so the filter is self-normalizing across scales.
+
+    Determinism: p_kn_ppm is the exact integer from kn_bigram_probs
+    (clamped >= 1, so LN never sees 0); the per-bigram surprisal floors
+    ONCE to micro-nats (the q_unigram_surprisal precedent) and
+    everything downstream is exact BIGINT with non-negative numerators.
+    Plan: the bigram-TYPE table spools once (one corpus scan for
+    training); scoring re-scans the corpus once more and broadcast-joins
+    the vocabulary-squared-bounded probability table; per-doc and
+    per-source aggregates + the 1-row corpus-mean scalar frame. Two
+    corpus scans total — train and score — the honest minimum for a
+    train-then-apply filter."""
+    from pulsar_lunar_spark.operators.corpus import kn_bigram_probs
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    words = F.split(normalize_text(F.col("text")), " ")
+    staged = docs.select("doc_id", "source", words.alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    bgd = staged.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__w) - 1),"
+                " i -> concat(element_at(__w, i), ' ',"
+                " element_at(__w, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    raw_cnt = bgd.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    slot = versioned_slot(scratch_root("pulsar_lunar_kn", sf_dir), "doc-lm")
+    raw_cnt.write.mode("overwrite").parquet(slot)
+    cnt = spark.read.parquet(slot)
+    probs = kn_bigram_probs(cnt).select("b", "p_kn_ppm")
+    sc = bgd.join(F.broadcast(probs), "b").select(
+        "doc_id",
+        "source",
+        F.floor(
+            -F.log(F.col("p_kn_ppm").cast("double") / 1000000.0) * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    raw_docm = sc.groupBy("doc_id", "source").agg(
+        F.expr("sum(s) div count(1)").cast("long").alias("m")
+    )
+    # The per-doc mean table feeds TWO consumers (the corpus mean and the
+    # per-source rollup) — spool it once so the scoring scan runs once,
+    # not per consumer (doc-level rows, linear at any corpus size).
+    dslot = versioned_slot(scratch_root("pulsar_lunar_kn", sf_dir), "docm")
+    raw_docm.write.mode("overwrite").parquet(dslot)
+    docm = spark.read.parquet(dslot)
+    tot = docm.agg(F.expr("sum(m) div count(1)").cast("long").alias("mu"))
+    return (
+        docm.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(m) div count(1)")
+            .cast("long")
+            .alias("avg_surprisal_micro"),
+            F.sum(F.when(F.col("m") < F.col("mu"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_corpus_mean"),
+        )
+        .orderBy("source")
     )

@@ -210,9 +210,11 @@ def test_kneser_ney_matches_brute_force(spark, sf_dir):
         assert (r.w1, r.w2, r.c12) == (w1, w2, c12)
         assert r.c1 == c1[w1]
         pcont = (1_000_000 * nprec[w2]) // nbi
-        want = (1_000_000 * (4 * c12 - 3)) // (4 * c1[w1]) + (
-            3 * nfoll[w1] * pcont
-        ) // (4 * c1[w1])
+        want = max(
+            (1_000_000 * (4 * c12 - 3)) // (4 * c1[w1])
+            + (3 * nfoll[w1] * pcont) // (4 * c1[w1]),
+            1,
+        )
         assert r.p_kn_ppm == want
         # a probability: strictly positive, never above 1
         assert 0 < r.p_kn_ppm <= 1_000_000
@@ -239,3 +241,56 @@ def test_zipf_fit_matches_brute_force(spark, sf_dir):
     assert r.mean_lnf_milli == sy // n
     # a token histogram is Zipf-ish: the fitted slope must be negative
     assert r.slope_micro < 0
+
+
+def test_kn_doc_surprisal_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bigrams: Counter = Counter()
+    per_doc: dict[int, tuple[str, list[tuple[str, str]]]] = {}
+    for r in docs.itertuples():
+        ws = _norm_words(r.text)
+        bgs = list(zip(ws, ws[1:]))
+        if bgs:
+            per_doc[int(r.doc_id)] = (r.source, bgs)
+            bigrams.update(bgs)
+    c1: Counter = Counter()
+    nfoll: Counter = Counter()
+    nprec: Counter = Counter()
+    for (w1, w2), c in bigrams.items():
+        c1[w1] += c
+        nfoll[w1] += 1
+        nprec[w2] += 1
+    nbi = len(bigrams)
+
+    def p_ppm(w1: str, w2: str) -> int:
+        c12 = bigrams[(w1, w2)]
+        pcont = (1_000_000 * nprec[w2]) // nbi
+        return max(
+            (1_000_000 * (4 * c12 - 3)) // (4 * c1[w1])
+            + (3 * nfoll[w1] * pcont) // (4 * c1[w1]),
+            1,
+        )
+
+    doc_mean: dict[int, tuple[str, int]] = {}
+    for doc_id, (source, bgs) in per_doc.items():
+        ss = [
+            math.floor(-math.log(p_ppm(w1, w2) / 1_000_000.0) * 1_000_000 + 0.5)
+            for w1, w2 in bgs
+        ]
+        doc_mean[doc_id] = (source, sum(ss) // len(ss))
+    mu = sum(m for _, m in doc_mean.values()) // len(doc_mean)
+    want: dict[str, list[int]] = {}
+    for source, m in doc_mean.values():
+        row = want.setdefault(source, [0, 0, 0])
+        row[0] += 1
+        row[1] += m
+        row[2] += 1 if m < mu else 0
+    got = {
+        r.source: (r.n_docs, r.avg_surprisal_micro, r.n_below_corpus_mean)
+        for r in all_queries()["q_kn_doc_surprisal"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        s: (v[0], v[1] // v[0], v[2]) for s, v in want.items()
+    }
+    # surprisal is -ln of a probability <= 1: every mean is non-negative
+    assert all(v[1] >= 0 for v in got.values())

@@ -78,6 +78,7 @@ CARTESIAN_OK = {
     "q_chi2_cells",  # single-row broadcast grand-total side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
     "q_kneser_ney",  # single-row broadcast distinct-bigram total side
+    "q_kn_doc_surprisal",  # same 1-row total + 1-row corpus-mean side
 }
 
 
@@ -294,6 +295,7 @@ EXCHANGE_BUDGETS = {
     "q_bitext_mining": (5, 1),  # dot agg + 2 side windows + sort; anchors bc
     "q_silhouette": (6, 1),  # centroid agg bc + d2/ab/s aggs + sort
     "q_kneser_ney": (4, 3),  # spooled bigram table; marginals broadcast
+    "q_kn_doc_surprisal": (4, 2),  # spooled per-doc means; 1-row mean bc
     "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
 }
 

@@ -319,6 +319,40 @@ def probes(spark, sf_dir: str, mult: int):
             .collect()
         )
 
+    def dim_matmul_shape():
+        # the llm13 relational-matmul family (q_bitext_mining /
+        # q_silhouette): candidate vectors explode by dimension and
+        # broadcast-join a BOUNDED anchor/centroid element table, one
+        # (cand, anchor) hash aggregate. Multiply vec_id only — the
+        # anchor batch is the declared bounded dimension, so cost must
+        # stay O(candidates * anchors * dim) = linear in corpus size.
+        emb = multiply(
+            load_table(spark, sf_dir, "embeddings"), ["vec_id"], mult
+        )
+        micro = F.expr(
+            "transform(embedding, x ->"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        )
+        q = emb.select("vec_id", micro.alias("qv"))
+        a_long = q.filter(
+            (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 32)
+        ).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.posexplode("qv").alias("pos", "aq"),
+        )
+        b_long = q.filter(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("cand_id"),
+            F.posexplode("qv").alias("pos", "xq"),
+        )
+        return (
+            b_long.join(F.broadcast(a_long), "pos")
+            .groupBy("cand_id", "anchor_id")
+            .agg(F.sum(F.col("xq") * F.col("aq")).alias("dot"))
+            .groupBy()
+            .count()
+            .collect()
+        )
+
     def triangle_adjacency_shape():
         # the round-7 q_triangle_count plan (orient_edges ->
         # oriented_adjacency -> edge-iterator): multiply orderkeys AND
@@ -443,6 +477,7 @@ def probes(spark, sf_dir: str, mult: int):
         "group_cumsum_sharded": group_cumsum_sharded_shape,
         "cc_star_chain": cc_star_chain_shape,
         "blocked_gemm_pairs": blocked_gemm_shape,
+        "dim_matmul": dim_matmul_shape,
         "triangle_adjacency": triangle_adjacency_shape,
         "stream_session_state": stream_session_state_shape,
         "stream_join_state": stream_join_state_shape,
