@@ -97,6 +97,7 @@ HEADLINE = [
     "q_silhouette",
     "q_kneser_ney",
     "q_kn_doc_surprisal",
+    "q_pca_power",
     "q_zipf_fit",
 ]
 

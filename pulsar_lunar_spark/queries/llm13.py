@@ -25,7 +25,10 @@ mining, and corpus-statistics asks —
   bigram-order upgrade of q_perplexity_filter's unigram gate;
 - Zipf law fit (``q_zipf_fit``): OLS slope of the log-log
   rank-frequency curve over the top-100 tokens — the corpus-health
-  check that catches template explosions (slope drifts far from -1).
+  check that catches template explosions (slope drifts far from -1);
+- PCA power iteration (``q_pca_power``): top principal direction of the
+  embedding corpus via fixed-point power iteration, fully relational —
+  the iterative linear-algebra member of the bounded-loop family.
 
 Determinism discipline: every statistic is integer ppm/milli BIGINT
 arithmetic with sign-separated division (Spark div truncates toward
@@ -1003,4 +1006,173 @@ def q_kn_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_below_corpus_mean"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERATIONS = 4
+_PCA_DIMS_OUT = 8
+_PCA_V0_MILLI = 125  # 1/sqrt(64) in milli units — the deterministic seed
+
+
+def _pca_pts_cte() -> str:
+    return """
+    WITH q AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))
+                   AS qk
+        FROM embeddings
+    ), pts AS (
+        SELECT vec_id, u.pos, u.xk
+        FROM (SELECT vec_id, UNNEST(qk) AS xk,
+                     GENERATE_SUBSCRIPTS(qk, 1) AS pos
+              FROM q) u
+    )"""
+
+
+def _pca_iteration_ctes(t: int, v_prev: str) -> str:
+    """One power-iteration step as CTEs: scores (exact integer dot with
+    the previous direction, sign-separated >>10 rescale), per-dimension
+    accumulations (exact BIGINT), then the normalized next direction as
+    a milli-quantized list (IEEE sqrt/divide over exact integers)."""
+    return f"""
+    , sc{t} AS (
+        SELECT q.vec_id,
+               CASE WHEN CAST(LIST_INNER_PRODUCT(q.qk, {v_prev}) AS BIGINT)
+                         >= 0
+                    THEN CAST(LIST_INNER_PRODUCT(q.qk, {v_prev}) AS BIGINT)
+                         // 1024
+                    ELSE -((-CAST(LIST_INNER_PRODUCT(q.qk, {v_prev})
+                                  AS BIGINT)) // 1024)
+               END AS s_red
+        FROM q
+    ), w{t} AS (
+        SELECT p.pos, CAST(SUM(p.xk * s.s_red) AS BIGINT) AS w
+        FROM pts p JOIN sc{t} s USING (vec_id) GROUP BY p.pos
+    ), n{t} AS (
+        SELECT LIST(CAST(w AS DOUBLE) ORDER BY pos) AS wl FROM w{t}
+    ), v{t} AS (
+        SELECT LIST_TRANSFORM(
+                   wl,
+                   x -> CAST(FLOOR(1000 * (x / SQRT(
+                            LIST_INNER_PRODUCT(wl, wl))) + 0.5) AS BIGINT))
+                   AS v
+        FROM n{t}
+    )"""
+
+
+def _pca_oracle() -> str:
+    dim = 64
+    v0 = "[" + ", ".join([str(_PCA_V0_MILLI)] * dim) + "]"
+    parts = [_pca_pts_cte()]
+    v_prev = f"CAST({v0} AS BIGINT[])"
+    for t in range(1, _PCA_ITERATIONS + 1):
+        parts.append(_pca_iteration_ctes(t, v_prev))
+        v_prev = f"(SELECT v FROM v{t})"
+    last = _PCA_ITERATIONS
+    return (
+        "".join(parts)
+        + f"""
+    SELECT CAST(r.i - 1 AS BIGINT) AS pos,
+           v.v[r.i] AS loading_milli
+    FROM v{last} v, RANGE(1, {_PCA_DIMS_OUT + 1}) r(i)
+    ORDER BY pos
+    """
+    )
+
+
+@register(
+    "q_pca_power",
+    oracle=_pca_oracle(),
+    tags=("llm", "embedding", "pca", "power-iteration", "iterative"),
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via FIXED-POINT
+    power iteration on the uncentered second-moment matrix — the
+    iterative linear-algebra member of the kmeans/pagerank/DoReMi
+    bounded-loop family, computed entirely relationally: per row an
+    exact integer dot with the current direction (elements kilo-
+    quantized, direction milli-quantized), a sign-separated >>10
+    rescale (keeps the per-dimension accumulation inside int64 out to
+    ~1e10 rows), one (pos) hash aggregate for X^T(Xv), then
+    normalization over exact-integer-valued doubles (IEEE sqrt/divide
+    and a LEFT-TO-RIGHT 64-element fold for the norm — the MMR
+    precedent: Spark's aggregate() fold == DuckDB's LIST_INNER_PRODUCT
+    == the driver's Python loop, all on exactly-representable values).
+    Four fixed iterations; the sign convention is pinned by the
+    all-positive seed. Output: the first 8 loading dims in milli units.
+
+    Plan: one corpus scan per iteration (the honest minimum for
+    Xᵀ(Xv) without materializing X twice), each a scan-level dot +
+    posexplode into a 64-row aggregate; iterations 1..3 collect 64 rows
+    to the driver (the kmeans bounded-collect precedent), the returned
+    frame computes iteration 4's normalization in-engine via a sorted
+    64-element fold."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    kilo = F.expr(
+        "transform(embedding, x ->"
+        " CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+    q = emb.select(kilo.alias("qk"))
+
+    def w_frame(v_milli: list[int]):
+        v_lit = "array(" + ", ".join(f"{x}L" for x in v_milli) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(qk, {v_lit}, (x, y) -> x * y),"
+            " 0L, (acc, e) -> acc + e)"
+        )
+        scored = q.select(
+            "qk",
+            dot.alias("s"),
+        ).select(
+            "qk",
+            F.when(
+                F.col("s") >= 0, F.expr("s div 1024")
+            )
+            .otherwise(-F.expr("(-s) div 1024"))
+            .cast("long")
+            .alias("s_red"),
+        )
+        return (
+            scored.select(F.posexplode("qk").alias("pos0", "xk"), "s_red")
+            .groupBy(F.col("pos0").alias("pos"))
+            .agg(F.sum(F.col("xk") * F.col("s_red")).cast("long").alias("w"))
+        )
+
+    import math as _math
+
+    v = [_PCA_V0_MILLI] * 64
+    for _ in range(_PCA_ITERATIONS - 1):
+        rows = sorted(w_frame(v).collect(), key=lambda r: r.pos)
+        ws = [int(r.w) for r in rows]
+        n2 = 0.0
+        for x in ws:
+            n2 += float(x * x)
+        nrm = _math.sqrt(n2)
+        v = [_math.floor(1000 * (float(x) / nrm) + 0.5) for x in ws]
+
+    w4 = w_frame(v)
+    one = w4.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("arr")
+    )
+    return (
+        one.select(
+            F.explode(
+                F.expr(
+                    "transform(arr, e -> struct(CAST(e.pos AS BIGINT) AS pos,"
+                    " CAST(FLOOR(1000 * (CAST(e.w AS DOUBLE) / SQRT("
+                    " aggregate(transform(arr,"
+                    "   z -> CAST(z.w AS DOUBLE) * CAST(z.w AS DOUBLE)),"
+                    "   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)))"
+                    " + 0.5) AS BIGINT) AS loading_milli))"
+                )
+            ).alias("e")
+        )
+        .select("e.pos", "e.loading_milli")
+        .filter(F.col("pos") < _PCA_DIMS_OUT)
+        .orderBy("pos")
     )

@@ -292,6 +292,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_silhouette",
     "q_kneser_ney",
     "q_kn_doc_surprisal",
+    "q_pca_power",
     "q_zipf_fit",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)

@@ -294,3 +294,52 @@ def test_kn_doc_surprisal_matches_brute_force(spark, sf_dir):
     }
     # surprisal is -ln of a probability <= 1: every mean is non-negative
     assert all(v[1] >= 0 for v in got.values())
+
+
+def test_pca_power_matches_brute_force(spark, sf_dir):
+    from pulsar_lunar_spark.queries.llm13 import (
+        _PCA_DIMS_OUT,
+        _PCA_ITERATIONS,
+        _PCA_V0_MILLI,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    xs = [
+        [math.floor(float(x) * 1000 + 0.5) for x in r.embedding]
+        for r in emb.itertuples()
+    ]
+    dim = len(xs[0])
+    v = [_PCA_V0_MILLI] * dim
+
+    def step(v_in):
+        w = [0] * dim
+        for row in xs:
+            s = sum(a * b for a, b in zip(row, v_in))
+            s_red = _tdiv(s, 1024)
+            for j, a in enumerate(row):
+                w[j] += a * s_red
+        n2 = 0.0
+        for x in w:
+            n2 += float(x * x)
+        nrm = math.sqrt(n2)
+        return [math.floor(1000 * (float(x) / nrm) + 0.5) for x in w]
+
+    for _ in range(_PCA_ITERATIONS):
+        v = step(v)
+    got = {
+        r.pos: r.loading_milli
+        for r in all_queries()["q_pca_power"].fn(spark, sf_dir).collect()
+    }
+    assert got == {j: v[j] for j in range(_PCA_DIMS_OUT)}
+    # the full direction is (quantized) unit-norm
+    n2 = sum(x * x for x in v)
+    assert 900_000 <= n2 <= 1_100_000
+    # power iteration must not decrease the Rayleigh quotient vs the seed
+    def rayleigh(u):
+        num = sum(
+            (sum(a * b for a, b in zip(row, u))) ** 2 for row in xs
+        )
+        den = sum(x * x for x in u)
+        return num / den
+
+    assert rayleigh(v) >= rayleigh([_PCA_V0_MILLI] * dim)

@@ -296,6 +296,7 @@ EXCHANGE_BUDGETS = {
     "q_silhouette": (6, 1),  # centroid agg bc + d2/ab/s aggs + sort
     "q_kneser_ney": (4, 3),  # spooled bigram table; marginals broadcast
     "q_kn_doc_surprisal": (4, 2),  # spooled per-doc means; 1-row mean bc
+    "q_pca_power": (3, 0),  # one scan + 64-row pos agg + 1-row fold
     "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
 }
 
