@@ -1455,3 +1455,102 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_total_micro"),
     ).orderBy("bucket")
+
+
+@register(
+    "q_state_store_read",
+    oracle="""
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS state_matches_batch,
+           TRUE AS metadata_ok
+    FROM (SELECT event_type FROM events) p
+    GROUP BY p.event_type ORDER BY p.event_type
+    """,
+    tags=("streaming", "state-store", "observability", "spark4"),
+)
+def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store DATA SOURCE: after a real availableNow drain
+    of a complete-mode per-type count, the query's internal state is read
+    BACK as a batch table (``format("statestore")``) and released as the
+    result — the state-debugging surface an operator uses to inspect a
+    live aggregation without touching its sink. The companion
+    ``state-metadata`` read asserts the operator inventory (one
+    stateStoreSave operator, the pinned partition count). Counts come
+    from the STATE ROWS, not the sink — the oracle's plain batch
+    aggregate hash-matching them proves the store holds exactly the
+    stream's truth (state rows materialize per shuffle partition and the
+    read fans out per partition, so at 100 TB this reads like any other
+    partitioned table).
+
+    Flags: state_matches_batch pins the statestore-vs-sink identity
+    engine-side; metadata_ok pins the state-metadata inventory (operator
+    name, partition count >= 1, maxBatchId >= 0). DuckDB emits literal
+    TRUE for both (the flag-oracle discipline for engine-specific
+    surfaces)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    log = _shared_log(spark, sf_dir)
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = log.subscribe("events", payload_schema=payload)
+    # Project the grouping key as a REAL column before groupBy: a state
+    # key built from an aliased grouping EXPRESSION is stored under the
+    # internal name `_groupingexpression`, which the statestore reader
+    # then exposes — the projected column keeps the state schema named.
+    typed = stream.select(F.col("payload.event_type").alias("event_type"))
+    counts = typed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = _fresh_checkpoint(sf_dir, "statestore")
+    q = run_available_now(
+        counts.writeStream.format("memory").queryName(
+            "pl_state_store_read"
+        ).outputMode("complete"),
+        ckpt,
+        state_partitions=8,
+        no_data_batches=False,  # complete-mode agg: no eviction semantics
+    )
+    q.awaitTermination(300)
+    # The state VALUE struct carries the aggregation buffer's physical
+    # field name (`count`), not the query-level alias — the reader
+    # exposes the checkpoint's truth, not the analyzed plan's.
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+        )
+    )
+    sink_rows = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT * FROM pl_state_store_read").collect()
+    }
+    state_rows = {r["event_type"]: r["n_events"] for r in state.collect()}
+    state_matches = state_rows == sink_rows
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    metadata_ok = (
+        len(md) == 1
+        and md[0]["operatorName"] == "stateStoreSave"
+        and md[0]["numPartitions"] == 8
+        and md[0]["maxBatchId"] >= 0
+    )
+    return (
+        state.select(
+            "event_type",
+            "n_events",
+            F.lit(bool(state_matches)).alias("state_matches_batch"),
+            F.lit(bool(metadata_ok)).alias("metadata_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -984,3 +984,21 @@ def test_replicate_topic_byte_identical(spark, sf_dir, tmp_path):
     # replica subscribe path decodes with the replicated schema
     stream = dst.subscribe("t")
     assert stream.isStreaming and "payload" in stream.columns
+
+
+def test_state_store_read_matches_batch_counts(spark, sf_dir):
+    """q_state_store_read: the statestore-format read of the drained
+    complete-mode aggregation must equal the plain batch counts, and
+    both engine-side identity flags must have verified (state == memory
+    sink, metadata inventory)."""
+    import pandas as pd
+
+    from pulsar_lunar_spark.queries import all_queries
+
+    rows = all_queries()["q_state_store_read"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    want = ev.groupby("event_type").size().to_dict()
+    got = {r.event_type: r.n_events for r in rows}
+    assert got == want
+    assert all(r.state_matches_batch for r in rows)
+    assert all(r.metadata_ok for r in rows)
