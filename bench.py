@@ -99,6 +99,8 @@ HEADLINE = [
     "q_kn_doc_surprisal",
     "q_pca_power",
     "q_zipf_fit",
+    "q_mutual_info",
+    "q_char_entropy",
 ]
 
 

@@ -28,7 +28,11 @@ mining, and corpus-statistics asks —
   check that catches template explosions (slope drifts far from -1);
 - PCA power iteration (``q_pca_power``): top principal direction of the
   embedding corpus via fixed-point power iteration, fully relational —
-  the iterative linear-algebra member of the bounded-loop family.
+  the iterative linear-algebra member of the bounded-loop family;
+- mutual information (``q_mutual_info``): source↔language MI in exact
+  micro-nats — does a cheap metadata field predict an expensive label;
+- character entropy (``q_char_entropy``): per-document char-distribution
+  Shannon entropy per source — the gibberish detector's core signal.
 
 Determinism discipline: every statistic is integer ppm/milli BIGINT
 arithmetic with sign-separated division (Spark div truncates toward
@@ -1175,4 +1179,212 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.pos", "e.loading_milli")
         .filter(F.col("pos") < _PCA_DIMS_OUT)
         .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between source and language (feature selection)
+# ---------------------------------------------------------------------------
+
+
+def _mi_oracle() -> str:
+    return """
+    WITH j AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+        FROM documents GROUP BY 1, 2
+    ), ms AS (
+        SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s FROM j GROUP BY 1
+    ), ml AS (
+        SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l FROM j GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM j
+    ), c AS (
+        SELECT j.source, j.lang, j.n_sl,
+               CAST(FLOOR((CAST(j.n_sl AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * LN((CAST(j.n_sl AS DOUBLE) * CAST(t.n AS DOUBLE))
+                         / (CAST(ms.n_s AS DOUBLE) * CAST(ml.n_l AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT) AS mi_cell_micro
+        FROM j JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN t
+    )
+    SELECT source, lang, n_sl, mi_cell_micro,
+           CAST(SUM(mi_cell_micro) OVER () AS BIGINT) AS mi_total_micro
+    FROM c ORDER BY source, lang
+    """
+
+
+@register(
+    "q_mutual_info",
+    oracle=_mi_oracle(),
+    tags=("llm", "corpus-stats", "mutual-information", "feature-selection"),
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document source and language — the
+    feature-selection statistic that tells a curation team whether a
+    cheap metadata field (source) already predicts an expensive label
+    (language): MI near 0 means sampling by source cannot skew the
+    language mix; high MI means it will. Per-cell contributions
+    p(s,l)*ln(p(s,l)/(p(s)p(l))) floor ONCE to micro-nats (positive AND
+    negative cells — floor(x+0.5) is symmetric round-half-up, identical
+    on both engines) and the corpus MI is their exact BIGINT window sum.
+    Each count casts to DOUBLE separately before multiplying, so no
+    product exceeds 2^53 even when n_sl*n would (the kappa int64 lesson
+    applied to the float side).
+
+    Plan: one scan, one (source, lang) hash aggregate — the contingency
+    table, bounded by |sources|x|langs| at any corpus size — then
+    marginals and the window total over that tiny table. The
+    contingency table feeds FOUR consumers (cells + both marginals +
+    the total), so it spools once to tmpfs (the q_kneser_ney pattern):
+    the corpus scans exactly once. The same shape as q_chi2_cells with
+    an information-theoretic statistic."""
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    raw_j = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sl")
+    )
+    slot = versioned_slot(scratch_root("pulsar_lunar_mi", sf_dir), "cells")
+    raw_j.write.mode("overwrite").parquet(slot)
+    j = spark.read.parquet(slot)
+    ms = j.groupBy("source").agg(F.sum("n_sl").cast("long").alias("n_s"))
+    ml = j.groupBy("lang").agg(F.sum("n_sl").cast("long").alias("n_l"))
+    t = j.agg(F.sum("n_sl").cast("long").alias("n"))
+    c = (
+        j.join(F.broadcast(ms), "source")
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "lang",
+            "n_sl",
+            F.floor(
+                (F.col("n_sl").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("n_sl").cast("double") * F.col("n").cast("double"))
+                    / (
+                        F.col("n_s").cast("double")
+                        * F.col("n_l").cast("double")
+                    )
+                )
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("mi_cell_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    return c.select(
+        "source",
+        "lang",
+        "n_sl",
+        "mi_cell_micro",
+        F.sum("mi_cell_micro")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("mi_total_micro"),
+    ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy gibberish signal
+# ---------------------------------------------------------------------------
+
+
+def _char_entropy_oracle() -> str:
+    return f"""
+    WITH ch AS (
+        SELECT doc_id, source, UNNEST(STRING_SPLIT({_NORM}, '')) AS c
+        FROM documents
+    ), cc AS (
+        SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS k
+        FROM ch WHERE c <> '' GROUP BY 1, 2, 3
+    ), cl AS (
+        SELECT doc_id, source, k,
+               CAST(SUM(k) OVER (PARTITION BY doc_id) AS BIGINT) AS L
+        FROM cc
+    ), tm AS (
+        SELECT doc_id, source,
+               CAST(FLOOR(-(CAST(k AS DOUBLE) / CAST(L AS DOUBLE))
+                    * LN(CAST(k AS DOUBLE) / CAST(L AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS t_micro
+        FROM cl
+    ), dl AS (
+        SELECT doc_id, source, CAST(SUM(t_micro) AS BIGINT) AS h_micro
+        FROM tm GROUP BY doc_id, source
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h_micro) // COUNT(*) AS BIGINT) AS avg_entropy_micro,
+           CAST(MIN(h_micro) AS BIGINT) AS min_entropy_micro,
+           CAST(MAX(h_micro) AS BIGINT) AS max_entropy_micro
+    FROM dl GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "q_char_entropy",
+    oracle=_char_entropy_oracle(),
+    tags=("llm", "quality", "entropy", "gibberish"),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document, rolled up
+    per source — the gibberish detector's core signal: natural text sits
+    in a narrow entropy band; base64 blobs and key dumps score high,
+    repeated-character padding scores low. Per-character terms
+    -(k/L)ln(k/L) floor ONCE to micro-nats (the q_dataset_card
+    language-mix entropy discipline), the per-document sum and the
+    per-source mean/min/max are exact BIGINT.
+
+    Plan: one scan, the character explode rides it, one
+    (doc, char) hash aggregate, a per-doc window + re-aggregate (both
+    keyed on doc_id — one exchange serves them), then the 16-row source
+    rollup. Alphabet-bounded intermediate (distinct chars per doc <=
+    |alphabet|), linear in corpus size."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cc = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(normalize_text(F.col("text")), "")).alias("c"),
+        )
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "source", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id")
+    terms = cc.select(
+        "doc_id",
+        "source",
+        "k",
+        F.floor(
+            -(
+                F.col("k").cast("double")
+                / F.sum("k").over(w).cast("double")
+            )
+            * F.log(
+                F.col("k").cast("double") / F.sum("k").over(w).cast("double")
+            )
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("t_micro"),
+    )
+    dl = terms.groupBy("doc_id", "source").agg(
+        F.sum("t_micro").cast("long").alias("h_micro")
+    )
+    return (
+        dl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(h_micro) div count(1)")
+            .cast("long")
+            .alias("avg_entropy_micro"),
+            F.min("h_micro").cast("long").alias("min_entropy_micro"),
+            F.max("h_micro").cast("long").alias("max_entropy_micro"),
+        )
+        .orderBy("source")
     )

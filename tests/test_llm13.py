@@ -343,3 +343,56 @@ def test_pca_power_matches_brute_force(spark, sf_dir):
         return num / den
 
     assert rayleigh(v) >= rayleigh([_PCA_V0_MILLI] * dim)
+
+
+def test_mutual_info_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    j = Counter(zip(docs.source, docs.lang))
+    ns = Counter(docs.source)
+    nl = Counter(docs.lang)
+    n = len(docs)
+    want = {}
+    for (s, l), k in j.items():
+        cell = math.floor(
+            (k / n) * math.log((k * n) / (ns[s] * nl[l])) * 1_000_000 + 0.5
+        )
+        want[(s, l)] = (k, cell)
+    total = sum(c for _, c in want.values())
+    rows = all_queries()["q_mutual_info"].fn(spark, sf_dir).collect()
+    got = {(r.source, r.lang): (r.n_sl, r.mi_cell_micro) for r in rows}
+    assert got == want
+    assert all(r.mi_total_micro == total for r in rows)
+    # MI of a real joint distribution is non-negative (up to micro
+    # rounding of the cell floors)
+    assert total >= -len(want)
+
+
+def test_char_entropy_matches_brute_force(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_source: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        text = re.sub(r"\s+", " ", r.text.strip().lower())
+        k = Counter(text)
+        L = sum(k.values())
+        h = sum(
+            math.floor(-(c / L) * math.log(c / L) * 1_000_000 + 0.5)
+            for c in k.values()
+        )
+        per_source.setdefault(r.source, []).append(h)
+    want = {
+        s: (len(v), sum(v) // len(v), min(v), max(v))
+        for s, v in per_source.items()
+    }
+    got = {
+        r.source: (
+            r.n_docs,
+            r.avg_entropy_micro,
+            r.min_entropy_micro,
+            r.max_entropy_micro,
+        )
+        for r in all_queries()["q_char_entropy"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # entropy of a 27-ish symbol alphabet is bounded by ln(|alphabet|)
+    for _, (_, avg, mn, mx) in got.items():
+        assert 0 <= mn <= avg <= mx <= math.ceil(math.log(64) * 1_000_000)

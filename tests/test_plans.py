@@ -79,6 +79,7 @@ CARTESIAN_OK = {
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
     "q_kneser_ney",  # single-row broadcast distinct-bigram total side
     "q_kn_doc_surprisal",  # same 1-row total + 1-row corpus-mean side
+    "q_mutual_info",  # single-row broadcast grand-total side
 }
 
 
@@ -297,6 +298,8 @@ EXCHANGE_BUDGETS = {
     "q_kneser_ney": (4, 3),  # spooled bigram table; marginals broadcast
     "q_kn_doc_surprisal": (4, 2),  # spooled per-doc means; 1-row mean bc
     "q_pca_power": (3, 0),  # one scan + 64-row pos agg + 1-row fold
+    "q_mutual_info": (5, 3),  # spooled contingency table; marginals bc
+    "q_char_entropy": (5, 0),  # (doc,char) agg + doc window/agg + rollup
     "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
 }
 
