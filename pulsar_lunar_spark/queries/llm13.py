@@ -32,7 +32,11 @@ mining, and corpus-statistics asks —
 - mutual information (``q_mutual_info``): source↔language MI in exact
   micro-nats — does a cheap metadata field predict an expensive label;
 - character entropy (``q_char_entropy``): per-document char-distribution
-  Shannon entropy per source — the gibberish detector's core signal.
+  Shannon entropy per source — the gibberish detector's core signal;
+- skyline (``q_skyline``): the Pareto front (min price, max size) in the
+  distributed bucket form — no global sort, no self-join;
+- label propagation (``q_label_propagation``): semi-supervised weighted
+  majority-vote label spreading with clamped seeds over the trade graph.
 
 Determinism discipline: every statistic is integer ppm/milli BIGINT
 arithmetic with sign-separated division (Spark div truncates toward
@@ -1387,4 +1391,286 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h_micro").cast("long").alias("max_entropy_micro"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front): minimize price, maximize size
+# ---------------------------------------------------------------------------
+
+_SKY_BUCKET_CENTS = 10_000  # price buckets of $100 — the parallelism grain
+
+
+def _skyline_oracle() -> str:
+    return """
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT b.p_partkey, b.cents, b.size
+    FROM p b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p a
+        WHERE a.cents <= b.cents AND a.size >= b.size
+          AND (a.cents < b.cents OR a.size > b.size)
+    )
+    ORDER BY b.cents, b.size DESC, b.p_partkey
+    """
+
+
+@register(
+    "q_skyline",
+    oracle=_skyline_oracle(),
+    tags=("analytics", "skyline", "pareto", "window"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) over parts — minimize price, maximize
+    size: every part not strictly dominated by another (someone cheaper
+    with at least the size, or same-price with strictly more size). The
+    classic multi-criteria shortlist operator, here in the DISTRIBUTED
+    bucket form rather than a global sort: price buckets partition the
+    order, each bucket computes its local skyline in parallel (within-
+    bucket RANGE-frame running max over strictly-cheaper rows + a
+    same-price max), and cross-bucket dominance reduces to the tiny
+    bucket-maxima table — the running best size over strictly-cheaper
+    buckets broadcasts back as one filter. A cheaper bucket implies a
+    strictly lower price (buckets partition price ranges), so the
+    bucket-level check is exact, not approximate. No global sort, no
+    self-join over the data: the only full-width exchange is the bucket
+    hash partition; the oracle is the quadratic NOT EXISTS the operator
+    provably equals.
+
+    All-integer: price floors once to exact cents; dominance is BIGINT
+    comparisons throughout."""
+    p = ensure_parallelism(load_table(spark, sf_dir, "part")).select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    from pyspark.sql.window import Window
+
+    b = p.withColumn("bucket", F.expr(f"cents div {_SKY_BUCKET_CENTS}"))
+    # within-bucket: dominated by a strictly-cheaper row (RANGE frame
+    # excludes the current price) or by a same-price larger row
+    w_cheaper = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("bucket", "cents")
+    local = b.select(
+        "p_partkey",
+        "cents",
+        "size",
+        "bucket",
+        F.max("size").over(w_cheaper).alias("max_cheaper"),
+        F.max("size").over(w_same).alias("max_same"),
+    ).filter(
+        (F.col("max_cheaper").isNull() | (F.col("max_cheaper") < F.col("size")))
+        & (F.col("max_same") <= F.col("size"))
+    )
+    # cross-bucket: the best size seen in any STRICTLY cheaper bucket
+    bmax = b.groupBy("bucket").agg(F.max("size").alias("bsize"))
+    w_buckets = (
+        Window.orderBy("bucket").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bmax.select(
+        "bucket", F.max("bsize").over(w_buckets).alias("best_cheaper_bucket")
+    )
+    return (
+        local.join(F.broadcast(prior), "bucket")
+        .filter(
+            F.col("best_cheaper_bucket").isNull()
+            | (F.col("best_cheaper_bucket") < F.col("size"))
+        )
+        .select("p_partkey", "cents", "size")
+        .orderBy("cents", F.desc("size"), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation (weighted majority vote)
+# ---------------------------------------------------------------------------
+
+_LP_SEEDS = 5  # nations with key < 5 keep their region label as seeds
+_LP_ITERATIONS = 3
+
+
+def _lp_edges_cte() -> str:
+    return """
+    WITH raw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT src, dst, w FROM raw WHERE src <> dst
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM raw WHERE src <> dst
+        ) GROUP BY 1, 2
+    ), l0 AS (
+        SELECT n_nationkey AS node,
+               CASE WHEN n_nationkey < {seeds}
+                    THEN CAST(n_regionkey AS BIGINT) END AS label
+        FROM nation
+    )""".replace("{seeds}", str(_LP_SEEDS))
+
+
+def _lp_iteration(t: int) -> str:
+    prev = f"l{t - 1}"
+    return f"""
+    , v{t} AS (
+        SELECT e.dst AS node, p.label, CAST(SUM(e.w) AS BIGINT) AS votes
+        FROM edges e JOIN {prev} p ON e.src = p.node
+        WHERE p.label IS NOT NULL
+        GROUP BY 1, 2
+    ), m{t} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY votes DESC, label) AS rn
+            FROM v{t}
+        ) WHERE rn = 1
+    ), l{t} AS (
+        SELECT p.node,
+               CASE WHEN p.node < {_LP_SEEDS} THEN p.label
+                    ELSE COALESCE(m.label, p.label) END AS label
+        FROM l0 base
+        JOIN l{t - 1} p ON base.node = p.node
+        LEFT JOIN m{t} m ON p.node = m.node
+    )"""
+
+
+def _lp_oracle() -> str:
+    parts = [_lp_edges_cte()]
+    for t in range(1, _LP_ITERATIONS + 1):
+        parts.append(_lp_iteration(t))
+    return (
+        "".join(parts)
+        + f"""
+    SELECT n.n_name AS nation, CAST(l.label AS BIGINT) AS label,
+           CAST(l.node < {_LP_SEEDS} AS BOOLEAN) AS is_seed
+    FROM l{_LP_ITERATIONS} l JOIN nation n ON l.node = n.n_nationkey
+    ORDER BY n.n_name
+    """
+    )
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lp_oracle(),
+    tags=("llm", "graph", "label-propagation", "semi-supervised"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the nation trade graph:
+    five seed nations keep their region label; every other node adopts
+    the weighted-majority label of its labeled neighbours (edge weight =
+    symmetrized lineitem trade volume, argmax tiebroken by smallest
+    label) for three fixed rounds — the community/taxonomy spreader a
+    curation pipeline runs when a few domains are hand-labeled and the
+    rest must inherit through the link graph. Seeds are CLAMPED (never
+    overwritten), the classic semi-supervised variant.
+
+    Exactness: votes are exact BIGINT edge-weight sums; the argmax is a
+    deterministic (votes DESC, label ASC) rank — no floats anywhere.
+    Plan: the edge table builds once (the q_pagerank_trade join path)
+    and spools to tmpfs, so the fact scan runs once, not per round;
+    each round is one broadcast join of the ~|V| label table onto the
+    edges + one (node, label) aggregate + one argmax window — at 100 TB
+    edge volume the per-round shuffle is keyed on dst, the label side
+    always broadcasts."""
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sym = (
+        raw.select("src", "dst", "w")
+        .unionByName(
+            raw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    slot = versioned_slot(scratch_root("pulsar_lunar_lp", sf_dir), "edges")
+    sym.write.mode("overwrite").parquet(slot)
+    edges = spark.read.parquet(slot)
+    labels = na.select(
+        F.col("n_nationkey").cast("long").alias("node"),
+        F.when(
+            F.col("n_nationkey") < _LP_SEEDS,
+            F.col("n_regionkey").cast("long"),
+        ).alias("label"),
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(_LP_ITERATIONS):
+        votes = (
+            edges.join(
+                F.broadcast(
+                    labels.filter(F.col("label").isNotNull()).select(
+                        F.col("node").alias("src"),
+                        F.col("label").alias("nlabel"),
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), F.col("nlabel"))
+            .agg(F.sum("w").cast("long").alias("votes"))
+        )
+        w_rank = Window.partitionBy("node").orderBy(
+            F.desc("votes"), F.asc("nlabel")
+        )
+        best = (
+            votes.select(
+                "node", "nlabel", F.row_number().over(w_rank).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlabel").alias("mlabel"))
+        )
+        labels = (
+            labels.join(F.broadcast(best), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("node") < _LP_SEEDS, F.col("label"))
+                .otherwise(F.coalesce(F.col("mlabel"), F.col("label")))
+                .alias("label"),
+            )
+            # truncate lineage per round (the CC/kmeans loop precedent):
+            # votes and best both re-read labels, so an unbroken plan
+            # doubles per iteration and re-scans the spool each time
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.join(
+            F.broadcast(na), labels.node == na.n_nationkey
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("label").cast("long").alias("label"),
+            (F.col("node") < _LP_SEEDS).alias("is_seed"),
+        )
+        .orderBy("nation")
     )

