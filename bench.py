@@ -101,6 +101,8 @@ HEADLINE = [
     "q_zipf_fit",
     "q_mutual_info",
     "q_char_entropy",
+    "q_skyline",
+    "q_label_propagation",
 ]
 
 

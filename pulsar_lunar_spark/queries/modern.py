@@ -548,3 +548,54 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, s.pos
         """
     )
+
+
+@udtf(returnType="n_regionkey bigint, n_nations bigint, first_name string")
+class _RegionSummary:
+    """Python UDTF with a TABLE argument (Spark 4): one instance per
+    PARTITION BY value, eval() folds the partition's rows, terminate()
+    emits the summary — the per-group stateful table-processing surface
+    (the UDTF twin of applyInPandas)."""
+
+    def __init__(self):
+        self._key = None
+        self._n = 0
+        self._min = None
+
+    def eval(self, row):
+        self._key = row["n_regionkey"]
+        self._n += 1
+        nm = row["n_name"]
+        self._min = nm if self._min is None or nm < self._min else self._min
+
+    def terminate(self):
+        if self._key is not None:
+            yield (int(self._key), self._n, self._min)
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY 1 ORDER BY n_regionkey
+    """,
+    tags=("udf", "udtf", "table-argument", "spark4"),
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF invoked with a TABLE(...) argument and PARTITION BY
+    (Spark 4): the engine routes each n_regionkey partition's rows
+    through one UDTF instance — eval() folds, terminate() emits — the
+    SQL-native per-group stateful processing surface. Kept on the 25-row
+    nation dimension (interpreter-speed, the q_python_udf policy); at
+    scale the same shape partitions by the group key exactly like
+    applyInPandas. Oracle: the plain GROUP BY twin."""
+    tables(spark, sf_dir, names=("nation",))
+    spark.udtf.register("region_summary", _RegionSummary)
+    return spark.sql(
+        """
+        SELECT * FROM region_summary(TABLE(nation) PARTITION BY n_regionkey)
+        ORDER BY n_regionkey
+        """
+    )

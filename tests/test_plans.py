@@ -23,6 +23,7 @@ SPECS = all_queries()
 PYTHON_OK = {
     "q_python_udf",  # the declared row-at-a-time UDF surface itself
     "q_udtf_split",  # the declared Python UDTF surface itself
+    "q_udtf_table_arg",  # the TABLE-argument UDTF surface itself
     "q_pandas_udf_scalar",
     "q_pandas_udf_grouped_agg",
     "q_apply_in_pandas",
