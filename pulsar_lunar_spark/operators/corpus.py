@@ -752,12 +752,14 @@ def kn_bigram_probs(cnt: DataFrame) -> DataFrame:
     to 0 at corpus scale).
 
     Returns ``(b, w1, w2, c12, c1, nfoll, nprec, p_kn_ppm)``. All
-    aggregates operate on the bigram-type table (vocabulary-squared
-    bounded), so the marginals broadcast at any corpus size; callers
-    should spool ``cnt`` first when it feeds multiple consumers (the
-    q_kneser_ney pattern). Shared by q_kneser_ney and
-    q_kn_doc_surprisal."""
+    marginals are WINDOW aggregates over the bigram-type table
+    (vocabulary-squared bounded), so the table pipelines ONCE — no
+    self-joins, no spool, no re-derivation per marginal (the round-8
+    rewrite: the join form re-consumed cnt four times, which either
+    re-scanned the corpus or paid a tmpfs spool per call). Shared by
+    q_kneser_ney and q_kn_doc_surprisal."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     bi = cnt.select(
         "b",
@@ -765,16 +767,18 @@ def kn_bigram_probs(cnt: DataFrame) -> DataFrame:
         F.expr("split_part(b, ' ', 2)").alias("w2"),
         "c12",
     )
-    u1 = bi.groupBy("w1").agg(
-        F.sum("c12").cast("long").alias("c1"),
-        F.count(F.lit(1)).cast("long").alias("nfoll"),
-    )
-    u2 = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nprec"))
-    d = bi.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
-    p = (
-        bi.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(d))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    allw = Window.partitionBy()
+    p = bi.select(
+        "b",
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w1w).cast("long").alias("c1"),
+        F.count(F.lit(1)).over(w1w).cast("long").alias("nfoll"),
+        F.count(F.lit(1)).over(w2w).cast("long").alias("nprec"),
+        F.count(F.lit(1)).over(allw).cast("long").alias("nbi"),
     )
     return p.select(
         "b",

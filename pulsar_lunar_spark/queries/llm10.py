@@ -99,20 +99,24 @@ def _softdedup_oracle() -> str:
     from pulsar_lunar_spark.queries.llm import _MINHASH_ORACLE
 
     pairs = _MINHASH_ORACLE.replace("ORDER BY id_a, id_b", "")
+    # MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs per
+    # reference, and `edges` is referenced by every recursive step —
+    # without it the full LSH replica re-evaluates per iteration
+    # (measured 53-55 s at sf0.1; materialized: ~2 s). Same values.
     return f"""
-    WITH RECURSIVE pairs AS ({pairs}
-    ), nodes AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs}
+    ), nodes AS MATERIALIZED (
         SELECT DISTINCT n FROM (
             SELECT id_a AS n FROM pairs UNION ALL SELECT id_b FROM pairs
         )
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS s, id_b AS d FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs
     ), reach(node, lab) AS (
         SELECT n, n FROM nodes
         UNION
         SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
-    ), comp AS (
+    ), comp AS MATERIALIZED (
         SELECT node, MIN(lab) AS component FROM reach GROUP BY node
     ), sizes AS (
         SELECT component, COUNT(*) AS sz FROM comp GROUP BY component

@@ -711,17 +711,12 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan; bigrams form as an array transform riding the scan
     (no pre-shuffle) and explode into ONE hash aggregate keyed on the
-    bigram string; everything after operates on the bigram-TYPE table
-    (vocabulary-squared bounded — the natural compression), so the
-    follower/predecessor aggregates and the final joins are over the
-    compressed table, broadcast-sized at any corpus scale. The bigram
-    table has FOUR downstream consumers (itself, both marginals, the
-    total), so it is spooled once to tmpfs (the q_dedup_source_matrix
-    pattern) — the corpus scan runs exactly once, not four times. The
-    single 1-row distinct-bigram total joins via the scalar-frame
-    crossJoin precedent."""
-    from pulsar_lunar_spark.session import scratch_root, versioned_slot
-
+    bigram string; every marginal is a WINDOW aggregate over the
+    bigram-TYPE table (vocabulary-squared bounded — the natural
+    compression), so the compressed table pipelines once with no
+    self-joins and no spool (round-8 rewrite: the join form paid a
+    tmpfs spool per call to avoid re-scanning the corpus per
+    marginal)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     words = F.split(normalize_text(F.col("text")), " ")
     staged = docs.select(words.alias("__w")).filter(F.size("__w") >= 2)
@@ -734,10 +729,7 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
-    raw_cnt = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    slot = versioned_slot(scratch_root("pulsar_lunar_kn", sf_dir), "bigrams")
-    raw_cnt.write.mode("overwrite").parquet(slot)
-    cnt = spark.read.parquet(slot)
+    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     from pulsar_lunar_spark.operators.corpus import kn_bigram_probs
 
     k = kn_bigram_probs(cnt).select("w1", "w2", "c12", "c1", "p_kn_ppm")
@@ -949,12 +941,14 @@ def q_kn_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clamped >= 1, so LN never sees 0); the per-bigram surprisal floors
     ONCE to micro-nats (the q_unigram_surprisal precedent) and
     everything downstream is exact BIGINT with non-negative numerators.
-    Plan: the bigram-TYPE table spools once (one corpus scan for
-    training); scoring re-scans the corpus once more and broadcast-joins
-    the vocabulary-squared-bounded probability table; per-doc and
+    Plan: training is one corpus scan into the bigram-type aggregate
+    whose marginals ride window aggregates (no spool, no self-joins);
+    scoring re-scans the corpus once more and broadcast-joins the
+    vocabulary-squared-bounded probability table; per-doc and
     per-source aggregates + the 1-row corpus-mean scalar frame. Two
     corpus scans total — train and score — the honest minimum for a
-    train-then-apply filter."""
+    train-then-apply filter. The per-doc mean table still spools (two
+    consumers: the corpus mean and the rollup)."""
     from pulsar_lunar_spark.operators.corpus import kn_bigram_probs
     from pulsar_lunar_spark.session import scratch_root, versioned_slot
 
@@ -974,12 +968,9 @@ def q_kn_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    raw_cnt = bgd.groupBy("b").agg(
+    cnt = bgd.groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     )
-    slot = versioned_slot(scratch_root("pulsar_lunar_kn", sf_dir), "doc-lm")
-    raw_cnt.write.mode("overwrite").parquet(slot)
-    cnt = spark.read.parquet(slot)
     probs = kn_bigram_probs(cnt).select("b", "p_kn_ppm")
     sc = bgd.join(F.broadcast(probs), "b").select(
         "doc_id",
@@ -1196,19 +1187,19 @@ def _mi_oracle() -> str:
     WITH j AS (
         SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
         FROM documents GROUP BY 1, 2
-    ), ms AS (
-        SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s FROM j GROUP BY 1
-    ), ml AS (
-        SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l FROM j GROUP BY 1
-    ), t AS (
-        SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM j
+    ), m AS (
+        SELECT source, lang, n_sl,
+               CAST(SUM(n_sl) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+               CAST(SUM(n_sl) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+               CAST(SUM(n_sl) OVER () AS BIGINT) AS n
+        FROM j
     ), c AS (
-        SELECT j.source, j.lang, j.n_sl,
-               CAST(FLOOR((CAST(j.n_sl AS DOUBLE) / CAST(t.n AS DOUBLE))
-                    * LN((CAST(j.n_sl AS DOUBLE) * CAST(t.n AS DOUBLE))
-                         / (CAST(ms.n_s AS DOUBLE) * CAST(ml.n_l AS DOUBLE)))
+        SELECT source, lang, n_sl,
+               CAST(FLOOR((CAST(n_sl AS DOUBLE) / CAST(n AS DOUBLE))
+                    * LN((CAST(n_sl AS DOUBLE) * CAST(n AS DOUBLE))
+                         / (CAST(n_s AS DOUBLE) * CAST(n_l AS DOUBLE)))
                     * 1000000 + 0.5) AS BIGINT) AS mi_cell_micro
-        FROM j JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN t
+        FROM m
     )
     SELECT source, lang, n_sl, mi_cell_micro,
            CAST(SUM(mi_cell_micro) OVER () AS BIGINT) AS mi_total_micro
@@ -1235,50 +1226,42 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to the float side).
 
     Plan: one scan, one (source, lang) hash aggregate — the contingency
-    table, bounded by |sources|x|langs| at any corpus size — then
-    marginals and the window total over that tiny table. The
-    contingency table feeds FOUR consumers (cells + both marginals +
-    the total), so it spools once to tmpfs (the q_kneser_ney pattern):
-    the corpus scans exactly once. The same shape as q_chi2_cells with
-    an information-theoretic statistic."""
-    from pulsar_lunar_spark.session import scratch_root, versioned_slot
-
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    raw_j = d.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sl")
-    )
-    slot = versioned_slot(scratch_root("pulsar_lunar_mi", sf_dir), "cells")
-    raw_j.write.mode("overwrite").parquet(slot)
-    j = spark.read.parquet(slot)
-    ms = j.groupBy("source").agg(F.sum("n_sl").cast("long").alias("n_s"))
-    ml = j.groupBy("lang").agg(F.sum("n_sl").cast("long").alias("n_l"))
-    t = j.agg(F.sum("n_sl").cast("long").alias("n"))
-    c = (
-        j.join(F.broadcast(ms), "source")
-        .join(F.broadcast(ml), "lang")
-        .crossJoin(F.broadcast(t))
-        .select(
-            "source",
-            "lang",
-            "n_sl",
-            F.floor(
-                (F.col("n_sl").cast("double") / F.col("n").cast("double"))
-                * F.log(
-                    (F.col("n_sl").cast("double") * F.col("n").cast("double"))
-                    / (
-                        F.col("n_s").cast("double")
-                        * F.col("n_l").cast("double")
-                    )
-                )
-                * 1_000_000
-                + 0.5
-            )
-            .cast("long")
-            .alias("mi_cell_micro"),
-        )
-    )
+    table, bounded by |sources|x|langs| at any corpus size — then every
+    marginal is a WINDOW aggregate over that tiny table, so it pipelines
+    once with no self-joins and no spool (round-8 rewrite: the join form
+    either re-scanned the corpus per marginal or paid a tmpfs spool per
+    call). The same shape as q_chi2_cells with an information-theoretic
+    statistic."""
     from pyspark.sql.window import Window
 
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    j = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sl")
+    )
+    m = j.select(
+        "source",
+        "lang",
+        "n_sl",
+        F.sum("n_sl").over(Window.partitionBy("source")).cast("long").alias("n_s"),
+        F.sum("n_sl").over(Window.partitionBy("lang")).cast("long").alias("n_l"),
+        F.sum("n_sl").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    c = m.select(
+        "source",
+        "lang",
+        "n_sl",
+        F.floor(
+            (F.col("n_sl").cast("double") / F.col("n").cast("double"))
+            * F.log(
+                (F.col("n_sl").cast("double") * F.col("n").cast("double"))
+                / (F.col("n_s").cast("double") * F.col("n_l").cast("double"))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("mi_cell_micro"),
+    )
     return c.select(
         "source",
         "lang",
@@ -1502,7 +1485,7 @@ _LP_ITERATIONS = 3
 
 def _lp_edges_cte() -> str:
     return """
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
         SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
                CAST(COUNT(*) AS BIGINT) AS w
         FROM lineitem l
@@ -1510,13 +1493,13 @@ def _lp_edges_cte() -> str:
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
             SELECT src, dst, w FROM raw WHERE src <> dst
             UNION ALL
             SELECT dst AS src, src AS dst, w FROM raw WHERE src <> dst
         ) GROUP BY 1, 2
-    ), l0 AS (
+    ), l0 AS MATERIALIZED (
         SELECT n_nationkey AS node,
                CASE WHEN n_nationkey < {seeds}
                     THEN CAST(n_regionkey AS BIGINT) END AS label
@@ -1539,7 +1522,7 @@ def _lp_iteration(t: int) -> str:
                                       ORDER BY votes DESC, label) AS rn
             FROM v{t}
         ) WHERE rn = 1
-    ), l{t} AS (
+    ), l{t} AS MATERIALIZED (
         SELECT p.node,
                CASE WHEN p.node < {_LP_SEEDS} THEN p.label
                     ELSE COALESCE(m.label, p.label) END AS label

@@ -78,9 +78,7 @@ CARTESIAN_OK = {
     "q_leakage_safe_split",  # single-row broadcast leak-count side
     "q_chi2_cells",  # single-row broadcast grand-total side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
-    "q_kneser_ney",  # single-row broadcast distinct-bigram total side
-    "q_kn_doc_surprisal",  # same 1-row total + 1-row corpus-mean side
-    "q_mutual_info",  # single-row broadcast grand-total side
+    "q_kn_doc_surprisal",  # single-row broadcast corpus-mean side
 }
 
 
@@ -296,10 +294,10 @@ EXCHANGE_BUDGETS = {
     "q_dp_noisy_topk": (2, 0),  # token agg + global noisy-rank window
     "q_bitext_mining": (5, 1),  # dot agg + 2 side windows + sort; anchors bc
     "q_silhouette": (6, 1),  # centroid agg bc + d2/ab/s aggs + sort
-    "q_kneser_ney": (4, 3),  # spooled bigram table; marginals broadcast
+    "q_kneser_ney": (3, 0),  # one scan; window-form marginals, no joins
     "q_kn_doc_surprisal": (4, 2),  # spooled per-doc means; 1-row mean bc
     "q_pca_power": (3, 0),  # one scan + 64-row pos agg + 1-row fold
-    "q_mutual_info": (5, 3),  # spooled contingency table; marginals bc
+    "q_mutual_info": (3, 0),  # one scan; window-form marginals, no spool
     "q_char_entropy": (5, 0),  # (doc,char) agg + doc window/agg + rollup
     "q_skyline": (5, 1),  # bucket windows + tiny bucket-maxima broadcast
     "q_label_propagation": (2, 2),  # checkpointed loop; final 25-row join
