@@ -355,21 +355,27 @@ _MH_JACCARD = (
     " LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))), 6)"
 )
 
+# MATERIALIZED on every stage CTE is load-bearing for honest oracle
+# timing: DuckDB inlines plain CTEs per reference — sh is referenced
+# three times (signature build + both verify joins) and buckets twice
+# (self-join), so the un-materialized form re-evaluated the md5
+# signature battery per reference (~14-16 s at sf0.1 vs ~5.5 s
+# materialized; identical values).
 _MINHASH_ORACLE = f"""
-    WITH sh AS ({_MH_SHINGLES}
-    ), base AS (
+    WITH sh AS MATERIALIZED ({_MH_SHINGLES}
+    ), base AS MATERIALIZED (
         SELECT doc_id,
                CAST(CONCAT('0x', SUBSTR(MD5(t.s), 1, 15)) AS BIGINT) % {_MH_P} AS h
         FROM sh, UNNEST(sh.sh) AS t(s)
-    ), sigs AS (
+    ), sigs AS MATERIALIZED (
         SELECT doc_id,
                {_MH_SIG_SQL}
         FROM base GROUP BY doc_id
-    ), buckets AS (
+    ), buckets AS MATERIALIZED (
         SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
         FROM (SELECT doc_id, [{_MH_BUCKETS_SQL}] AS bl FROM sigs),
              UNNEST(RANGE(0, 32)) AS t(band)
-    ), cand AS (
+    ), cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -398,21 +404,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# MATERIALIZED on every stage CTE is load-bearing for honest oracle
+# timing: DuckDB inlines plain CTEs per reference — sh is referenced
+# three times (signature build + both verify joins) and buckets twice
+# (self-join), so the un-materialized form re-evaluated the md5
+# signature battery per reference (~14-16 s at sf0.1 vs ~5.5 s
+# materialized; identical values).
 _MINHASH_INCR_ORACLE = f"""
-    WITH sh AS ({_MH_SHINGLES}
-    ), base AS (
+    WITH sh AS MATERIALIZED ({_MH_SHINGLES}
+    ), base AS MATERIALIZED (
         SELECT doc_id,
                CAST(CONCAT('0x', SUBSTR(MD5(t.s), 1, 15)) AS BIGINT) % {_MH_P} AS h
         FROM sh, UNNEST(sh.sh) AS t(s)
-    ), sigs AS (
+    ), sigs AS MATERIALIZED (
         SELECT doc_id,
                {_MH_SIG_SQL}
         FROM base GROUP BY doc_id
-    ), buckets AS (
+    ), buckets AS MATERIALIZED (
         SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
         FROM (SELECT doc_id, [{_MH_BUCKETS_SQL}] AS bl FROM sigs),
              UNNEST(RANGE(0, 32)) AS t(band)
-    ), cand AS (
+    ), cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bucket = b.bucket
@@ -463,7 +475,7 @@ _SIMHASH_ORACLE = f"""
         SELECT doc_id,
                CAST(CONCAT('0x', SUBSTR(MD5(t.tok), 1, 15)) AS BIGINT) AS h
         FROM documents, UNNEST(STRING_SPLIT({_NORM}, ' ')) AS t(tok)
-    ), sigs AS (
+    ), sigs AS MATERIALIZED (
         SELECT doc_id, {_SIMHASH_SIG_SQL} AS sig
         FROM toks GROUP BY doc_id
     ), blocked AS (
@@ -501,7 +513,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
         SELECT doc_id,
                LIST_DISTINCT(LIST_TRANSFORM(
                    RANGE(1, GREATEST(LEN(STRING_SPLIT({_NORM}, ' ')) - 2, 1) + 1),

@@ -1386,7 +1386,7 @@ _SKY_BUCKET_CENTS = 10_000  # price buckets of $100 — the parallelism grain
 
 def _skyline_oracle() -> str:
     return """
-    WITH p AS (
+    WITH p AS MATERIALIZED (
         SELECT p_partkey,
                CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
                CAST(p_size AS BIGINT) AS size

@@ -30,7 +30,7 @@ WITH w AS (
            ARRAY_TO_STRING(
                words[1:CAST(GREATEST((3 * LEN(words)) // 5, 3) AS BIGINT)], ' ')
     FROM w WHERE doc_id % 11 = 0
-), sh AS (
+), sh AS MATERIALIZED (
     SELECT doc_id,
            LIST_DISTINCT(LIST_TRANSFORM(
                RANGE(1, GREATEST(LEN(STRING_SPLIT(t, ' ')) - 2, 1) + 1),
@@ -173,25 +173,25 @@ def _tuning_oracle() -> str:
     t16 = ", ".join(_mh_bucket_sql(b, 8) for b in range(16))
     return f"""
     WITH sh AS ({_MH_SHINGLES}
-    ), base AS (
+    ), base AS MATERIALIZED (
         SELECT doc_id,
                CAST(CONCAT('0x', SUBSTR(MD5(t.s), 1, 15)) AS BIGINT) % {_MH_P} AS h
         FROM sh, UNNEST(sh.sh) AS t(s)
-    ), sigs AS (
+    ), sigs AS MATERIALIZED (
         SELECT doc_id, {_MH_SIG_SQL} FROM base GROUP BY doc_id
-    ), b32 AS (
+    ), b32 AS MATERIALIZED (
         SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
         FROM (SELECT doc_id, [{t32}] AS bl FROM sigs),
              UNNEST(RANGE(0, 32)) AS t(band)
-    ), b16 AS (
+    ), b16 AS MATERIALIZED (
         SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
         FROM (SELECT doc_id, [{t16}] AS bl FROM sigs),
              UNNEST(RANGE(0, 16)) AS t(band)
-    ), c32 AS (
+    ), c32 AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM b32 a JOIN b32 b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ), c16 AS (
+    ), c16 AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM b16 a JOIN b16 b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id

@@ -267,16 +267,19 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SETSIM_T_PPM = 700_000
 
+# MATERIALIZED: sh is referenced by posts and both verify joins, pp
+# self-joins; DuckDB inlines plain CTEs per reference (2.6 s -> 1.1 s
+# at sf0.1, identical values).
 _SETSIM_ORACLE = f"""
-    WITH w AS (
+    WITH w AS MATERIALIZED (
         SELECT doc_id, STRING_SPLIT({_NORM}, ' ') AS words FROM documents
-    ), corpus AS (
+    ), corpus AS MATERIALIZED (
         SELECT doc_id, words FROM w
         UNION ALL
         SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
                words[1:CAST(GREATEST((9 * LEN(words)) // 10, 3) AS BIGINT)]
         FROM w WHERE doc_id % 13 = 0
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN LEN(words) >= 5 THEN
                    LIST_DISTINCT(LIST_TRANSFORM(
@@ -284,21 +287,21 @@ _SETSIM_ORACLE = f"""
                        i -> ARRAY_TO_STRING(words[i:i+4], ' ')))
                ELSE [ARRAY_TO_STRING(words, ' ')] END AS shs
         FROM corpus
-    ), posts AS (
+    ), posts AS MATERIALIZED (
         SELECT doc_id, UNNEST(shs) AS s FROM sh
-    ), dfreq AS (
+    ), dfreq AS MATERIALIZED (
         SELECT s, COUNT(*) AS df FROM posts GROUP BY s
-    ), ordered AS (
+    ), ordered AS MATERIALIZED (
         SELECT p.doc_id, ARRAY_AGG(p.s ORDER BY d.df, p.s) AS toks
         FROM posts p JOIN dfreq d ON p.s = d.s
         GROUP BY p.doc_id
-    ), pref AS (
+    ), pref AS MATERIALIZED (
         SELECT doc_id,
                toks[1:CAST(LEN(toks)
                     - (({_SETSIM_T_PPM} * LEN(toks) + 999999) // 1000000)
                     + 1 AS BIGINT)] AS prefix
         FROM ordered
-    ), pp AS (
+    ), pp AS MATERIALIZED (
         SELECT doc_id, UNNEST(prefix) AS s FROM pref
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
