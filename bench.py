@@ -103,6 +103,7 @@ HEADLINE = [
     "q_char_entropy",
     "q_skyline",
     "q_label_propagation",
+    "q_hits_scores",
 ]
 
 

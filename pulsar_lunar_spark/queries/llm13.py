@@ -36,7 +36,9 @@ mining, and corpus-statistics asks —
 - skyline (``q_skyline``): the Pareto front (min price, max size) in the
   distributed bucket form — no global sort, no self-join;
 - label propagation (``q_label_propagation``): semi-supervised weighted
-  majority-vote label spreading with clamped seeds over the trade graph.
+  majority-vote label spreading with clamped seeds over the trade graph;
+- HITS (``q_hits_scores``): hubs & authorities over the directed trade
+  graph — three mutual-reinforcement rounds in max-normalized exact ppm.
 
 Determinism discipline: every statistic is integer ppm/milli BIGINT
 arithmetic with sign-separated division (Spark div truncates toward
@@ -1654,6 +1656,181 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("label").cast("long").alias("label"),
             (F.col("node") < _LP_SEEDS).alias("is_seed"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (fixed-point, max-normalized ppm integers)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERATIONS = 3
+
+
+def _hits_edges_cte() -> str:
+    return """
+    WITH edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ), n0 AS MATERIALIZED (
+        SELECT n_nationkey AS node FROM nation
+    ), h0 AS MATERIALIZED (
+        SELECT node, CAST(1000000 AS BIGINT) AS h FROM n0
+    )"""
+
+
+def _hits_iteration(t: int) -> str:
+    prev = f"h{t - 1}"
+    return f"""
+    , ar{t} AS MATERIALIZED (
+        SELECT n0.node,
+               CAST(COALESCE(SUM(e.w * p.h), 0) AS BIGINT) AS raw
+        FROM n0
+        LEFT JOIN edges e ON e.dst = n0.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        GROUP BY n0.node
+    ), a{t} AS MATERIALIZED (
+        SELECT node,
+               CAST((1000000 * raw)
+                    // GREATEST((SELECT MAX(raw) FROM ar{t}), 1)
+                    AS BIGINT) AS a
+        FROM ar{t}
+    ), hr{t} AS MATERIALIZED (
+        SELECT n0.node,
+               CAST(COALESCE(SUM(e.w * q.a), 0) AS BIGINT) AS raw
+        FROM n0
+        LEFT JOIN edges e ON e.src = n0.node
+        LEFT JOIN a{t} q ON q.node = e.dst
+        GROUP BY n0.node
+    ), h{t} AS MATERIALIZED (
+        SELECT node,
+               CAST((1000000 * raw)
+                    // GREATEST((SELECT MAX(raw) FROM hr{t}), 1)
+                    AS BIGINT) AS h
+        FROM hr{t}
+    )"""
+
+
+def _hits_oracle() -> str:
+    parts = [_hits_edges_cte()]
+    for t in range(1, _HITS_ITERATIONS + 1):
+        parts.append(_hits_iteration(t))
+    last = _HITS_ITERATIONS
+    return (
+        "".join(parts)
+        + f"""
+    SELECT n.n_name AS nation,
+           h.h AS hub_ppm, a.a AS auth_ppm
+    FROM nation n
+    JOIN h{last} h ON h.node = n.n_nationkey
+    JOIN a{last} a ON a.node = n.n_nationkey
+    ORDER BY n.n_name
+    """
+    )
+
+
+@register(
+    "q_hits_scores",
+    oracle=_hits_oracle(),
+    tags=("llm", "graph", "hits", "hubs-authorities", "iterative"),
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the DIRECTED nation trade graph
+    (customer-nation buys from supplier-nation, weight = lineitem
+    count): three fixed mutual-reinforcement rounds — authority =
+    weighted sum of pointing hubs, hub = weighted sum of pointed-to
+    authorities — each vector max-normalized to exact ppm integers
+    (1e6·x DIV max, non-negative numerators so Spark div == DuckDB //).
+    PageRank's bipartite twin: pagerank scores endorsement flow, HITS
+    separates WHO CURATES (hubs: importing nations) from WHO SUPPLIES
+    (authorities). All-integer; Σw·h ≤ total_edge_weight·1e6 stays in
+    int64 out to ~9e12 lineitems.
+
+    Plan: the edge table builds once (the q_pagerank_trade join path)
+    and spools to tmpfs; each half-round is one broadcast of the
+    |V|-bounded score vector onto the edges + one node aggregate + a
+    1-row max (the scalar-frame crossJoin precedent), with per-round
+    localCheckpoints keeping the plan constant-size. The oracle unrolls
+    the iterations as MATERIALIZED CTEs (DuckDB inlines plain CTEs per
+    reference — the q_label_propagation lesson)."""
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    slot = versioned_slot(scratch_root("pulsar_lunar_hits", sf_dir), "edges")
+    raw.write.mode("overwrite").parquet(slot)
+    edges = spark.read.parquet(slot)
+    nodes = na.select(F.col("n_nationkey").cast("long").alias("node"))
+
+    def _half_round(scores, score_col, from_col, to_col):
+        """One HITS half-round: fold `scores` (keyed on from_col's node)
+        through the edges into to_col-side raw sums, then max-normalize
+        to ppm."""
+        raw_sums = (
+            nodes.join(
+                edges.join(
+                    F.broadcast(
+                        scores.select(
+                            F.col("node").alias(from_col),
+                            F.col(score_col).alias("__s"),
+                        )
+                    ),
+                    from_col,
+                ).select(F.col(to_col).alias("node"), (F.col("w") * F.col("__s")).alias("ws")),
+                "node",
+                "left",
+            )
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("ws"), F.lit(0)).cast("long").alias("raw"))
+        )
+        mx = raw_sums.agg(
+            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
+        )
+        return (
+            raw_sums.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr("(1000000L * raw) div mx").alias(score_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
+    a = None
+    for _ in range(_HITS_ITERATIONS):
+        a = _half_round(h.selectExpr("node", "h AS s"), "s", "src", "dst").selectExpr(
+            "node", "s AS a"
+        )
+        h = _half_round(a.selectExpr("node", "a AS s"), "s", "dst", "src").selectExpr(
+            "node", "s AS h"
+        )
+    return (
+        h.join(a, "node")
+        .join(F.broadcast(na), F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("h").alias("hub_ppm"),
+            F.col("a").alias("auth_ppm"),
         )
         .orderBy("nation")
     )

@@ -300,6 +300,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_skyline",
     "q_label_propagation",
     "q_udtf_table_arg",
+    "q_hits_scores",
     # round-8 rewrites
     "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
     "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)

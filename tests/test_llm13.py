@@ -491,3 +491,47 @@ def test_label_propagation_matches_brute_force(spark, sf_dir):
     for r0 in na.itertuples():
         if r0.n_nationkey < _LP_SEEDS:
             assert got[r0.n_name] == (int(r0.n_regionkey), True)
+
+
+def test_hits_scores_matches_brute_force(spark, sf_dir):
+    from pulsar_lunar_spark.queries.llm13 import _HITS_ITERATIONS
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    su = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    m = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    edges = Counter(
+        (int(a), int(b))
+        for a, b in zip(m.c_nationkey, m.s_nationkey)
+        if a != b
+    )
+    nodes = sorted(int(r.n_nationkey) for r in na.itertuples())
+    h = {n: 1_000_000 for n in nodes}
+    a = {}
+    for _ in range(_HITS_ITERATIONS):
+        raw_a = {n: 0 for n in nodes}
+        for (s, d), w in edges.items():
+            raw_a[d] += w * h[s]
+        mx = max(max(raw_a.values()), 1)
+        a = {n: (1_000_000 * v) // mx for n, v in raw_a.items()}
+        raw_h = {n: 0 for n in nodes}
+        for (s, d), w in edges.items():
+            raw_h[s] += w * a[d]
+        mx = max(max(raw_h.values()), 1)
+        h = {n: (1_000_000 * v) // mx for n, v in raw_h.items()}
+    names = {int(r.n_nationkey): r.n_name for r in na.itertuples()}
+    want = {names[n]: (h[n], a[n]) for n in nodes}
+    got = {
+        r.nation: (r.hub_ppm, r.auth_ppm)
+        for r in all_queries()["q_hits_scores"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # normalization invariant: some node holds the 1e6 max on each side
+    assert max(v[0] for v in got.values()) == 1_000_000
+    assert max(v[1] for v in got.values()) == 1_000_000

@@ -79,6 +79,7 @@ CARTESIAN_OK = {
     "q_chi2_cells",  # single-row broadcast grand-total side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
     "q_kn_doc_surprisal",  # single-row broadcast corpus-mean side
+    "q_hits_scores",  # single-row broadcast per-round max side
 }
 
 
@@ -301,6 +302,7 @@ EXCHANGE_BUDGETS = {
     "q_char_entropy": (5, 0),  # (doc,char) agg + doc window/agg + rollup
     "q_skyline": (5, 1),  # bucket windows + tiny bucket-maxima broadcast
     "q_label_propagation": (2, 2),  # checkpointed loop; final 25-row join
+    "q_hits_scores": (4, 2),  # checkpointed half-rounds; final 25-row join
     "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
 }
 
