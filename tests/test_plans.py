@@ -302,7 +302,10 @@ EXCHANGE_BUDGETS = {
     "q_char_entropy": (5, 0),  # (doc,char) agg + doc window/agg + rollup
     "q_skyline": (5, 1),  # bucket windows + tiny bucket-maxima broadcast
     "q_label_propagation": (2, 2),  # checkpointed loop; final 25-row join
-    "q_hits_scores": (4, 2),  # checkpointed half-rounds; final 25-row join
+    # h half-rounds checkpoint; the last a-subtree (one bc join off the
+    # final h checkpoint + its 25-row aggs) stays lazy in the returned
+    # plan by design (A/B: eager a-checkpoints cost 0.4 s of job floors)
+    "q_hits_scores": (8, 5),
     "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
 }
 
