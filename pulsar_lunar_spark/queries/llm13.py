@@ -243,7 +243,10 @@ def q_dp_noisy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("true_count")
     )
-    u = "conv(substring(md5(concat('dp|', token)), 1, 6), 16, 10) % 1000000"
+    u = (
+        "CAST(conv(substring(md5(concat('dp|', token)), 1, 6), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
     n = c.select(
         "token",
         "true_count",
@@ -256,16 +259,19 @@ def q_dp_noisy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # llm8 top_rank shape (r8 VERDICT): orderBy().limit() rides
+    # TakeOrderedAndProject, then the rank window runs over the bounded
+    # _DP_TOPK-row head instead of the unbounded vocabulary table.
+    top = n.orderBy(F.desc("noisy_count"), F.asc("token")).limit(_DP_TOPK)
     w = Window.orderBy(F.desc("noisy_count"), F.asc("token"))
     return (
-        n.select(
+        top.select(
             F.row_number().over(w).cast("long").alias("rank"),
             "token",
             "true_count",
             "noise",
             "noisy_count",
         )
-        .filter(F.col("rank") <= _DP_TOPK)
         .orderBy("rank")
     )
 
@@ -735,14 +741,14 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_lunar_spark.operators.corpus import kn_bigram_probs
 
     k = kn_bigram_probs(cnt).select("w1", "w2", "c12", "c1", "p_kn_ppm")
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    # The rank was filter-only: orderBy().limit() is the same top-K under
+    # the same total tiebreak, rides TakeOrderedAndProject, and drops the
+    # unpartitioned window over the O(V^2) bigram-type table (r8 VERDICT
+    # 100 TB hazard).
     return (
-        k.select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= _KN_TOPK)
+        k.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(_KN_TOPK)
         .select("w1", "w2", "c12", "c1", "p_kn_ppm")
-        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
     )
 
 
@@ -820,10 +826,13 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     from pyspark.sql.window import Window
 
+    # llm8 top_rank shape: TakeOrderedAndProject bounds the head to
+    # _ZIPF_TOPK rows, then the rank window runs over that head only.
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     top = (
-        c.select("cnt", F.row_number().over(w).cast("long").alias("rnk"))
-        .filter(F.col("rnk") <= _ZIPF_TOPK)
+        c.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_ZIPF_TOPK)
+        .select("cnt", F.row_number().over(w).cast("long").alias("rnk"))
     )
     l = top.select(
         "cnt",
@@ -1152,7 +1161,9 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws = [int(r.w) for r in rows]
         n2 = 0.0
         for x in ws:
-            n2 += float(x * x)
+            # cast-then-multiply mirrors both engines' CAST(w AS DOUBLE)
+            # * CAST(w AS DOUBLE); parity bound is |w| <= 2^53, not 2^106
+            n2 += float(x) * float(x)
         nrm = _math.sqrt(n2)
         v = [_math.floor(1000 * (float(x) / nrm) + 0.5) for x in ws]
 

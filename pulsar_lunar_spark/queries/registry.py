@@ -205,6 +205,18 @@ _DRIVER_CONFIRMED = frozenset(
         "q_crossmodal_dedup", "q_softdedup_weights", "q_calibration_ece",
         "q_threshold_sweep", "q_filter_agreement", "q_token_budget_mix",
         "q_leakage_safe_split",
+        # round 8 (CORRECTNESS_r08.json, 50/50 green — 26 additions, 3
+        # rewrites re-confirmed via the _NEWEST_FIRST override, 21
+        # re-confirmations; ledger stays closed at 304)
+        "q_bitext_mining", "q_bootstrap_ci", "q_char_entropy",
+        "q_dataset_card", "q_dedup_pareto", "q_doremi_weights",
+        "q_dp_noisy_topk", "q_hits_scores", "q_k_anonymity",
+        "q_kn_doc_surprisal", "q_kneser_ney", "q_label_propagation",
+        "q_mutual_info", "q_pass_at_k", "q_pca_power",
+        "q_perplexity_filter", "q_psi_drift", "q_rho_select",
+        "q_silhouette", "q_skyline", "q_span_decontamination",
+        "q_state_store_read", "q_stream_psi_drift", "q_udtf_table_arg",
+        "q_vocab_coverage", "q_zipf_fit",
     }
 )
 
@@ -273,37 +285,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # CORRECTNESS_r{N} greens into _DRIVER_CONFIRMED and clear/refill this
 # tuple with the new round's names.
 _NEWEST_FIRST: tuple[str, ...] = (
-    # round-8 additions (each registered with oracle + tests + plan budget
-    # + three-scale parity before the driver sees it)
-    "q_doremi_weights",
-    "q_span_decontamination",
-    "q_bootstrap_ci",
-    "q_pass_at_k",
-    "q_psi_drift",
-    "q_vocab_coverage",
-    "q_dedup_pareto",
-    "q_rho_select",
-    "q_perplexity_filter",
-    "q_stream_psi_drift",
-    "q_dataset_card",
-    "q_k_anonymity",
-    "q_dp_noisy_topk",
-    "q_bitext_mining",
-    "q_silhouette",
-    "q_kneser_ney",
-    "q_kn_doc_surprisal",
-    "q_pca_power",
-    "q_zipf_fit",
-    "q_state_store_read",
-    "q_mutual_info",
-    "q_char_entropy",
-    "q_skyline",
-    "q_label_propagation",
-    "q_udtf_table_arg",
-    "q_hits_scores",
-    # round-8 rewrites
-    "q_filter_agreement",  # pe_ppm via ppm marginals (int64-safe past 3M docs)
-    "q_dedup_bloom",       # ensure_parallelism exchange dropped (r7 drift settled)
-    "q_triangle_count",    # conf-scoped eager execution (8 shuffle partitions)
+    # round-9 additions and rewrites (each entry is registered with oracle
+    # + tests + plan budget + three-scale parity before the driver sees it)
+    # round-9 rewrites
+    "q_dp_noisy_topk",  # TakeOrdered head replaces global rank window; CAST(conv) hygiene
+    "q_kneser_ney",     # rank window dropped: orderBy().limit() TakeOrdered top-k
+    "q_zipf_fit",       # TakeOrdered 100-row head before the rank window
 )
 

@@ -1520,7 +1520,8 @@ def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
         no_data_batches=False,  # complete-mode agg: no eviction semantics
     )
-    q.awaitTermination(300)
+    # run_available_now with state_partitions set already awaited
+    # termination; q is a terminated query here.
     # The state VALUE struct carries the aggregation buffer's physical
     # field name (`count`), not the query-level alias — the reader
     # exposes the checkpoint's truth, not the analyzed plan's.

@@ -430,7 +430,6 @@ def test_skyline_matches_brute_force(spark, sf_dir):
         by_price.setdefault(c, set()).add(-negs)
     prices = sorted(by_price)
     for lo, hi in zip(prices, prices[1:]):
-        assert max(by_price[hi]) > max(by_price[lo]) or True
         assert min(by_price[hi]) > max(by_price[lo])
 
 

@@ -129,6 +129,21 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
+    "name", ["q_dp_noisy_topk", "q_kneser_ney", "q_zipf_fit"]
+)
+def test_llm13_topk_heads_are_take_ordered(name, spark, sf_dir):
+    """Round-9 rewrite (r8 VERDICT watch item): the three llm13 top-k
+    queries must bound their head with TakeOrderedAndProject instead of
+    an unpartitioned rank window over the unbounded token/bigram-type
+    table — at 100 TB the single-partition global window over an O(V^2)
+    type table is the first thing to break."""
+    from pulsar_lunar_spark.plans.inspect import plan_text
+
+    df = SPECS[name].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_text(df), name
+
+
+@pytest.mark.parametrize(
     "name", sorted(n for n in SPECS if n not in CARTESIAN_OK)
 )
 def test_no_cartesian_products(name, spark, sf_dir):
@@ -292,10 +307,10 @@ EXCHANGE_BUDGETS = {
     "q_dataset_card": (5, 2),  # (src,lang) agg + share window + size agg join
     # round-8 third wave (llm13)
     "q_k_anonymity": (3, 0),  # QI agg + 1-row conditional-sum agg + 4-row sort
-    "q_dp_noisy_topk": (2, 0),  # token agg + global noisy-rank window
+    "q_dp_noisy_topk": (2, 0),  # token agg + TakeOrdered head + 25-row rank window
     "q_bitext_mining": (5, 1),  # dot agg + 2 side windows + sort; anchors bc
     "q_silhouette": (6, 1),  # centroid agg bc + d2/ab/s aggs + sort
-    "q_kneser_ney": (3, 0),  # one scan; window-form marginals, no joins
+    "q_kneser_ney": (3, 0),  # one scan; window-form marginals; TakeOrdered top-k
     "q_kn_doc_surprisal": (4, 2),  # spooled per-doc means; 1-row mean bc
     "q_pca_power": (3, 0),  # one scan + 64-row pos agg + 1-row fold
     "q_mutual_info": (3, 0),  # one scan; window-form marginals, no spool
@@ -306,7 +321,7 @@ EXCHANGE_BUDGETS = {
     # final h checkpoint + its 25-row aggs) stays lazy in the returned
     # plan by design (A/B: eager a-checkpoints cost 0.4 s of job floors)
     "q_hits_scores": (8, 5),
-    "q_zipf_fit": (2, 0),  # token agg + 100-row window into 1-row OLS agg
+    "q_zipf_fit": (2, 0),  # token agg + TakeOrdered 100-row head into 1-row OLS agg
 }
 
 
