@@ -1577,30 +1577,20 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: votes are exact BIGINT edge-weight sums; the argmax is a
     deterministic (votes DESC, label ASC) rank — no floats anywhere.
-    Plan: the edge table builds once (the q_pagerank_trade join path)
-    and spools to tmpfs, so the fact scan runs once, not per round;
-    each round is one broadcast join of the ~|V| label table onto the
-    edges + one (node, label) aggregate + one argmax window — at 100 TB
-    edge volume the per-round shuffle is keyed on dst, the label side
-    always broadcasts."""
-    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+    Plan: the directed edge table is graph.trade_edges — the 4-join
+    fact pipeline shared with q_pagerank_trade/q_hits_scores, built
+    once per (dataset, process) and spooled to tmpfs; symmetrization is
+    a union+re-aggregate of that ≤|V|² table, checkpointed once per
+    call (round-9: the per-call spool write is gone). Each round is one
+    broadcast join of the ~|V| label table onto the edges + one (node,
+    label) aggregate + one argmax window — at 100 TB edge volume the
+    per-round shuffle is keyed on dst, the label side always
+    broadcasts."""
+    import pulsar_lunar_spark.operators.graph as G
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    cu = load_table(spark, sf_dir, "customer")
-    su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
-    raw = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(cu, o.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .filter(F.col("src") != F.col("dst"))
-    )
-    sym = (
+    raw = G.trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    edges = (
         raw.select("src", "dst", "w")
         .unionByName(
             raw.select(
@@ -1609,10 +1599,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
+        # one eager checkpoint so the 3 vote rounds re-read materialized
+        # rows instead of re-running the union+agg per round
+        .localCheckpoint(eager=True)
     )
-    slot = versioned_slot(scratch_root("pulsar_lunar_lp", sf_dir), "edges")
-    sym.write.mode("overwrite").parquet(slot)
-    edges = spark.read.parquet(slot)
     labels = na.select(
         F.col("n_nationkey").cast("long").alias("node"),
         F.when(
@@ -1764,33 +1754,21 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (authorities). All-integer; Σw·h ≤ total_edge_weight·1e6 stays in
     int64 out to ~9e12 lineitems.
 
-    Plan: the edge table builds once (the q_pagerank_trade join path)
-    and spools to tmpfs; each half-round is one broadcast of the
-    |V|-bounded score vector onto the edges + one node aggregate + a
+    Plan: the edge table is graph.trade_edges — the 4-join fact pipeline
+    shared with q_pagerank_trade/q_label_propagation, built once per
+    (dataset, process) and spooled to tmpfs (round-9: per-call spool
+    replaced by the shared artifact); each half-round is one broadcast of
+    the |V|-bounded score vector onto the edges + one node aggregate + a
     1-row max (the scalar-frame crossJoin precedent), with per-round
     localCheckpoints keeping the plan constant-size. The oracle unrolls
     the iterations as MATERIALIZED CTEs (DuckDB inlines plain CTEs per
     reference — the q_label_propagation lesson)."""
-    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+    import pulsar_lunar_spark.operators.graph as G
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    cu = load_table(spark, sf_dir, "customer")
-    su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
-    raw = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(cu, o.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
-    slot = versioned_slot(scratch_root("pulsar_lunar_hits", sf_dir), "edges")
-    raw.write.mode("overwrite").parquet(slot)
-    edges = spark.read.parquet(slot)
+    # Self-loop filter on the shared aggregate == the pre-aggregate
+    # filter (the group keys determine the predicate).
+    edges = G.trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     nodes = na.select(F.col("n_nationkey").cast("long").alias("node"))
 
     def _half_round(scores, score_col, from_col, to_col, checkpoint):

@@ -291,5 +291,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_dp_noisy_topk",  # TakeOrdered head replaces global rank window; CAST(conv) hygiene
     "q_kneser_ney",     # rank window dropped: orderBy().limit() TakeOrdered top-k
     "q_zipf_fit",       # TakeOrdered 100-row head before the rank window
+    "q_pagerank_trade",  # shared trade_edges spool; checkpoint_edges=False
+    "q_hits_scores",     # per-call edge spool -> shared trade_edges artifact
+    "q_label_propagation",  # shared trade_edges + checkpointed symmetrize
 )
 

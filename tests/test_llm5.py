@@ -168,6 +168,52 @@ def test_pagerank_matches_integer_reference(spark):
     assert got[2] > got[3]
 
 
+def test_pagerank_checkpoint_edges_off_is_value_identical(spark):
+    nodes = [0, 1, 2, 3]
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 1), (3, 2, 5)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "w"])
+    on = {r.node: r.rank for r in G.pagerank(ndf, edf, iterations=3).collect()}
+    off = {
+        r.node: r.rank
+        for r in G.pagerank(
+            ndf, edf, iterations=3, checkpoint_edges=False
+        ).collect()
+    }
+    assert on == off
+
+
+def test_trade_edges_spools_once_per_process(spark, sf_dir):
+    """The shared trade-edge artifact (round-9): second call must reuse
+    the same spool path, and the rows must equal the direct 4-join build."""
+    import pulsar_lunar_spark.operators.graph as G2
+    from pulsar_lunar_spark.session import load_table
+
+    e1 = G2.trade_edges(spark, sf_dir)
+    path1 = next(iter(e1.inputFiles()), None)
+    e2 = G2.trade_edges(spark, sf_dir)
+    path2 = next(iter(e2.inputFiles()), None)
+    assert path1 == path2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    direct = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    got = {(r.src, r.dst): r.w for r in e1.collect()}
+    want = {(r.src, r.dst): r.w for r in direct.collect()}
+    assert got == want
+
+
 def test_pagerank_isolated_node_keeps_teleport_mass(spark):
     ndf = spark.createDataFrame([(0,), (1,), (9,)], ["node"])
     edf = spark.createDataFrame([(0, 1, 1)], ["src", "dst", "w"])
