@@ -104,6 +104,11 @@ HEADLINE = [
     "q_skyline",
     "q_label_propagation",
     "q_hits_scores",
+    # round-9 additions (llm14)
+    "q_max_dup_span",
+    "q_stupid_backoff",
+    "q_bitext_precision",
+    "q_source_attribution",
 ]
 
 

@@ -344,34 +344,14 @@ def _bitext_oracle() -> str:
     """
 
 
-@register(
-    "q_bitext_mining",
-    oracle=_bitext_oracle(),
-    tags=("llm", "embedding", "bitext", "margin", "alignment"),
-)
-def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Margin-based bitext mining (the CCMatrix/LASER ratio-margin
-    criterion): for each of 16 declared anchor vectors (even vec_ids —
-    "language A"), the best cosine match among odd vec_ids ("language
-    B"), scored by margin = 2*cos(a,b) / (mean top-4 cos of a + mean
-    top-4 cos of b). Raw cosine rewards hubs — vectors close to
-    everything; the margin denominator normalizes by each side's local
-    neighbourhood density, which is what makes mined pairs precise
-    enough to train on.
-
-    Exactness: elements are floor-quantized to micro integers BEFORE the
-    dot product, so dots and norms are exact BIGINT; SQRT over exact
-    integers is correctly-rounded IEEE on both engines, and the margin is
-    sign-separated integer DIV over the micro-rounded sims. Plan: the
-    similarity matrix is a sparse-dense matmul expressed relationally —
-    candidates explode by dimension and broadcast-join the 1024-row
-    anchor-element table on pos (anchor norms ride the group key, no
-    second scan), one (cand, anchor) hash aggregate — never a crossJoin;
-    both margin denominators are WINDOW aggregates over the rank's own
-    partition, so the sims pipeline executes exactly once (2 FileScans /
-    4 exchanges total, plan-budget-locked). At 100 TB the anchor batch
-    is the declared bounded dimension, so every stage is
-    O(candidates * anchors) with a broadcast dim table."""
+def _bitext_margin_frame(
+    spark: SparkSession, sf_dir: str, keep_rn: int
+) -> DataFrame:
+    """Shared CCMatrix margin pipeline: per-anchor top-``keep_rn`` cosine
+    candidates with ratio margins. Returns (anchor_id, cand_id, sim_micro,
+    rna, top4_anchor_sum, top4_cand_sum, margin_ppm). q_bitext_mining
+    consumes keep_rn=1 (the best match per anchor); llm14's
+    q_bitext_precision consumes keep_rn=_BT_K for the precision@k eval."""
     emb = load_table(spark, sf_dir, "embeddings")
     micro = F.expr(
         "transform(embedding, x ->"
@@ -458,7 +438,7 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    joined = ranked.filter(F.col("rna") == 1)
+    joined = ranked.filter(F.col("rna") <= keep_rn)
     margin = F.when(
         F.col("sim_micro") >= 0,
         F.expr(
@@ -475,10 +455,49 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         "cand_id",
         "sim_micro",
+        "rna",
         "top4_anchor_sum",
         "top4_cand_sum",
         margin.cast("long").alias("margin_ppm"),
-    ).orderBy("anchor_id")
+    )
+
+
+@register(
+    "q_bitext_mining",
+    oracle=_bitext_oracle(),
+    tags=("llm", "embedding", "bitext", "margin", "alignment"),
+)
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix/LASER ratio-margin
+    criterion): for each of 16 declared anchor vectors (even vec_ids —
+    "language A"), the best cosine match among odd vec_ids ("language
+    B"), scored by margin = 2*cos(a,b) / (mean top-4 cos of a + mean
+    top-4 cos of b). Raw cosine rewards hubs — vectors close to
+    everything; the margin denominator normalizes by each side's local
+    neighbourhood density, which is what makes mined pairs precise
+    enough to train on.
+
+    Exactness: elements are floor-quantized to micro integers BEFORE the
+    dot product, so dots and norms are exact BIGINT; SQRT over exact
+    integers is correctly-rounded IEEE on both engines, and the margin is
+    sign-separated integer DIV over the micro-rounded sims. Plan: the
+    similarity matrix is a sparse-dense matmul expressed relationally —
+    candidates explode by dimension and broadcast-join the 1024-row
+    anchor-element table on pos (anchor norms ride the group key, no
+    second scan), one (cand, anchor) hash aggregate — never a crossJoin;
+    both margin denominators are WINDOW aggregates over the rank's own
+    partition, so the sims pipeline executes exactly once (2 FileScans /
+    4 exchanges total, plan-budget-locked). At 100 TB the anchor batch
+    is the declared bounded dimension, so every stage is
+    O(candidates * anchors) with a broadcast dim table. The pipeline
+    body lives in _bitext_margin_frame (round-9 factoring, shared with
+    llm14's q_bitext_precision); keep_rn=1 keeps this query's plan the
+    rna-filtered shape it was confirmed with."""
+    return (
+        _bitext_margin_frame(spark, sf_dir, 1)
+        .drop("rna")
+        .orderBy("anchor_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm11",
     "pulsar_lunar_spark.queries.llm12",
     "pulsar_lunar_spark.queries.llm13",
+    "pulsar_lunar_spark.queries.llm14",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -287,6 +288,11 @@ def all_queries() -> dict[str, QuerySpec]:
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-9 additions and rewrites (each entry is registered with oracle
     # + tests + plan budget + three-scale parity before the driver sees it)
+    # round-9 additions (llm14: next curation asks from the r8 verdict)
+    "q_max_dup_span",
+    "q_stupid_backoff",
+    "q_bitext_precision",
+    "q_source_attribution",
     # round-9 rewrites
     "q_dp_noisy_topk",  # TakeOrdered head replaces global rank window; CAST(conv) hygiene
     "q_kneser_ney",     # rank window dropped: orderBy().limit() TakeOrdered top-k

@@ -322,6 +322,11 @@ EXCHANGE_BUDGETS = {
     # plan by design (A/B: eager a-checkpoints cost 0.4 s of job floors)
     "q_hits_scores": (8, 5),
     "q_zipf_fit": (2, 0),  # token agg + TakeOrdered 100-row head into 1-row OLS agg
+    # round-9 additions (llm14)
+    "q_max_dup_span": (6, 2),  # shared span exchange + dup agg + doc window + TOAP
+    "q_stupid_backoff": (8, 5),  # spooled type table + 3 bc'd backoff joins + doc agg
+    "q_bitext_precision": (7, 2),  # the bitext matmul + margin re-rank + 3-row sweep
+    "q_source_attribution": (5, 3),  # one token pass x 2 bc scorers + source rollup
 }
 
 
