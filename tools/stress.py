@@ -459,6 +459,59 @@ def probes(spark, sf_dir: str, mult: int):
         )
         return [True]
 
+    def max_dup_span_shape():
+        # maximal-duplicate-span pipeline (q_max_dup_span): copies have
+        # IDENTICAL text under disjoint doc_ids, so every span's doc-set
+        # scales with mult and EVERY position ends up flagged — the
+        # worst case for the flag join and the islands window. The probe
+        # proves the gaps-and-islands form stays linear when the corpus
+        # is wall-to-wall duplication.
+        from pyspark.sql import Window
+
+        from pulsar_lunar_spark.operators.dedup import normalize_text
+
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda w: F.length(w) > 0,
+            ).alias("w"),
+        ).filter(F.size("w") >= 8)
+        spans = (
+            toks.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 7),"
+                        " i -> array_join(slice(w, i, 8), ' '))"
+                    )
+                ).alias("j", "span"),
+            )
+            .select("doc_id", (F.col("j") + 1).alias("pos"), "span")
+            .repartition("span")
+        )
+        dup = (
+            spans.groupBy("span", "doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("span")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("span")
+        )
+        flag = spans.join(dup, "span").select("doc_id", "pos")
+        w_doc = Window.partitionBy("doc_id").orderBy("pos")
+        runs = flag.select(
+            "doc_id",
+            (F.col("pos") - F.row_number().over(w_doc)).alias("grp"),
+        )
+        return (
+            runs.groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("n"))
+            .collect()
+        )
+
     # containment_dfcap LAST: its defensive clearCache() wipes EVERY
     # persisted plan in the session, so any probe measured after it in
     # the same pass would re-time a cold build of whatever it had warmed
@@ -481,6 +534,7 @@ def probes(spark, sf_dir: str, mult: int):
         "triangle_adjacency": triangle_adjacency_shape,
         "stream_session_state": stream_session_state_shape,
         "stream_join_state": stream_join_state_shape,
+        "max_dup_span_runs": max_dup_span_shape,
         "containment_dfcap": containment_shape,
     }
 
