@@ -1,0 +1,431 @@
+"""LLM-pipeline batch 15 (round 9, second wave): calibration and
+partition-agreement statistics —
+
+- split-conformal calibration (``q_conformal_threshold``): the
+  distribution-free coverage guarantee a production classifier gate
+  ships with — calibrate the (1-alpha) nonconformity quantile on one
+  split, verify empirical coverage on the other, for alpha in
+  {10%, 5%, 1%};
+- Adjusted Rand Index (``q_partition_ari``): pair-counting agreement
+  between the corpus's two natural partitions (lang vs source) — the
+  chance-corrected counterpart of q_mutual_info, exact integer pair
+  combinatorics;
+- per-source unigram KL divergence (``q_source_kl``): KL(P_src ||
+  P_corpus) in exact micro-nats — "how far does each source's token
+  distribution sit from the corpus mix", the domain-distinctiveness
+  score DoReMi-style reweighting and source-card reports read.
+
+Determinism discipline (the llm13/llm14 rules): integer ppm/micro
+BIGINT arithmetic, non-negative division numerators, LN over
+exact-integer ratios, IEEE double expressions written in the SAME
+literal order on both engines, total tiebreak orders everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators.dedup import normalize_text
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
+
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration thresholds + empirical coverage
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHAS_PPM = (100_000, 50_000, 10_000)  # 10%, 5%, 1%
+
+
+def _conformal_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm12 import _scorer_sql
+
+    alphas = ", ".join(str(a) for a in _CONF_ALPHAS_PPM)
+    return f"""
+    WITH {_scorer_sql(4096, "m")},
+    cal AS MATERIALIZED (
+        SELECT loss_micro FROM m WHERE doc_id % 2 = 0
+    ), ncal AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+    ), vals AS MATERIALIZED (
+        SELECT loss_micro, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY 1
+    ), cum AS (
+        SELECT loss_micro,
+               CAST(SUM(c) OVER (ORDER BY loss_micro
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM vals
+    ), ks AS (
+        SELECT CAST(a.alpha AS BIGINT) AS alpha_ppm,
+               CAST(((n.n_cal + 1) * (1000000 - a.alpha) + 999999) // 1000000
+                    AS BIGINT) AS k_rank
+        FROM (SELECT UNNEST([{alphas}]) AS alpha) a CROSS JOIN ncal n
+    ), thr AS (
+        SELECT ks.alpha_ppm, ks.k_rank,
+               CAST(MIN(cum.loss_micro) AS BIGINT) AS threshold_micro
+        FROM ks JOIN cum ON cum.cum >= ks.k_rank
+        GROUP BY ks.alpha_ppm, ks.k_rank
+    ), ev AS (
+        SELECT loss_micro FROM m WHERE doc_id % 2 = 1
+    )
+    SELECT t.alpha_ppm, t.k_rank, t.threshold_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN ev.loss_micro <= t.threshold_micro
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST((1000000 * SUM(CASE WHEN ev.loss_micro <= t.threshold_micro
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS coverage_ppm
+    FROM thr t CROSS JOIN ev
+    GROUP BY t.alpha_ppm, t.k_rank, t.threshold_micro
+    ORDER BY alpha_ppm
+    """
+
+
+@register(
+    "q_conformal_threshold",
+    oracle=_conformal_oracle(),
+    tags=("llm", "calibration", "conformal", "eval"),
+)
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration: the classifier's per-document
+    cross-entropy loss (the q_rho_select strong scorer — already proven
+    engine-exact in micro-nats) is the nonconformity score; the
+    calibration split (even doc_ids) yields, for each alpha in
+    {10%, 5%, 1%}, the k = ceil((n+1)(1-alpha))-th smallest loss as the
+    conformal threshold, and the eval split (odd doc_ids) reports
+    empirical coverage — the distribution-free guarantee (coverage >=
+    1-alpha in expectation) a production gate is shipped with.
+
+    Plan: ONE corpus scan scores every document (broadcast 4096-row
+    weight join); the order statistic runs on the VALUE-aggregated loss
+    table (distinct micro-nat losses — quantization-bounded, the
+    PSI/zipf class) via a cumulative window, never a per-document rank;
+    thresholds are a 3-row frame broadcast onto the eval half for the
+    coverage aggregate. At 100 TB: one pass + a value-bounded
+    cumulative window + dimension-sized joins."""
+    from pulsar_lunar_spark.operators import corpus as C
+    from pulsar_lunar_spark.queries.llm12 import _RHO_WEAK_BUCKETS  # noqa: F401
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    weights = spark.range(4096).select(
+        F.col("id").alias("b_st"),
+        (
+            C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-")
+            % 2001
+            - 1000
+        ).alias("st"),
+    )
+    sc = (
+        tok.select(
+            "doc_id",
+            "n_chars",
+            (C.md5_int(F.col("word"), hex_chars=6) % 4096).alias("b_st"),
+        )
+        .join(F.broadcast(weights), "b_st")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.sum("st").cast("long").alias("logit"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    p = 1.0 / (1.0 + F.exp(-(F.col("logit") / F.col("n_tokens")) / 100.0))
+    p_true = F.when(F.col("n_chars") >= 300, p).otherwise(1.0 - p)
+    losses = sc.select(
+        "doc_id",
+        F.floor(-F.log(p_true) * 1000000 + 0.5).cast("long").alias("loss_micro"),
+    )
+    # The loss table feeds the calibration quantile AND the eval
+    # coverage — spool it once (doc-level rows, linear at any scale)
+    # rather than re-running the scoring scan per consumer.
+    slot = versioned_slot(scratch_root("pulsar_lunar_conf", sf_dir), "loss")
+    losses.write.mode("overwrite").parquet(slot)
+    losses = spark.read.parquet(slot)
+    cal = losses.filter(F.col("doc_id") % 2 == 0)
+    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    from pyspark.sql.window import Window
+
+    vals = cal.groupBy("loss_micro").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = vals.select(
+        "loss_micro",
+        F.sum("c")
+        .over(Window.orderBy("loss_micro").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    ks = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(a) for a in _CONF_ALPHAS_PPM])
+            ).alias("alpha_ppm")
+        )
+        .crossJoin(F.broadcast(n_cal))
+        .select(
+            F.col("alpha_ppm").cast("long").alias("alpha_ppm"),
+            F.expr(
+                "((n_cal + 1) * (1000000 - alpha_ppm) + 999999) div 1000000"
+            )
+            .cast("long")
+            .alias("k_rank"),
+        )
+    )
+    thr = (
+        F.broadcast(ks)
+        .join(cum, F.col("cum") >= F.col("k_rank"))
+        .groupBy("alpha_ppm", "k_rank")
+        .agg(F.min("loss_micro").cast("long").alias("threshold_micro"))
+    )
+    ev = losses.filter(F.col("doc_id") % 2 == 1)
+    return (
+        ev.crossJoin(F.broadcast(thr))
+        .groupBy("alpha_ppm", "k_rank", "threshold_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("loss_micro") <= F.col("threshold_micro"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "alpha_ppm",
+            "k_rank",
+            "threshold_micro",
+            "n_eval",
+            "n_covered",
+            F.expr("(1000000L * n_covered) div n_eval")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("alpha_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand Index between the lang and source partitions
+# ---------------------------------------------------------------------------
+
+
+def _ari_oracle() -> str:
+    return """
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), marked AS (
+        SELECT n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS a,
+               CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS b,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY source) AS rl,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) AS rs
+        FROM cells
+    ), sums AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sij,
+               CAST(SUM(CASE WHEN rl = 1 THEN a * (a - 1) // 2 ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN rs = 1 THEN b * (b - 1) // 2 ELSE 0 END)
+                    AS BIGINT) AS sb
+        FROM marked
+    )
+    SELECT n_docs, n_cells, sij, sa, sb,
+           CAST(FLOOR(1000000 * (CAST(sij AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                      / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1) / 2))
+                / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                      / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1) / 2))
+                + 0.5) AS BIGINT) AS ari_ppm
+    FROM sums
+    """
+
+
+@register(
+    "q_partition_ari",
+    oracle=_ari_oracle(),
+    tags=("llm", "clustering", "ari", "eval"),
+)
+def q_partition_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the corpus's two natural partitions
+    (lang vs source): the pair-counting, chance-corrected agreement
+    statistic — the counterpart of q_mutual_info's information-theoretic
+    view, and the standard external eval for any clustering (swap either
+    side for k-means cells or LSH dup-cluster labels at no plan change).
+    ARI ~ 0 means the partitions are independent; 1 means identical.
+
+    Exactness: all four pair sums (within-cell, per-lang, per-source,
+    total) are exact BIGINT combinatorics off ONE (lang, source) cell
+    aggregate — marginals ride keyed windows over the cell table and
+    each marginal's C(a,2) is counted once via a rank-1 guard. The final
+    ARI is IEEE double arithmetic over those exact integers with the
+    expression written in the SAME literal order on both engines, then
+    floored to ppm. Plan: one scan, one cell aggregate (langs x sources
+    bounded), keyed windows, a 1-row reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    marked = cells.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).cast("long").alias("a"),
+        F.sum("n").over(Window.partitionBy("source")).cast("long").alias("b"),
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("source"))
+        .alias("rl"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("lang"))
+        .alias("rs"),
+    )
+    sums = marked.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("sij"),
+        F.sum(F.expr("CASE WHEN rl = 1 THEN a * (a - 1) div 2 ELSE 0 END"))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.expr("CASE WHEN rs = 1 THEN b * (b - 1) div 2 ELSE 0 END"))
+        .cast("long")
+        .alias("sb"),
+    )
+    return sums.select(
+        "n_docs",
+        "n_cells",
+        "sij",
+        "sa",
+        "sb",
+        F.expr(
+            "CAST(FLOOR(1000000 * (CAST(sij AS DOUBLE)"
+            "     - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)"
+            "       / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1) / 2))"
+            " / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2"
+            "     - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)"
+            "       / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1) / 2))"
+            " + 0.5) AS BIGINT)"
+        ).alias("ari_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence vs the corpus distribution
+# ---------------------------------------------------------------------------
+
+
+def _kl_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT source, UNNEST(STRING_SPLIT({_NORM}, ' ')) AS word
+        FROM documents
+    ), cells AS MATERIALIZED (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), marked AS (
+        SELECT source, c,
+               CAST(SUM(c) OVER (PARTITION BY word) AS BIGINT) AS cw,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS ns
+        FROM cells
+    ), contrib AS (
+        SELECT source, ns,
+               GREATEST((1000000 * c) // ns, 1) AS ps_ppm,
+               GREATEST((1000000 * cw) // tot.n, 1) AS pc_ppm
+        FROM marked CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(MIN(ns) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_cells,
+           CAST(SUM(CAST(FLOOR(ps_ppm
+                    * LN(CAST(ps_ppm AS DOUBLE) / CAST(pc_ppm AS DOUBLE))
+                    + 0.5) AS BIGINT)) AS BIGINT) AS kl_micro
+    FROM contrib GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "q_source_kl",
+    oracle=_kl_oracle(),
+    tags=("llm", "mixture", "kl-divergence", "dataset-card"),
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence KL(P_src || P_corpus) in exact
+    micro-nats: how far each source's token distribution sits from the
+    corpus mix — the domain-distinctiveness statistic a DoReMi-style
+    reweighter or a dataset card reports next to the source's size.
+    No smoothing is needed: the sum runs over OBSERVED (source, word)
+    cells only (unobserved words have p_src = 0 and contribute exactly
+    0), so the statistic is the exact KL of the empirical distributions
+    at ppm quantization.
+
+    Exactness: ps/pc are floor-quantized ppm integers (clamped >= 1 so
+    LN never sees 0); each cell's contribution floors ONCE to
+    micro-nats (ps_ppm * ln(ps/pc) — already 1e6-scaled); per-source
+    sums are integer, order-free. Plan: one scan into the (source,
+    word) cell aggregate, SPOOLED once (the corpus total N and the
+    windowed marginals are two consumers — the llm14 q_stupid_backoff
+    lesson); word and source marginals ride KEYED windows over the
+    V x S-bounded cell table; N is a 1-row broadcast scalar frame,
+    never an unpartitioned window."""
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    raw_cells = (
+        d.select(
+            "source",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "word"
+            ),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    slot = versioned_slot(scratch_root("pulsar_lunar_kl", sf_dir), "cells")
+    raw_cells.write.mode("overwrite").parquet(slot)
+    cells = spark.read.parquet(slot)
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    from pyspark.sql.window import Window
+
+    marked = cells.select(
+        "source",
+        "c",
+        F.sum("c").over(Window.partitionBy("word")).cast("long").alias("cw"),
+        F.sum("c").over(Window.partitionBy("source")).cast("long").alias("ns"),
+    )
+    contrib = marked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "ns",
+        F.greatest(F.expr("(1000000L * c) div ns"), F.lit(1).cast("long"))
+        .alias("ps_ppm"),
+        F.greatest(F.expr("(1000000L * cw) div n"), F.lit(1).cast("long"))
+        .alias("pc_ppm"),
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.min("ns").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_cells"),
+            F.sum(
+                F.floor(
+                    F.col("ps_ppm")
+                    * F.log(
+                        F.col("ps_ppm").cast("double")
+                        / F.col("pc_ppm").cast("double")
+                    )
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("kl_micro"),
+        )
+        .orderBy("source")
+    )

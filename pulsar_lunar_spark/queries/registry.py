@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm12",
     "pulsar_lunar_spark.queries.llm13",
     "pulsar_lunar_spark.queries.llm14",
+    "pulsar_lunar_spark.queries.llm15",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -293,6 +294,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_stupid_backoff",
     "q_bitext_precision",
     "q_source_attribution",
+    "q_conformal_threshold",
+    "q_partition_ari",
+    "q_source_kl",
     # round-9 rewrites
     "q_dp_noisy_topk",  # TakeOrdered head replaces global rank window; CAST(conv) hygiene
     "q_kneser_ney",     # rank window dropped: orderBy().limit() TakeOrdered top-k

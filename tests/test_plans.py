@@ -327,6 +327,9 @@ EXCHANGE_BUDGETS = {
     "q_stupid_backoff": (8, 5),  # spooled type table + 3 bc'd backoff joins + doc agg
     "q_bitext_precision": (7, 2),  # the bitext matmul + margin re-rank + 3-row sweep
     "q_source_attribution": (5, 3),  # one token pass x 2 bc scorers + source rollup
+    "q_conformal_threshold": (6, 4),  # scored spool + value-table cum window + 3-row bc
+    "q_partition_ari": (7, 0),  # one cell agg + keyed windows + 1-row reduce
+    "q_source_kl": (5, 2),  # spooled cell table + keyed windows + 1-row N bc
 }
 
 
