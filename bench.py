@@ -111,6 +111,8 @@ HEADLINE = [
     "q_source_attribution",
     "q_conformal_threshold",
     "q_source_kl",
+    "q_watermark_detect",
+    "q_fleiss_kappa",
 ]
 
 

@@ -1,0 +1,280 @@
+"""LLM-pipeline batch 16 (round 9, third wave): provenance and
+annotation-quality statistics —
+
+- LLM-watermark detection (``q_watermark_detect``): the Kirchenbauer et
+  al. green-list test — per document, the z-score of the green-token
+  fraction against the gamma=1/2 null — the screen a pretraining
+  curation pipeline runs to keep synthetic (watermarked) text out of
+  the next model's training set;
+- Fleiss' kappa (``q_fleiss_kappa``): chance-corrected inter-annotator
+  agreement over five deterministic pseudo-raters — the statistic an
+  annotation pipeline reads before trusting majority-vote labels (and
+  the multi-rater generalization of q_filter_agreement's Cohen kappa).
+
+Determinism discipline (the llm13/14/15 rules): md5-derived
+pseudo-randomness against CASE thresholds identical in both engines,
+integer ppm/milli quantization with single-FLOOR boundaries, SQRT/
+division over exact integers written in the SAME literal order on both
+engines, total tiebreak orders on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_lunar_spark.operators.dedup import normalize_text
+from pulsar_lunar_spark.queries.registry import register
+from pulsar_lunar_spark.session import ensure_parallelism, load_table
+
+_NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
+
+
+def _md5_int_sql(expr: str, hex_chars: int = 6, salt: str = "") -> str:
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"CAST(('0x' || SUBSTR(MD5({inner}), 1, {hex_chars})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Green-list watermark detection (Kirchenbauer et al.)
+# ---------------------------------------------------------------------------
+
+_WM_TOPN = 20
+_WM_FLAG_MILLI = 4000  # 4-sigma flag line
+
+
+def _wm_oracle() -> str:
+    green = f"{_md5_int_sql('word', 6, 'g-')} % 2 = 0"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT({_NORM}, ' ')) AS word
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN {green} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_green
+        FROM tok GROUP BY 1
+    ), z AS (
+        SELECT doc_id, n_tokens, n_green,
+               CAST(FLOOR(1000 * (2 * n_green - n_tokens)
+                          / SQRT(CAST(n_tokens AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS z_milli
+        FROM per_doc
+    )
+    SELECT doc_id, n_tokens, n_green, z_milli,
+           z_milli >= {_WM_FLAG_MILLI} AS flagged
+    FROM z
+    ORDER BY z_milli DESC, doc_id LIMIT {_WM_TOPN}
+    """
+
+
+@register(
+    "q_watermark_detect",
+    oracle=_wm_oracle(),
+    tags=("llm", "watermark", "provenance", "synthetic-text"),
+)
+def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (Kirchenbauer et al., "A Watermark
+    for Large Language Models"): with the publisher's hash, a watermarked
+    generator over-samples "green" tokens, so a document's green
+    fraction departs from the gamma=1/2 null; the detector is the
+    one-proportion z-score z = (2g - n) / sqrt(n), flagged at 4 sigma.
+    A pretraining curation pipeline runs this screen to keep synthetic
+    text out of the next model's training mix (training on your own
+    model's output is the degenerate feedback loop everyone filters
+    for). Here the green list is the md5 parity of the token — the same
+    deterministic-stand-in discipline as q_dp_noisy_topk's noise (a
+    production run plugs in the publisher's keyed hash).
+
+    Exactness: n and g are exact BIGINT; z floors ONCE to milli-units
+    from (2g-n)/sqrt(n) — SQRT of an exact integer and one division,
+    written in the same literal order on both engines (the numerator
+    can be negative; FLOOR of the identical IEEE double agrees
+    regardless of sign). Plan: one scan, the green test is a per-token
+    md5 parity inside the explode projection, one doc aggregate, a
+    TakeOrdered top-20. At 100 TB: single pass, shuffle O(docs)."""
+    from pulsar_lunar_spark.operators import corpus as C
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(C.md5_int(F.col("word"), hex_chars=6, salt="g-") % 2 == 0, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_green"),
+    )
+    z = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_green",
+        F.expr(
+            "CAST(FLOOR(1000 * (2 * n_green - n_tokens)"
+            " / SQRT(CAST(n_tokens AS DOUBLE)) + 0.5) AS BIGINT)"
+        ).alias("z_milli"),
+    )
+    return (
+        z.select(
+            "doc_id",
+            "n_tokens",
+            "n_green",
+            "z_milli",
+            (F.col("z_milli") >= _WM_FLAG_MILLI).alias("flagged"),
+        )
+        .orderBy(F.desc("z_milli"), "doc_id")
+        .limit(_WM_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa over deterministic pseudo-raters
+# ---------------------------------------------------------------------------
+
+_FK_RATERS = 5
+_FK_CATS = 3
+_FK_NOISE_PCT = 20  # each rater flips to a hash category 20% of the time
+
+
+def _fk_rater_case(rater: int) -> str:
+    """One pseudo-rater's category for a doc: the doc's true bucket
+    (n_chars-derived, 3 classes) 80% of the time, an md5 category
+    otherwise — raters share the signal but not the noise."""
+    u = _md5_int_sql("CAST(doc_id AS VARCHAR)", 6, f"fkr{rater}-")
+    noise_cat = f"{_md5_int_sql('CAST(doc_id AS VARCHAR)', 6, f'fkc{rater}-')} % {_FK_CATS}"
+    true_cat = f"LEAST(n_chars // 300, {_FK_CATS - 1})"
+    return (
+        f"CASE WHEN {u} % 100 < {_FK_NOISE_PCT} THEN {noise_cat}"
+        f" ELSE {true_cat} END"
+    )
+
+
+def _fk_oracle() -> str:
+    rater_rows = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({_fk_rater_case(r)} AS BIGINT) AS cat"
+        " FROM documents"
+        for r in range(_FK_RATERS)
+    )
+    n, k = _FK_RATERS, _FK_CATS
+    return f"""
+    WITH votes AS MATERIALIZED (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS v
+        FROM ({rater_rows}) GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS ss
+        FROM votes GROUP BY 1
+    ), cat_tot AS (
+        SELECT cat, CAST(SUM(v) AS BIGINT) AS cv FROM votes GROUP BY 1
+    ), sums AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc) AS n_items,
+               (SELECT CAST(SUM(ss) AS BIGINT) FROM per_doc) AS sum_ss,
+               (SELECT CAST(SUM(cv * cv) AS BIGINT) FROM cat_tot) AS sum_cv2
+    )
+    SELECT n_items, sum_ss, sum_cv2,
+           CAST(FLOOR(1000000 *
+                ((CAST(sum_ss AS DOUBLE) - CAST(n_items AS DOUBLE) * {n})
+                   / (CAST(n_items AS DOUBLE) * {n} * {n - 1})
+                 - CAST(sum_cv2 AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+                      * {n} * {n}))
+                / (1 - CAST(sum_cv2 AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+                      * {n} * {n}))
+                + 0.5) AS BIGINT) AS kappa_ppm
+    FROM sums
+    """
+
+
+@register(
+    "q_fleiss_kappa",
+    oracle=_fk_oracle(),
+    tags=("llm", "annotation", "agreement", "fleiss-kappa", "eval"),
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over five deterministic pseudo-raters and 3
+    categories: chance-corrected multi-rater agreement — the statistic
+    an annotation pipeline reads before trusting majority-vote labels,
+    and the multi-rater generalization of q_filter_agreement's Cohen
+    kappa. Raters share the document's true (length-derived) category
+    80% of the time and an independent md5 category otherwise, so kappa
+    lands well inside (0, 1) and moves if any rater's marginal drifts.
+
+    Exactness: vote counts, per-item sum-of-squares, and category
+    totals are exact BIGINT; kappa = (P_bar - P_e) / (1 - P_e) is IEEE
+    double arithmetic over those exact integers in the SAME literal
+    order on both engines, floored once to ppm. Plan: the rater sweep
+    is a 5-literal explode riding the scan (never a UNION of
+    per-rater scans on the Spark side), one (doc, cat) vote aggregate,
+    one per-doc aggregate + one category rollup off the vote table, and
+    a 1-row combine. The vote table spools once (two consumers with
+    divergent grouping — the llm14 lesson). At 100 TB: one pass,
+    shuffle O(docs x categories)."""
+    from pulsar_lunar_spark.operators import corpus as C
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rater = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(_FK_RATERS)])
+        ).alias("r"),
+    )
+    # per-rater salts must match the oracle's literal CASE chain: build
+    # the category expression as a CASE over the exploded rater id.
+    noise_branch = " ".join(
+        f"WHEN r = {r} THEN (CASE WHEN"
+        f" CAST(conv(substring(md5(concat('fkr{r}-', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 < {_FK_NOISE_PCT}"
+        f" THEN CAST(conv(substring(md5(concat('fkc{r}-', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % {_FK_CATS}"
+        f" ELSE LEAST(n_chars div 300, {_FK_CATS - 1}) END)"
+        for r in range(_FK_RATERS)
+    )
+    votes_raw = (
+        rater.select(
+            "doc_id",
+            F.expr(f"CAST(CASE {noise_branch} END AS BIGINT)").alias("cat"),
+        )
+        .groupBy("doc_id", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    slot = versioned_slot(scratch_root("pulsar_lunar_fk", sf_dir), "votes")
+    votes_raw.write.mode("overwrite").parquet(slot)
+    votes = spark.read.parquet(slot)
+    per_doc = votes.groupBy("doc_id").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss")
+    )
+    item_sums = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("ss").cast("long").alias("sum_ss"),
+    )
+    cat_sums = (
+        votes.groupBy("cat")
+        .agg(F.sum("v").cast("long").alias("cv"))
+        .agg(F.sum(F.col("cv") * F.col("cv")).cast("long").alias("sum_cv2"))
+    )
+    n, k = _FK_RATERS, _FK_CATS
+    return (
+        item_sums.crossJoin(F.broadcast(cat_sums))
+        .select(
+            "n_items",
+            "sum_ss",
+            "sum_cv2",
+            F.expr(
+                f"CAST(FLOOR(1000000 *"
+                f" ((CAST(sum_ss AS DOUBLE) - CAST(n_items AS DOUBLE) * {n})"
+                f"    / (CAST(n_items AS DOUBLE) * {n} * {n - 1})"
+                f"  - CAST(sum_cv2 AS DOUBLE)"
+                f"    / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)"
+                f"       * {n} * {n}))"
+                f" / (1 - CAST(sum_cv2 AS DOUBLE)"
+                f"    / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)"
+                f"       * {n} * {n}))"
+                f" + 0.5) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm13",
     "pulsar_lunar_spark.queries.llm14",
     "pulsar_lunar_spark.queries.llm15",
+    "pulsar_lunar_spark.queries.llm16",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -297,6 +298,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_conformal_threshold",
     "q_partition_ari",
     "q_source_kl",
+    "q_watermark_detect",
+    "q_fleiss_kappa",
     # round-9 rewrites
     "q_dp_noisy_topk",  # TakeOrdered head replaces global rank window; CAST(conv) hygiene
     "q_kneser_ney",     # rank window dropped: orderBy().limit() TakeOrdered top-k

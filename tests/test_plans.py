@@ -330,6 +330,8 @@ EXCHANGE_BUDGETS = {
     "q_conformal_threshold": (6, 4),  # scored spool + value-table cum window + 3-row bc
     "q_partition_ari": (7, 0),  # one cell agg + keyed windows + 1-row reduce
     "q_source_kl": (5, 2),  # spooled cell table + keyed windows + 1-row N bc
+    "q_watermark_detect": (3, 0),  # one scan + doc agg + TakeOrdered top-20
+    "q_fleiss_kappa": (5, 2),  # spooled vote table + 2 rollups + 1-row combine
 }
 
 
