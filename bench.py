@@ -113,6 +113,7 @@ HEADLINE = [
     "q_source_kl",
     "q_watermark_detect",
     "q_fleiss_kappa",
+    "q_ivf_nprobe_sweep",
 ]
 
 

@@ -278,3 +278,189 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning sweep: recall@10 vs cells probed
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBES = (1, 2, 4)
+_IVF_TOPK = 10
+
+_COS = """
+ROUND(LIST_INNER_PRODUCT({a}, {b})
+      / (SQRT(LIST_INNER_PRODUCT({a}, {a}))
+         * SQRT(LIST_INNER_PRODUCT({b}, {b}))), 6)
+"""
+
+
+def _ivf_sweep_oracle() -> str:
+    nps = ", ".join(str(n) for n in _IVF_NPROBES)
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), dims AS (SELECT i FROM generate_series(1, 64) AS t(i)),
+    centroids AS (
+        SELECT label, LIST(avg_e ORDER BY i) AS cv
+        FROM (SELECT label, i, AVG(v[i]) AS avg_e
+              FROM e CROSS JOIN dims GROUP BY label, i)
+        GROUP BY label
+    ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    ranked_cells AS MATERIALIZED (
+        SELECT label,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_COS.format(a="cv", b="qv")} DESC, label
+               ) AS rn
+        FROM centroids CROSS JOIN q
+    ), exact_top AS MATERIALIZED (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_COS.format(a="e.v", b="q.qv")} AS s
+            FROM e CROSS JOIN q
+        ) ORDER BY s DESC, vec_id LIMIT {_IVF_TOPK}
+    ), cells AS (
+        SELECT kk.np, rc.label
+        FROM (SELECT UNNEST([{nps}]) AS np) kk
+        JOIN ranked_cells rc ON rc.rn <= kk.np
+    ), scanned AS MATERIALIZED (
+        SELECT c.np, e.vec_id, {_COS.format(a="e.v", b="q.qv")} AS s
+        FROM cells c JOIN e USING (label) CROSS JOIN q
+    ), approx AS (
+        SELECT np, vec_id FROM (
+            SELECT np, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY np
+                                      ORDER BY s DESC, vec_id) AS rn2
+            FROM scanned
+        ) WHERE rn2 <= {_IVF_TOPK}
+    )
+    SELECT s.np AS nprobe,
+           CAST(COUNT(DISTINCT s.vec_id) AS BIGINT) AS n_scanned,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL
+                          AND x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap10,
+           CAST((1000000 * SUM(CASE WHEN a.vec_id IS NOT NULL
+                                     AND x.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END)) // {_IVF_TOPK}
+                AS BIGINT) AS recall_ppm
+    FROM scanned s
+    LEFT JOIN approx a ON a.np = s.np AND a.vec_id = s.vec_id
+    LEFT JOIN exact_top x ON x.vec_id = s.vec_id
+    GROUP BY s.np ORDER BY nprobe
+    """
+
+
+@register(
+    "q_ivf_nprobe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "tuning"),
+)
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning sweep: recall@10 of the probed-cells approximate
+    top-k against the exact full-scan top-k, for nprobe in (1, 2, 4) —
+    the recall-vs-cost curve an ANN deployment reads before pinning its
+    nprobe (q_lsh_band_tuning's counterpart on the IVF side; q_ivf_topk
+    is the nprobe=1 point made queryable). Monotone by construction:
+    more cells probed => recall non-decreasing.
+
+    Determinism: the q_retrieval_metrics discipline — rankings order by
+    ROUND(cosine, 6) with vec_id tiebreaks on BOTH engines, and every
+    reported number is a rank-derived integer (cell counts, overlap,
+    recall ppm), never a float. Plan: centroids are one per-label
+    aggregate (10 rows); the cell ranking is a window over the 10-row
+    centroid frame; the nprobe sweep is a 3-literal join; scanned
+    vectors score ONCE per probe level against the broadcast query row
+    behind a single np-clustered exchange shared by both consumers (the
+    per-np count and the per-np top-k WindowGroupLimit); the recall
+    join runs on the two 10-row top-k frames, never back onto the
+    scanned stream; exact top-10 is one TakeOrdered full scan. At
+    100 TB: the full scan belongs to the EVAL (computing true recall
+    requires it — run on a sample in production); the probed path scans
+    ~nprobe/n_cells of the corpus, which is the point of the sweep."""
+    from pulsar_lunar_spark.operators import similarity as S
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dim = 64
+    centroids = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    )
+    ranked_cells = (
+        centroids.join(q)
+        .select(
+            "label",
+            F.round(S.cosine(F.col("cv"), F.col("qv")), 6).alias("c"),
+        )
+        .select(
+            "label",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("label")))
+            .alias("rn"),
+        )
+    )
+    exact_top = (
+        e.join(q)
+        .select(
+            "vec_id", F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(_IVF_TOPK)
+        .select("vec_id")
+    )
+    nps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in _IVF_NPROBES])).alias("np")
+    )
+    cells = F.broadcast(nps).join(
+        F.broadcast(ranked_cells), F.col("rn") <= F.col("np")
+    ).select("np", "label")
+    # One np-clustered exchange serves BOTH consumers (the per-np count
+    # and the per-np top-k window) — the scoring pipeline executes once.
+    scanned = (
+        e.join(F.broadcast(cells), "label")
+        .join(q)
+        .select(
+            "np",
+            "vec_id",
+            F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("s"),
+        )
+        .repartition("np")
+    )
+    n_scanned_df = scanned.groupBy("np").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scanned")
+    )
+    w_np = Window.partitionBy("np").orderBy(F.desc("s"), F.asc("vec_id"))
+    approx = (
+        scanned.select("np", "vec_id", F.row_number().over(w_np).alias("rn2"))
+        .filter(F.col("rn2") <= _IVF_TOPK)
+        .select(F.col("np").alias("a_np"), F.col("vec_id").alias("a_vec"))
+    )
+    overlap_df = (
+        approx.join(
+            F.broadcast(exact_top.select(F.col("vec_id").alias("x_vec"))),
+            F.col("a_vec") == F.col("x_vec"),
+        )
+        .groupBy("a_np")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap10"))
+    )
+    return (
+        n_scanned_df.join(
+            F.broadcast(overlap_df), F.col("np") == F.col("a_np"), "left"
+        )
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            "n_scanned",
+            F.coalesce("overlap10", F.lit(0)).cast("long").alias("overlap10"),
+            F.expr(
+                f"(1000000L * coalesce(overlap10, 0L)) div {_IVF_TOPK}"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )

@@ -300,6 +300,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_source_kl",
     "q_watermark_detect",
     "q_fleiss_kappa",
+    "q_ivf_nprobe_sweep",
     # round-9 rewrites
     "q_dp_noisy_topk",  # TakeOrdered head replaces global rank window; CAST(conv) hygiene
     "q_kneser_ney",     # rank window dropped: orderBy().limit() TakeOrdered top-k

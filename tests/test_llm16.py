@@ -74,3 +74,40 @@ def test_fleiss_kappa_matches_brute_force(spark, sf_dir):
     assert r.kappa_ppm == want
     # the 80%-shared-signal construction must land well inside (0, 1)
     assert 100_000 < r.kappa_ppm < 1_000_000
+
+
+def test_ivf_nprobe_sweep_monotone_and_exact_at_full_probe(spark, sf_dir):
+    from pulsar_lunar_spark.queries.llm16 import _IVF_NPROBES, _IVF_TOPK
+
+    rows = all_queries()["q_ivf_nprobe_sweep"].fn(spark, sf_dir).collect()
+    assert [r.nprobe for r in rows] == sorted(_IVF_NPROBES)
+    # more cells probed => scanned and recall monotone non-decreasing
+    scanned = [r.n_scanned for r in rows]
+    overlaps = [r.overlap10 for r in rows]
+    assert scanned == sorted(scanned)
+    assert overlaps == sorted(overlaps)
+    for r in rows:
+        assert 0 <= r.overlap10 <= _IVF_TOPK
+        assert r.recall_ppm == (1_000_000 * r.overlap10) // _IVF_TOPK
+    # nprobe=1 must match q_ivf_topk's cell: its top-10 overlap vs exact
+    # equals the overlap of q_ivf_topk's result with the exact top-10
+    import pandas as pd  # noqa: F401
+
+    ivf1 = {
+        r.vec_id
+        for r in all_queries()["q_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    # exact top-10 via brute force on the parquet
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+
+    v = np.stack(emb.embedding.to_numpy()).astype("float64")
+    qv = v[emb.vec_id.to_numpy() == 0][0]
+    cos = (v @ qv) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+    order = sorted(
+        zip(np.round(cos, 6), -emb.vec_id.to_numpy()),
+        key=lambda t: (t[0], t[1]),
+        reverse=True,
+    )[:_IVF_TOPK]
+    exact = {-int(neg_id) for _, neg_id in order}
+    assert rows[0].overlap10 == len(ivf1 & exact)

@@ -332,6 +332,7 @@ EXCHANGE_BUDGETS = {
     "q_source_kl": (5, 2),  # spooled cell table + keyed windows + 1-row N bc
     "q_watermark_detect": (3, 0),  # one scan + doc agg + TakeOrdered top-20
     "q_fleiss_kappa": (5, 2),  # spooled vote table + 2 rollups + 1-row combine
+    "q_ivf_nprobe_sweep": (8, 12),  # centroid agg + shared np exchange + bc topk joins
 }
 
 
