@@ -512,6 +512,78 @@ def probes(spark, sf_dir: str, mult: int):
             .collect()
         )
 
+    def backoff_score_shape():
+        # stupid-backoff eval scoring (q_stupid_backoff): copies share
+        # identical text, so the trigram TYPE table (and the spool) stays
+        # CONSTANT while the eval stream multiplies — the probe proves
+        # the three keyed backoff joins scale with the stream, not the
+        # model. Train on the unmultiplied table (the model is fixed);
+        # multiply only the eval half.
+        from pyspark.sql import Window
+
+        from pulsar_lunar_spark.operators.dedup import normalize_text
+
+        base = load_table(spark, sf_dir, "documents")
+        words = F.split(normalize_text(F.col("text")), " ")
+
+        def trigrams(df, with_doc):
+            staged = df.select("doc_id", words.alias("__w")).filter(
+                F.size("__w") >= 3
+            )
+            cols = ["doc_id"] if with_doc else []
+            return staged.select(
+                *cols,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__w) - 2),"
+                        " i -> concat(element_at(__w, i), ' ',"
+                        " element_at(__w, i + 1), ' ',"
+                        " element_at(__w, i + 2)))"
+                    )
+                ).alias("t"),
+            )
+
+        cnt = (
+            trigrams(base.filter(F.col("doc_id") % 2 == 0), False)
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        )
+        tri = cnt.select(
+            "t",
+            F.expr(
+                "concat(split_part(t, ' ', 1), ' ', split_part(t, ' ', 2))"
+            ).alias("b12"),
+            "c123",
+        ).select(
+            "t",
+            "c123",
+            F.sum("c123")
+            .over(Window.partitionBy("b12"))
+            .cast("long")
+            .alias("c12"),
+        )
+        ev = trigrams(
+            multiply(base, ["doc_id"], mult).filter(F.col("doc_id") % 2 == 1),
+            True,
+        )
+        s = ev.join(tri, "t", "left").select(
+            "doc_id",
+            F.coalesce(
+                F.greatest(
+                    F.expr("(1000000L * c123) div c12"),
+                    F.lit(1).cast("long"),
+                ),
+                F.lit(1).cast("long"),
+            ).alias("s_ppm"),
+        )
+        return (
+            s.groupBy("doc_id")
+            .agg(F.expr("sum(s_ppm) div count(1)").alias("m"))
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("m"))
+            .collect()
+        )
+
     # containment_dfcap LAST: its defensive clearCache() wipes EVERY
     # persisted plan in the session, so any probe measured after it in
     # the same pass would re-time a cold build of whatever it had warmed
@@ -535,6 +607,7 @@ def probes(spark, sf_dir: str, mult: int):
         "stream_session_state": stream_session_state_shape,
         "stream_join_state": stream_join_state_shape,
         "max_dup_span_runs": max_dup_span_shape,
+        "backoff_score_stream": backoff_score_shape,
         "containment_dfcap": containment_shape,
     }
 
