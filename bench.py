@@ -104,12 +104,13 @@ HEADLINE = [
     "q_skyline",
     "q_label_propagation",
     "q_hits_scores",
-    # round-9 additions (llm14/llm15)
+    # round-9 additions (llm14/llm15/llm16)
     "q_max_dup_span",
     "q_stupid_backoff",
     "q_bitext_precision",
     "q_source_attribution",
     "q_conformal_threshold",
+    "q_partition_ari",
     "q_source_kl",
     "q_watermark_detect",
     "q_fleiss_kappa",

@@ -23,7 +23,7 @@ sees 0 on either engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_lunar_spark.operators import corpus as C
@@ -151,6 +151,68 @@ def _scorer_sql(buckets: int, alias: str) -> str:
     )"""
 
 
+def scored_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    extra_cols: tuple[str, ...] = (),
+    weak: bool = False,
+) -> DataFrame:
+    """Per-document hashed bag-of-words classifier logits — the Spark
+    twin of the shared ``_scorer_sql`` oracle builder, factored once so
+    q_rho_select / q_source_attribution / q_conformal_threshold cannot
+    drift apart (round-9 code review; the _bitext_margin_frame
+    precedent). ONE token explode; the strong (4096-bucket) weight
+    table always broadcast-joins, the weak (64-bucket) one only when
+    ``weak=True`` — both bucket ids derive from one md5 per word.
+    Returns (doc_id, *extra_cols, n_chars, [logit_weak,] logit_strong,
+    n_tokens)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        *extra_cols,
+        "n_chars",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+
+    def weight_table(buckets: int, w_name: str) -> DataFrame:
+        return spark.range(buckets).select(
+            F.col("id").alias(f"b_{w_name}"),
+            (
+                C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-")
+                % 2001
+                - 1000
+            ).alias(w_name),
+        )
+
+    h = C.md5_int(F.col("word"), hex_chars=6)
+    bucket_cols = [(h % 4096).alias("b_st")]
+    if weak:
+        bucket_cols.insert(0, (h % _RHO_WEAK_BUCKETS).alias("b_wk"))
+    staged = tok.select("doc_id", *extra_cols, "n_chars", *bucket_cols)
+    if weak:
+        staged = staged.join(
+            F.broadcast(weight_table(_RHO_WEAK_BUCKETS, "wk")), "b_wk"
+        )
+    staged = staged.join(F.broadcast(weight_table(4096, "st")), "b_st")
+    aggs = []
+    if weak:
+        aggs.append(F.sum("wk").cast("long").alias("logit_weak"))
+    aggs.append(F.sum("st").cast("long").alias("logit_strong"))
+    aggs.append(F.count(F.lit(1)).alias("n_tokens"))
+    return staged.groupBy("doc_id", *extra_cols, "n_chars").agg(*aggs)
+
+
+def ce_loss_micro(logit_col: str) -> Column:
+    """Cross-entropy loss of the hashed classifier against the
+    n_chars>=300 proxy label in exact micro-nats — FLOOR(-LN(p)*1e6+0.5),
+    the q_unigram_surprisal precedent. Requires ``n_chars`` and
+    ``n_tokens`` columns in scope (scored_docs provides them)."""
+    p = 1.0 / (1.0 + F.exp(-(F.col(logit_col) / F.col("n_tokens")) / 100.0))
+    p_true = F.when(F.col("n_chars") >= 300, p).otherwise(1.0 - p)
+    return F.floor(-F.log(p_true) * 1000000 + 0.5).cast("long")
+
+
 @register(
     "q_rho_select",
     oracle=f"""
@@ -187,58 +249,18 @@ def q_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins of 64 and 4096 rows over the same pass — bucket ids are
     computed per scorer from the same md5), two doc aggregates, one
     doc_id join, TakeOrdered top-20. At 100 TB everything is one corpus
-    pass plus dimension-sized broadcasts."""
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id",
-        "n_chars",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
-    )
-
-    def weight_table(buckets: int, w_name: str) -> DataFrame:
-        return spark.range(buckets).select(
-            F.col("id").alias(f"b_{w_name}"),
-            (
-                C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-")
-                % 2001
-                - 1000
-            ).alias(w_name),
-        )
-
-    # ONE pass scores BOTH models: the word hash is computed once, both
-    # bucket ids derive from it, both weight dimensions broadcast-join
-    # onto the same token stream, and a single doc aggregate carries both
-    # logit sums (a first two-branch form re-executed the explode+join
-    # subtree per scorer: 1.6 s -> this form at sf0.1).
-    h = C.md5_int(F.col("word"), hex_chars=6)
-    sc = (
-        tok.select(
-            "doc_id",
-            "n_chars",
-            (h % _RHO_WEAK_BUCKETS).alias("b_wk"),
-            (h % 4096).alias("b_st"),
-        )
-        .join(F.broadcast(weight_table(_RHO_WEAK_BUCKETS, "wk")), "b_wk")
-        .join(F.broadcast(weight_table(4096, "st")), "b_st")
-        .groupBy("doc_id", "n_chars")
-        .agg(
-            F.sum("wk").cast("long").alias("logit_weak"),
-            F.sum("st").cast("long").alias("logit_strong"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-    )
-
-    def loss(logit_col: str):
-        p = 1.0 / (1.0 + F.exp(-(F.col(logit_col) / F.col("n_tokens")) / 100.0))
-        p_true = F.when(F.col("n_chars") >= 300, p).otherwise(1.0 - p)
-        return F.floor(-F.log(p_true) * 1000000 + 0.5).cast("long")
-
+    pass plus dimension-sized broadcasts. The scorer body is the shared
+    scored_docs/ce_loss_micro pair (round-9 factoring — the same
+    pipeline also powers q_source_attribution and
+    q_conformal_threshold, mirroring the shared _scorer_sql on the
+    oracle side)."""
+    sc = scored_docs(spark, sf_dir, weak=True)
     return (
         sc.select(
             "doc_id",
             F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pos"),
-            loss("logit_weak").alias("loss_weak_micro"),
-            loss("logit_strong").alias("loss_strong_micro"),
+            ce_loss_micro("logit_weak").alias("loss_weak_micro"),
+            ce_loss_micro("logit_strong").alias("loss_strong_micro"),
         )
         .withColumn(
             "excess_micro", F.col("loss_weak_micro") - F.col("loss_strong_micro")

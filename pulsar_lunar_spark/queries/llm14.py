@@ -613,56 +613,18 @@ def q_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the q_rho_select one-pass shape with source carried through
     the token explode — ONE corpus scan feeds both scorers via two
     broadcast weight joins (64 + 4096 rows), one (doc, source)
-    aggregate, one source rollup. At 100 TB: one pass + dimension
+    aggregate, one source rollup; the scorer body IS q_rho_select's
+    (the shared scored_docs/ce_loss_micro pair, mirroring the shared
+    _scorer_sql oracle builder). At 100 TB: one pass + dimension
     broadcasts + a sources-bounded output."""
-    from pulsar_lunar_spark.operators import corpus as C
-    from pulsar_lunar_spark.queries.llm12 import _RHO_WEAK_BUCKETS
+    from pulsar_lunar_spark.queries.llm12 import ce_loss_micro, scored_docs
 
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
-    )
-
-    def weight_table(buckets: int, w_name: str) -> DataFrame:
-        return spark.range(buckets).select(
-            F.col("id").alias(f"b_{w_name}"),
-            (
-                C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-")
-                % 2001
-                - 1000
-            ).alias(w_name),
-        )
-
-    h = C.md5_int(F.col("word"), hex_chars=6)
-    sc = (
-        tok.select(
-            "doc_id",
-            "source",
-            "n_chars",
-            (h % _RHO_WEAK_BUCKETS).alias("b_wk"),
-            (h % 4096).alias("b_st"),
-        )
-        .join(F.broadcast(weight_table(_RHO_WEAK_BUCKETS, "wk")), "b_wk")
-        .join(F.broadcast(weight_table(4096, "st")), "b_st")
-        .groupBy("doc_id", "source", "n_chars")
-        .agg(
-            F.sum("wk").cast("long").alias("logit_weak"),
-            F.sum("st").cast("long").alias("logit_strong"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-    )
-
-    def loss(logit_col: str):
-        p = 1.0 / (1.0 + F.exp(-(F.col(logit_col) / F.col("n_tokens")) / 100.0))
-        p_true = F.when(F.col("n_chars") >= 300, p).otherwise(1.0 - p)
-        return F.floor(-F.log(p_true) * 1000000 + 0.5).cast("long")
-
+    sc = scored_docs(spark, sf_dir, extra_cols=("source",), weak=True)
     ex = sc.select(
         "source",
-        (loss("logit_weak") - loss("logit_strong")).alias("excess_micro"),
+        (
+            ce_loss_micro("logit_weak") - ce_loss_micro("logit_strong")
+        ).alias("excess_micro"),
     )
     agg = ex.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -63,9 +63,14 @@ def _conformal_oracle() -> str:
                     AS BIGINT) AS k_rank
         FROM (SELECT UNNEST([{alphas}]) AS alpha) a CROSS JOIN ncal n
     ), thr AS (
+        -- LEFT join + int64-max sentinel: when k_rank exceeds n_cal
+        -- (tiny calibration splits at strict alphas) the conformal
+        -- convention is threshold = +infinity (cover everything), not a
+        -- silently dropped alpha row
         SELECT ks.alpha_ppm, ks.k_rank,
-               CAST(MIN(cum.loss_micro) AS BIGINT) AS threshold_micro
-        FROM ks JOIN cum ON cum.cum >= ks.k_rank
+               CAST(COALESCE(MIN(cum.loss_micro), 9223372036854775807)
+                    AS BIGINT) AS threshold_micro
+        FROM ks LEFT JOIN cum ON cum.cum >= ks.k_rank
         GROUP BY ks.alpha_ppm, ks.k_rank
     ), ev AS (
         SELECT loss_micro FROM m WHERE doc_id % 2 = 1
@@ -104,43 +109,15 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     PSI/zipf class) via a cumulative window, never a per-document rank;
     thresholds are a 3-row frame broadcast onto the eval half for the
     coverage aggregate. At 100 TB: one pass + a value-bounded
-    cumulative window + dimension-sized joins."""
-    from pulsar_lunar_spark.operators import corpus as C
-    from pulsar_lunar_spark.queries.llm12 import _RHO_WEAK_BUCKETS  # noqa: F401
+    cumulative window + dimension-sized joins. The scorer body is
+    q_rho_select's strong half (the shared scored_docs/ce_loss_micro
+    pair, mirroring the shared _scorer_sql oracle builder)."""
+    from pulsar_lunar_spark.queries.llm12 import ce_loss_micro, scored_docs
     from pulsar_lunar_spark.session import scratch_root, versioned_slot
 
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id",
-        "n_chars",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
-    )
-    weights = spark.range(4096).select(
-        F.col("id").alias("b_st"),
-        (
-            C.md5_int(F.col("id").cast("string"), hex_chars=6, salt="w-")
-            % 2001
-            - 1000
-        ).alias("st"),
-    )
-    sc = (
-        tok.select(
-            "doc_id",
-            "n_chars",
-            (C.md5_int(F.col("word"), hex_chars=6) % 4096).alias("b_st"),
-        )
-        .join(F.broadcast(weights), "b_st")
-        .groupBy("doc_id", "n_chars")
-        .agg(
-            F.sum("st").cast("long").alias("logit"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-    )
-    p = 1.0 / (1.0 + F.exp(-(F.col("logit") / F.col("n_tokens")) / 100.0))
-    p_true = F.when(F.col("n_chars") >= 300, p).otherwise(1.0 - p)
+    sc = scored_docs(spark, sf_dir)
     losses = sc.select(
-        "doc_id",
-        F.floor(-F.log(p_true) * 1000000 + 0.5).cast("long").alias("loss_micro"),
+        "doc_id", ce_loss_micro("logit_strong").alias("loss_micro")
     )
     # The loss table feeds the calibration quantile AND the eval
     # coverage — spool it once (doc-level rows, linear at any scale)
@@ -177,11 +154,19 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k_rank"),
         )
     )
+    # LEFT join + int64-max sentinel: when k_rank > n_cal the conformal
+    # convention is threshold = +infinity (cover everything), never a
+    # silently dropped alpha row (round-9 code review).
     thr = (
-        F.broadcast(ks)
-        .join(cum, F.col("cum") >= F.col("k_rank"))
+        ks.join(cum, F.col("cum") >= F.col("k_rank"), "left")
         .groupBy("alpha_ppm", "k_rank")
-        .agg(F.min("loss_micro").cast("long").alias("threshold_micro"))
+        .agg(
+            F.coalesce(
+                F.min("loss_micro"), F.lit(9223372036854775807)
+            )
+            .cast("long")
+            .alias("threshold_micro")
+        )
     )
     ev = losses.filter(F.col("doc_id") % 2 == 1)
     return (

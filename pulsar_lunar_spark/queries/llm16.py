@@ -29,10 +29,9 @@ from pulsar_lunar_spark.session import ensure_parallelism, load_table
 
 _NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
 
-
-def _md5_int_sql(expr: str, hex_chars: int = 6, salt: str = "") -> str:
-    inner = f"'{salt}' || {expr}" if salt else expr
-    return f"CAST(('0x' || SUBSTR(MD5({inner}), 1, {hex_chars})) AS BIGINT)"
+# Shared portable-hash twin (one definition repo-wide so a portability
+# fix lands everywhere at once).
+from pulsar_lunar_spark.queries.llm5 import _md5_int_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -308,9 +307,14 @@ def _ivf_sweep_oracle() -> str:
         GROUP BY label
     ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     ranked_cells AS MATERIALIZED (
+        -- RAW-cosine routing, the exact expression q_ivf_topk's
+        -- best_cell orders by: the sweep's nprobe=1 must be that query
         SELECT label,
                ROW_NUMBER() OVER (
-                   ORDER BY {_COS.format(a="cv", b="qv")} DESC, label
+                   ORDER BY LIST_INNER_PRODUCT(cv, qv)
+                            / (SQRT(LIST_INNER_PRODUCT(cv, cv))
+                               * SQRT(LIST_INNER_PRODUCT(qv, qv))) DESC,
+                            label
                ) AS rn
         FROM centroids CROSS JOIN q
     ), exact_top AS MATERIALIZED (
@@ -362,10 +366,12 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the nprobe=1 point made queryable). Monotone by construction:
     more cells probed => recall non-decreasing.
 
-    Determinism: the q_retrieval_metrics discipline — rankings order by
-    ROUND(cosine, 6) with vec_id tiebreaks on BOTH engines, and every
-    reported number is a rank-derived integer (cell counts, overlap,
-    recall ppm), never a float. Plan: centroids are one per-label
+    Determinism: the q_retrieval_metrics discipline — vector rankings
+    order by ROUND(cosine, 6) with vec_id tiebreaks on BOTH engines,
+    cell ROUTING uses the raw-cosine expression q_ivf_topk routes by
+    (so nprobe=1 is exactly that query), and every reported number is a
+    rank-derived integer (cell counts, overlap, recall ppm), never a
+    float. Plan: centroids are one per-label
     aggregate (10 rows); the cell ranking is a window over the 10-row
     centroid frame; the nprobe sweep is a 3-literal join; scanned
     vectors score ONCE per probe level against the broadcast query row
@@ -377,26 +383,15 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires it — run on a sample in production); the probed path scans
     ~nprobe/n_cells of the corpus, which is the point of the sweep."""
     from pulsar_lunar_spark.operators import similarity as S
+    from pulsar_lunar_spark.queries.llm2 import ivf_index_frames
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    dim = 64
-    centroids = e.groupBy("label").agg(
-        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
-    )
-    q = F.broadcast(
-        e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    )
+    e, centroids, q = ivf_index_frames(spark, sf_dir)
+    # RAW-cosine routing, the exact expression q_ivf_topk's best cell
+    # orders by — nprobe=1 here IS q_ivf_topk by construction.
     ranked_cells = (
         centroids.join(q)
-        .select(
-            "label",
-            F.round(S.cosine(F.col("cv"), F.col("qv")), 6).alias("c"),
-        )
+        .select("label", S.cosine(F.col("cv"), F.col("qv")).alias("c"))
         .select(
             "label",
             F.row_number()

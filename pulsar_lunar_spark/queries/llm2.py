@@ -59,6 +59,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_index_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF index pieces — (vectors e, per-label centroids,
+    broadcast query row for vec_id=0). q_ivf_topk and llm16's
+    q_ivf_nprobe_sweep are the SAME index at different probe depths, so
+    the centroid training must be one definition (round-9 code review;
+    the _bitext_margin_frame precedent)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dim = 64
+    centroids = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    )
+    return e, centroids, q
+
+
 @register(
     "q_ivf_topk",
     oracle=f"""
@@ -93,14 +116,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: nprobe=1 over n_cells cells scans ~n/n_cells vectors — the
     centroid table is tiny and broadcast; the cell scan is a partition-
     pruned read when the corpus is written partitionBy(cell)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    dim = 64
-    centroids = e.groupBy("label").agg(
-        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
-    )
-    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
+    e, centroids, q = ivf_index_frames(spark, sf_dir)
     best = (
         centroids.join(q)
         .select("label", S.cosine(F.col("cv"), F.col("qv")).alias("c"))
