@@ -308,5 +308,11 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_pagerank_trade",  # shared trade_edges spool; checkpoint_edges=False
     "q_hits_scores",     # per-call edge spool -> shared trade_edges artifact
     "q_label_propagation",  # shared trade_edges + checkpointed symmetrize
+    # round-9 factorings of confirmed queries (parity re-verified at all
+    # three scales, but the r6 policy stands: a touched plan re-enters
+    # the driver window in its own round)
+    "q_rho_select",      # body -> shared scored_docs/ce_loss_micro
+    "q_ivf_topk",        # body -> shared ivf_index_frames
+    "q_bitext_mining",   # body -> shared _bitext_margin_frame (keep_rn=1)
 )
 
