@@ -220,6 +220,13 @@ _DRIVER_CONFIRMED = frozenset(
         "q_silhouette", "q_skyline", "q_span_decontamination",
         "q_state_store_read", "q_stream_psi_drift", "q_udtf_table_arg",
         "q_vocab_coverage", "q_zipf_fit",
+        # round 9 (CORRECTNESS_r09.json, 50/50 green — 10 additions, 9
+        # rewrites/factorings re-confirmed via the _NEWEST_FIRST override,
+        # 31 re-confirmations; ledger stays closed at 314)
+        "q_max_dup_span", "q_stupid_backoff", "q_bitext_precision",
+        "q_source_attribution", "q_conformal_threshold", "q_partition_ari",
+        "q_source_kl", "q_watermark_detect", "q_fleiss_kappa",
+        "q_ivf_nprobe_sweep",
     }
 )
 
@@ -288,31 +295,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # CORRECTNESS_r{N} greens into _DRIVER_CONFIRMED and clear/refill this
 # tuple with the new round's names.
 _NEWEST_FIRST: tuple[str, ...] = (
-    # round-9 additions and rewrites (each entry is registered with oracle
+    # round-10 additions and rewrites (each entry is registered with oracle
     # + tests + plan budget + three-scale parity before the driver sees it)
-    # round-9 additions (llm14: next curation asks from the r8 verdict)
-    "q_max_dup_span",
-    "q_stupid_backoff",
-    "q_bitext_precision",
-    "q_source_attribution",
-    "q_conformal_threshold",
-    "q_partition_ari",
-    "q_source_kl",
-    "q_watermark_detect",
-    "q_fleiss_kappa",
-    "q_ivf_nprobe_sweep",
-    # round-9 rewrites
-    "q_dp_noisy_topk",  # TakeOrdered head replaces global rank window; CAST(conv) hygiene
-    "q_kneser_ney",     # rank window dropped: orderBy().limit() TakeOrdered top-k
-    "q_zipf_fit",       # TakeOrdered 100-row head before the rank window
-    "q_pagerank_trade",  # shared trade_edges spool; checkpoint_edges=False
-    "q_hits_scores",     # per-call edge spool -> shared trade_edges artifact
-    "q_label_propagation",  # shared trade_edges + checkpointed symmetrize
-    # round-9 factorings of confirmed queries (parity re-verified at all
-    # three scales, but the r6 policy stands: a touched plan re-enters
-    # the driver window in its own round)
-    "q_rho_select",      # body -> shared scored_docs/ce_loss_micro
-    "q_ivf_topk",        # body -> shared ivf_index_frames
-    "q_bitext_mining",   # body -> shared _bitext_margin_frame (keep_rn=1)
 )
 
