@@ -736,6 +736,81 @@ def bpe_train(
     return merges
 
 
+def ngram_types(
+    spark,
+    sf_dir: str,
+    n: int = 2,
+    doc_id_parity: int | None = None,
+) -> DataFrame:
+    """Per-(session, dataset, process) spooled n-gram TYPE table over the
+    documents corpus: ``(g, c)`` with ``g`` the space-joined n-gram string
+    and ``c`` its corpus count (BIGINT). ``doc_id_parity`` restricts the
+    corpus to one train split (0 = even doc_ids, 1 = odd, None = all).
+
+    The trade_edges pattern applied to the LM family (r9 VERDICT #2):
+    q_kneser_ney / q_kn_doc_surprisal both train on the all-docs bigram
+    table and q_stupid_backoff on the even-split trigram table, and each
+    call used to re-run the corpus explode + hash aggregate (the repo's
+    worst solo ratio, kn_doc_surprisal 3.23x, was two such rebuilds).
+    One process-shared tmpfs artifact per (n, split) is the at-scale
+    shape too: a 100 TB pipeline materializes its n-gram count table
+    once and runs every LM/stat consumer over the artifact. Build cost
+    is one corpus scan -> vocabulary-bounded aggregate; the spool is
+    O(types), not O(tokens)."""
+    from pulsar_lunar_spark.session import (
+        ensure_parallelism,
+        load_table,
+        shared_spool,
+    )
+
+    def build() -> DataFrame:
+        docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+        if doc_id_parity is not None:
+            docs = docs.filter(F.col("doc_id") % 2 == doc_id_parity)
+        words = F.split(normalize_text(F.col("text")), " ")
+        staged = docs.select(words.alias("__w")).filter(F.size("__w") >= n)
+        parts = ", ' ', ".join(
+            f"element_at(__w, i + {j})" if j else "element_at(__w, i)"
+            for j in range(n)
+        )
+        grams = staged.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__w) - {n - 1}),"
+                    f" i -> concat({parts}))"
+                )
+            ).alias("g")
+        )
+        return grams.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    split = "all" if doc_id_parity is None else f"p{doc_id_parity}"
+    return shared_spool(
+        spark, sf_dir, f"pulsar_lunar_ngram_types_{n}_{split}", build
+    )
+
+
+def kn_bigram_model(spark, sf_dir: str) -> DataFrame:
+    """Per-(session, dataset, process) spooled Kneser-Ney bigram MODEL
+    table: kn_bigram_probs over the shared all-docs bigram type table,
+    materialized once — the trained-LM artifact both q_kneser_ney (rank
+    its rows) and q_kn_doc_surprisal (apply it to score documents)
+    consume. Train once, apply many: at 100 TB the model table is a
+    stored table, not a per-query subplan; locally it removes the
+    window-marginal job chain from every call after the first."""
+
+    def build() -> DataFrame:
+        cnt = ngram_types(spark, sf_dir, 2).select(
+            F.col("g").alias("b"), F.col("c").alias("c12")
+        )
+        return kn_bigram_probs(cnt)
+
+    from pulsar_lunar_spark.session import shared_spool
+
+    return shared_spool(spark, sf_dir, "pulsar_lunar_kn_model", build)
+
+
 def kn_bigram_probs(cnt: DataFrame) -> DataFrame:
     """Interpolated Kneser-Ney bigram probabilities (absolute discount
     3/4) over a bigram-TYPE count table ``cnt`` with columns

@@ -21,16 +21,10 @@ localCheckpoint-ed per round so the logical plan stays constant-size
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000  # rank fixed-point scale: 1e6 micro-units = rank 1.0
-
-# Per-(dataset realpath, pid) spool paths for the shared trade-edge table.
-_TRADE_EDGE_SLOTS: dict[tuple[str, int], str] = {}
-
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed nation trade graph — (src, dst, w BIGINT) with src = the
@@ -46,21 +40,19 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact — exactly the at-scale shape, where the edge list is a
     materialized table, not a per-query subplan. Self-loops are KEPT
     here; consumers filter (`src != dst`) as their semantics require.
-    """
-    from pulsar_lunar_spark.session import (
-        load_table,
-        scratch_root,
-        versioned_slot,
-    )
 
-    key = (os.path.realpath(sf_dir), os.getpid())
-    path = _TRADE_EDGE_SLOTS.get(key)
-    if path is None or not os.path.isdir(path):
+    Cache lifecycle (applicationId key + build lock) lives in
+    session.shared_spool (ADVICE r9: a session restart must rebuild, and
+    two cold driver threads must not both pay the 4-join pipeline).
+    """
+    from pulsar_lunar_spark.session import load_table, shared_spool
+
+    def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
         o = load_table(spark, sf_dir, "orders")
         cu = load_table(spark, sf_dir, "customer")
         su = load_table(spark, sf_dir, "supplier")
-        raw = (
+        return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(cu, o.o_custkey == cu.c_custkey)
             .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
@@ -70,12 +62,8 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).cast("long").alias("w"))
         )
-        path = versioned_slot(
-            scratch_root("pulsar_lunar_trade_edges", sf_dir), "edges"
-        )
-        raw.write.mode("overwrite").parquet(path)
-        _TRADE_EDGE_SLOTS[key] = path
-    return spark.read.parquet(path)
+
+    return shared_spool(spark, sf_dir, "pulsar_lunar_trade_edges", build)
 
 
 def pagerank(

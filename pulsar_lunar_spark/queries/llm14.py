@@ -262,10 +262,12 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ppm with a non-negative numerator; the per-trigram surprisal
     floors ONCE to micro-nats and everything downstream is exact BIGINT.
 
-    Plan: train scan -> trigram-type aggregate, SPOOLED once per call
-    (three backoff tables derive from it with divergent column pruning,
-    which kills exchange reuse — the r4 lesson — so the spool is what
-    keeps the train corpus scan at exactly one); the prefix marginal
+    Plan: the trigram-type training table comes from the process-shared
+    corpus.ngram_types spool (ONE train corpus scan per process — the
+    trade_edges pattern, r9 VERDICT #2; three backoff tables derive from
+    it with divergent column pruning, which kills exchange reuse — the
+    r4 lesson — so spooling is also what keeps a single call's train
+    scan at exactly one); the prefix marginal
     (c12) rides a WINDOW over the type table (the kn_bigram_probs
     shape), the (w2,w3)/w3 tables are re-aggregates of the spool, and N
     is a 1-row broadcast scalar frame (never an unpartitioned window).
@@ -279,13 +281,12 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     words = F.split(normalize_text(F.col("text")), " ")
 
-    def trigrams(df: DataFrame, with_doc: bool) -> DataFrame:
+    def trigrams(df: DataFrame) -> DataFrame:
         staged = df.select(
             "doc_id", words.alias("__w")
         ).filter(F.size("__w") >= 3)
-        cols = ["doc_id"] if with_doc else []
         return staged.select(
-            *cols,
+            "doc_id",
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(__w) - 2),"
@@ -296,21 +297,17 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
 
-    raw_cnt = (
-        trigrams(docs.filter(F.col("doc_id") % 2 == 0), with_doc=False)
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
-    )
     # The trigram TYPE table feeds THREE backoff tables whose column
     # pruning diverges (t/b12 vs b23 vs w3) — divergent pruning kills
-    # exchange reuse (the r4 lesson), so an unspooled form re-runs the
-    # train corpus explode per consumer. Spool the (vocabulary-bounded)
-    # type table once; every derivation re-reads the small parquet.
-    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+    # exchange reuse (the r4 lesson) — and is identical across calls, so
+    # it comes from the process-shared ngram_types spool: one train
+    # corpus scan per process, every derivation re-reads the small
+    # (vocabulary-bounded) parquet artifact.
+    from pulsar_lunar_spark.operators.corpus import ngram_types
 
-    slot = versioned_slot(scratch_root("pulsar_lunar_sb", sf_dir), "tri")
-    raw_cnt.write.mode("overwrite").parquet(slot)
-    cnt = spark.read.parquet(slot)
+    cnt = ngram_types(spark, sf_dir, 3, doc_id_parity=0).select(
+        F.col("g").alias("t"), F.col("c").alias("c123")
+    )
     tri0 = cnt.select(
         "t",
         F.expr("concat(split_part(t, ' ', 1), ' ', split_part(t, ' ', 2))")
@@ -353,9 +350,7 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c123").cast("long").alias("c3"))
         .crossJoin(F.broadcast(n_tot))
     )
-    ev = trigrams(
-        docs.filter(F.col("doc_id") % 2 == 1), with_doc=True
-    ).select(
+    ev = trigrams(docs.filter(F.col("doc_id") % 2 == 1)).select(
         "doc_id",
         "t",
         F.expr("concat(split_part(t, ' ', 2), ' ', split_part(t, ' ', 3))")

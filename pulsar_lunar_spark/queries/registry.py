@@ -297,5 +297,16 @@ def all_queries() -> dict[str, QuerySpec]:
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-10 additions and rewrites (each entry is registered with oracle
     # + tests + plan budget + three-scale parity before the driver sees it)
+    # round-10 rewrites: the LM family now trains once per process via the
+    # shared n-gram type/model spools (corpus.ngram_types /
+    # kn_bigram_model — the trade_edges pattern, r9 VERDICT #2)
+    "q_kn_doc_surprisal",  # model spool + unhinted AQE join + no ensure_parallelism
+    "q_kneser_ney",        # TakeOrdered head over the spooled KN model
+    "q_stupid_backoff",    # per-call trigram spool -> process-shared ngram_types
+    # round-10 lifecycle-only refactor (trade_edges -> session.shared_spool:
+    # applicationId cache key + build lock, ADVICE r9; plan unchanged)
+    "q_pagerank_trade",
+    "q_hits_scores",
+    "q_label_propagation",
 )
 

@@ -11,6 +11,7 @@ hand-schedules what Catalyst already optimizes.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -213,6 +214,37 @@ def sf_cache_tag(sf_dir: str) -> str:
     real = os.path.realpath(sf_dir)
     digest = hashlib.sha256(real.encode()).hexdigest()[:8]
     return f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{digest}-{os.getpid()}"
+
+
+_SHARED_SPOOLS: dict[tuple[str, str, str], str] = {}
+# RLock, not Lock: a spool build may itself consume another shared spool
+# (kn_bigram_model builds from ngram_types) — re-entry from the owning
+# thread must not deadlock, while cold-cache races across threads still
+# serialize on one build.
+_SHARED_SPOOL_LOCK = threading.RLock()
+
+
+def shared_spool(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    """Per-(session, dataset, process) materialized fixture table: run
+    ``build() -> DataFrame`` ONCE, spool it to tmpfs parquet, and hand every
+    caller ``spark.read.parquet(path)`` — the `trade_edges` pattern
+    (build an artifact once, run N operators over it; exactly the at-scale
+    shape where the shared table is materialized, not a per-query subplan).
+
+    Key includes the Spark applicationId, mirroring _TABLE_CACHE's
+    invalidation convention: a restarted session in the same process
+    rebuilds rather than serving plans bound to a dead context (ADVICE r9).
+    The build runs under a module lock so two driver threads hitting a cold
+    cache cannot both pay the build pipeline (ADVICE r9). The pid lives in
+    the on-disk path via sf_cache_tag (concurrent harness isolation)."""
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), kind)
+    with _SHARED_SPOOL_LOCK:
+        path = _SHARED_SPOOLS.get(key)
+        if path is None or not os.path.isdir(path):
+            path = versioned_slot(scratch_root(kind, sf_dir), "spool")
+            build().write.mode("overwrite").parquet(path)
+            _SHARED_SPOOLS[key] = path
+    return spark.read.parquet(path)
 
 
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
