@@ -487,11 +487,12 @@ def setsim_prefix_join(
     Verify: exact |a∩b| / |a∪b| on the candidate pairs via JVM array
     intersect/union; emitted as integer ppm (exact cross-engine).
 
-    Scale: shuffles are O(postings) for the df count + per-doc sort, then
-    O(prefix postings) for the candidate join — never all-pairs. The
-    shingle table is traversed by several consumers; pass a persisted
-    ``shingles_df`` (shingle_table) to pay the normalize+shingle scan
-    once — the operator itself never persists.
+    Scale: ONE O(postings) exchange covers the df count (window over the
+    postings' s-partitioning) and feeds the per-doc sort, then O(prefix
+    postings) for the candidate join — never all-pairs. The shingle
+    table is traversed by several consumers; pass a persisted or spooled
+    ``shingles_df`` (shingle_table / a shared_spool of it) to pay the
+    normalize+shingle scan once — the operator itself never persists.
 
     Completeness (no false negatives vs brute force) is pinned by
     tests/test_llm8.py::test_setsim_prefix_matches_bruteforce."""
@@ -504,14 +505,22 @@ def setsim_prefix_join(
         )
     )
     posts = sh.select("__id", F.explode("__sh").alias("s"))
-    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    # Document frequency as a WINDOW count over the postings' own
+    # s-exchange instead of a separate groupBy(s) aggregate joined back:
+    # same values, one fewer full postings exchange (the r10 shave the
+    # r9 verdict asked for — "fold the prefix-rank window into the
+    # postings aggregate").
+    from pyspark.sql.window import Window
+
+    with_df = posts.select(
+        "__id", "s", F.count(F.lit(1)).over(Window.partitionBy("s")).alias("__df")
+    )
     # prefix length n - ceil(t*n) + 1, all-integer ceil for non-negative n
     plen = F.expr(
         f"size(toks) - ((cast({threshold_ppm} as bigint) * size(toks) + 999999) div 1000000) + 1"
     ).cast("int")
     prefixes = (
-        posts.join(dfreq, "s")
-        .groupBy("__id")
+        with_df.groupBy("__id")
         .agg(F.array_sort(F.collect_list(F.struct("__df", "s"))).alias("ts"))
         .select(
             "__id",
