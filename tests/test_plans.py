@@ -327,7 +327,13 @@ EXCHANGE_BUDGETS = {
     "q_stupid_backoff": (8, 5),  # spooled type table + 3 bc'd backoff joins + doc agg
     "q_bitext_precision": (7, 2),  # the bitext matmul + margin re-rank + 3-row sweep
     "q_source_attribution": (5, 3),  # one token pass x 2 bc scorers + source rollup
-    "q_conformal_threshold": (6, 4),  # scored spool + value-table cum window + 3-row bc
+    # two-pass bucketed order statistic (r10): coarse-histogram agg +
+    # bounded SinglePartition cum + alpha-keyed refine exchange + located-
+    # bucket/threshold broadcasts — more exchanges than the r9 direct cum
+    # window, but every one runs over a bounded or alpha-partitioned
+    # table (the r9 verdict's 100 TB hazard was the UNBOUNDED value-table
+    # window + full-table BNL theta-join, both gone)
+    "q_conformal_threshold": (8, 6),
     "q_partition_ari": (7, 0),  # one cell agg + keyed windows + 1-row reduce
     "q_source_kl": (5, 2),  # spooled cell table + keyed windows + 1-row N bc
     "q_watermark_detect": (3, 0),  # one scan + doc agg + TakeOrdered top-20
