@@ -513,6 +513,15 @@ def md5_int(col: Column, hex_chars: int = 6, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("long")
 
 
+def md5_int_sql(expr: str, hex_chars: int = 6, salt: str = "") -> str:
+    """The DuckDB SQL twin of :func:`md5_int` — both forms live side by
+    side so a portability fix lands in the Column and SQL shapes at once
+    (ADVICE r9: the twin previously lived in a query module and forced
+    mid-file cross-query imports)."""
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"CAST(('0x' || SUBSTR(MD5({inner}), 1, {hex_chars})) AS BIGINT)"
+
+
 def bloom_positions(
     text: Column, n_hashes: int = 3, n_bits: int = 1 << 20
 ) -> Column:

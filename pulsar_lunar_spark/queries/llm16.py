@@ -23,15 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pulsar_lunar_spark.operators.corpus import md5_int_sql as _md5_int_sql
 from pulsar_lunar_spark.operators.dedup import normalize_text
 from pulsar_lunar_spark.queries.registry import register
 from pulsar_lunar_spark.session import ensure_parallelism, load_table
 
 _NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
-
-# Shared portable-hash twin (one definition repo-wide so a portability
-# fix lands everywhere at once).
-from pulsar_lunar_spark.queries.llm5 import _md5_int_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -426,8 +423,13 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition("np")
     )
+    # countDistinct matches the oracle's COUNT(DISTINCT vec_id) expression
+    # form, not just its value: ranked_cells is distinct per (np, label)
+    # by construction today, but a plain COUNT would silently diverge the
+    # moment any future change can emit a duplicate row (ADVICE r9). Sole
+    # aggregate in this agg(), so no Expand multiplication (r2 lesson).
     n_scanned_df = scanned.groupBy("np").agg(
-        F.count(F.lit(1)).cast("long").alias("n_scanned")
+        F.countDistinct("vec_id").cast("long").alias("n_scanned")
     )
     w_np = Window.partitionBy("np").orderBy(F.desc("s"), F.asc("vec_id"))
     approx = (

@@ -29,9 +29,10 @@ _NORM = "REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')"
 _WORDS = f"STRING_SPLIT({_NORM}, ' ')"
 
 # DuckDB twin of corpus.md5_int(col, hex_chars, salt).
-def _md5_int_sql(expr: str, hex_chars: int = 6, salt: str = "") -> str:
-    inner = f"'{salt}' || {expr}" if salt else expr
-    return f"CAST(('0x' || SUBSTR(MD5({inner}), 1, {hex_chars})) AS BIGINT)"
+# Canonical home is operators/corpus.py next to the Column-form md5_int
+# (ADVICE r9); this module keeps the historical name as an alias for its
+# many existing importers.
+from pulsar_lunar_spark.operators.corpus import md5_int_sql as _md5_int_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
