@@ -115,6 +115,8 @@ HEADLINE = [
     "q_watermark_detect",
     "q_fleiss_kappa",
     "q_ivf_nprobe_sweep",
+    # round-10 additions (llm17)
+    "q_train_quality_lr",
 ]
 
 

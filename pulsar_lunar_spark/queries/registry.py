@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm14",
     "pulsar_lunar_spark.queries.llm15",
     "pulsar_lunar_spark.queries.llm16",
+    "pulsar_lunar_spark.queries.llm17",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -297,6 +298,8 @@ def all_queries() -> dict[str, QuerySpec]:
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-10 additions and rewrites (each entry is registered with oracle
     # + tests + plan budget + three-scale parity before the driver sees it)
+    # round-10 additions (llm17: the r9 verdict's curation batch)
+    "q_train_quality_lr",
     # round-10 rewrites: the LM family now trains once per process via the
     # shared n-gram type/model spools (corpus.ngram_types /
     # kn_bigram_model — the trade_edges pattern, r9 VERDICT #2)

@@ -1,0 +1,131 @@
+"""Batch-17 operator semantics vs pure-Python brute force: the trainable
+LR classifier's training loop is replayed token-by-token in plain Python
+(hashlib md5, integer sigmoid, truncating updates) and must reproduce the
+engine's per-epoch weight L1s and accuracies EXACTLY — the same discipline
+as the PCA/label-propagation brute-force pins."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pulsar_lunar_spark.queries import all_queries
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _norm(t: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _md5i(s: str, n: int = 6, salt: str = "") -> int:
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:n], 16)
+
+
+def _tdiv(a: int, b: int) -> int:
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def _p_ppm(lg: int) -> int:
+    x = max(min(lg, 13_000_000), -13_000_000)
+    e = math.floor(math.exp(-x / 1_000_000) * 1_000_000 + 0.5)
+    return (1_000_000 * 1_000_000) // (1_000_000 + e)
+
+
+def _brute_lr(docs: list[tuple[int, str]]):
+    from pulsar_lunar_spark.queries.llm17 import (
+        _LR_BIAS_CNT,
+        _LR_BUCKETS,
+        _LR_EPOCHS,
+        _LR_ETA,
+        _LR_MIN_WORDS,
+    )
+
+    feats: dict[int, dict[int, int]] = {}
+    labels: dict[int, int] = {}
+    for did, t in docs:
+        ws = [w for w in _norm(t).split(" ") if w]
+        d = {_LR_BUCKETS: _LR_BIAS_CNT}
+        for w in ws:
+            b = _md5i(w) % _LR_BUCKETS
+            d[b] = d.get(b, 0) + 1
+        feats[did] = d
+        labels[did] = 1 if len(ws) >= _LR_MIN_WORDS else 0
+    train = [d for d in feats if d % 2 == 0]
+    ev = [d for d in feats if d % 2 == 1]
+    ntr = len(train)
+    w = [0] * (_LR_BUCKETS + 1)
+    out = []
+
+    def acc(wv, split):
+        c = sum(
+            (1 if sum(wv[b] * n for b, n in feats[d].items()) >= 0 else 0)
+            == labels[d]
+            for d in split
+        )
+        return 1_000_000 * c // len(split)
+
+    wfix = [
+        _md5i(str(b), 6, "w-") % 2001 - 1000 for b in range(_LR_BUCKETS)
+    ] + [0]
+    for ep in range(1, _LR_EPOCHS + 1):
+        grad = [0] * (_LR_BUCKETS + 1)
+        for d in train:
+            lg = sum(w[b] * n for b, n in feats[d].items())
+            err = _p_ppm(lg) - 1_000_000 * labels[d]
+            for b, n in feats[d].items():
+                grad[b] += err * n
+        w = [
+            w[b] - _tdiv(_tdiv(_LR_ETA * grad[b], ntr), 1_000_000)
+            for b in range(_LR_BUCKETS + 1)
+        ]
+        out.append(
+            (
+                ep,
+                sum(abs(x) for x in w),
+                acc(w, train),
+                acc(w, ev),
+                acc(wfix, ev),
+            )
+        )
+    return out
+
+
+def test_train_quality_lr_matches_bruteforce(spark, sf_dir):
+    from pulsar_lunar_spark.session import load_table
+
+    docs = [
+        (int(r["doc_id"]), r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    expected = _brute_lr(docs)
+    rows = all_queries()["q_train_quality_lr"].fn(spark, sf_dir).collect()
+    got = [
+        (
+            int(r["epoch"]),
+            int(r["w_l1_micro"]),
+            int(r["train_acc_ppm"]),
+            int(r["eval_acc_ppm"]),
+            int(r["fixed_eval_acc_ppm"]),
+        )
+        for r in rows
+    ]
+    assert got == expected
+
+
+def test_train_quality_lr_learns_past_fixed_baseline(spark, sf_dir):
+    rows = all_queries()["q_train_quality_lr"].fn(spark, sf_dir).collect()
+    last = rows[-1]
+    # the point of the query: training beats the fixed-weight classifier
+    # on the held-out split (by a wide margin on this separable gate)
+    assert int(last["eval_acc_ppm"]) > int(last["fixed_eval_acc_ppm"])
+    assert int(last["eval_acc_ppm"]) >= 800_000
+    # weights moved and epochs are in order
+    assert [int(r["epoch"]) for r in rows] == list(range(1, len(rows) + 1))
+    assert all(int(r["w_l1_micro"]) > 0 for r in rows)

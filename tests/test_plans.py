@@ -339,6 +339,12 @@ EXCHANGE_BUDGETS = {
     "q_watermark_detect": (3, 0),  # one scan + doc agg + TakeOrdered top-20
     "q_fleiss_kappa": (5, 2),  # spooled vote table + 2 rollups + 1-row combine
     "q_ivf_nprobe_sweep": (8, 12),  # centroid agg + shared np exchange + bc topk joins
+    # round-10 additions (llm17)
+    # returned plan = the one accuracy pass (per-doc hash agg off the
+    # feats spool + 1-row stats agg); the 4 gradient epochs are eager
+    # driver-synchronized side jobs (one doc window + 65-row agg each,
+    # the kmeans-iteration shape) and never appear in the returned plan
+    "q_train_quality_lr": (2, 0),
 }
 
 
