@@ -115,8 +115,10 @@ HEADLINE = [
     "q_watermark_detect",
     "q_fleiss_kappa",
     "q_ivf_nprobe_sweep",
-    # round-10 additions (llm17)
+    # round-10 additions (llm17 + media curation batch)
     "q_train_quality_lr",
+    "q_scene_cuts",
+    "q_audio_fingerprint_dedup",
 ]
 
 

@@ -546,3 +546,344 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: d.mapInPandas(_synth, schema="media_id string, content binary"),
     )
     return M.resize_images(imgs, out_w=8, out_h=8).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 curation batch: scene-cut detection (video) and audio
+# fingerprint dedup (the r9 verdict's multimodal asks)
+# ---------------------------------------------------------------------------
+
+_CUT_PER_PIXEL = 30  # cut when mean per-pixel delta exceeds this
+_SCENE_JUMP = 60  # planted inter-scene luma jump (normal inter-frame = 3)
+
+
+def _scene_vid_sql() -> str:
+    # analytic twin of the scene fixture: w/h/n and the planted cuts at
+    # frame indices 3 and 7 derive from doc_id alone
+    return """
+    vid AS (
+        SELECT 'm' || doc_id AS media_id,
+               doc_id % 13 + 2 AS w, doc_id % 11 + 2 AS h,
+               doc_id % 8 + 4 AS n
+        FROM documents WHERE doc_id % 3 = 2
+    )"""
+
+
+@register(
+    "q_scene_cuts",
+    oracle=f"""
+    WITH {_scene_vid_sql()}
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(1 + CASE WHEN n >= 8 THEN 1 ELSE 0 END AS BIGINT) AS n_cuts,
+           CAST(2 + CASE WHEN n >= 8 THEN 1 ELSE 0 END AS BIGINT) AS n_shots,
+           CAST(CASE WHEN n >= 8 THEN GREATEST(4, n - 7)
+                     ELSE GREATEST(3, n - 3) END AS BIGINT)
+               AS longest_shot_frames
+    FROM vid ORDER BY media_id
+    """,
+    tags=("multimodal", "video", "scene-cut", "islands"),
+)
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL AVI content — shot segmentation,
+    the first step of any video curation pipeline: consecutive-frame
+    absolute pixel deltas (multimodal.frame_deltas, exact integers from
+    the decoded frames) are thresholded at mean-per-pixel > 30, and the
+    cut positions assemble into shots via the gaps-and-islands
+    discipline (per-video lag over cut rows; the trailing shot closes at
+    n_frames). The fixture plants scene jumps (+60 luma) at frame
+    indices 3 and 7 on top of the +3/frame gradient drift, so every
+    video has 1-2 true cuts; the oracle is the closed form of the
+    planted structure — any decode or delta error (row padding, frame
+    order, wraparound) breaks it.
+
+    Scale: decode+delta is a map-only Arrow stage (bytes cross once per
+    batch); the relational tail shuffles only O(transitions) rows keyed
+    by media_id."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, n = did % 13 + 2, did % 11 + 2, did % 8 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = np.stack(
+                    [
+                        x + y + 3 * f + _SCENE_JUMP * ((f >= 3) + (f >= 7))
+                        for f in range(n)
+                    ]
+                )  # max 14+12+30+120 = 176 < 256: no wraparound anywhere
+                rows.append(
+                    (
+                        f"m{did}", "video",
+                        M.encode_avi(frames.astype(np.uint8), usec_per_frame=500_000),
+                        "avi", None, None, n * 500,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    vids = _materialized(
+        spark, sf_dir, "scenes",
+        lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
+    )
+    deltas = M.frame_deltas(vids)
+    from pyspark.sql.window import Window
+
+    per_vid = deltas.groupBy("media_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_frames")
+    )
+    cuts = deltas.filter(
+        F.col("delta_sum")
+        > _CUT_PER_PIXEL * F.col("width").cast("long") * F.col("height")
+    ).select("media_id", "frame_index")
+    w_cut = Window.partitionBy("media_id").orderBy("frame_index")
+    lens = cuts.select(
+        "media_id",
+        "frame_index",
+        (F.col("frame_index") - F.lag("frame_index", 1, 0).over(w_cut))
+        .cast("long")
+        .alias("shot_len"),
+    )
+    cut_agg = lens.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cuts"),
+        F.max("shot_len").cast("long").alias("max_inner_shot"),
+        F.max("frame_index").cast("long").alias("last_cut"),
+    )
+    return (
+        per_vid.join(cut_agg, "media_id", "left")
+        .select(
+            "media_id",
+            "n_frames",
+            F.coalesce(F.col("n_cuts"), F.lit(0)).cast("long").alias("n_cuts"),
+            (F.coalesce(F.col("n_cuts"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("n_shots"),
+            F.greatest(
+                F.coalesce(F.col("max_inner_shot"), F.lit(0)),
+                F.col("n_frames") - F.coalesce(F.col("last_cut"), F.lit(0)),
+            )
+            .cast("long")
+            .alias("longest_shot_frames"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (windowed Haar-band hash, SimHash-style lookup)
+# ---------------------------------------------------------------------------
+
+_AFP_WINDOW = 32
+_AFP_MATCH_PPM = 600_000  # dup when >= 60% of windows share fingerprints
+
+
+def _afp_clips_sql() -> str:
+    """Analytic clip/sample CTEs: base clip per audio doc + a planted
+    variant (one zeroed sample at i=40) for every doc_id % 5 == 1."""
+    return """
+    aud AS (
+        SELECT doc_id, doc_id % 128 + 96 AS n FROM documents
+        WHERE doc_id % 3 = 1
+    ), clips AS (
+        SELECT 'm' || doc_id AS clip_id, doc_id, n, FALSE AS isvar FROM aud
+        UNION ALL
+        SELECT 'm' || doc_id || 'v', doc_id, n, TRUE FROM aud
+        WHERE doc_id % 5 = 1
+    ), samples AS (
+        SELECT clip_id, n, i // 32 AS win,
+               CASE WHEN isvar AND i = 40 THEN 0
+                    ELSE (doc_id * 7919 + 7 * i * i + doc_id * i) % 20011
+                         % 201 - 100 END AS s,
+               i
+        FROM (SELECT clip_id, doc_id, n, isvar, UNNEST(RANGE(0, n)) AS i
+              FROM clips)
+        WHERE i // 32 < n // 32
+    ), win0 AS MATERIALIZED (
+        SELECT clip_id, CAST(n // 32 AS BIGINT) AS n_windows, win,
+               LIST(s ORDER BY i) AS x
+        FROM samples GROUP BY clip_id, n, win
+    ), lvl1 AS (
+        SELECT clip_id, n_windows, win,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                    j -> ABS(x[2*j-1] - x[2*j]))) AS BIGINT) AS b1,
+               LIST_TRANSFORM(RANGE(1, 17), j -> x[2*j-1] + x[2*j]) AS x
+        FROM win0
+    ), lvl2 AS (
+        SELECT clip_id, n_windows, win, b1,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                    j -> ABS(x[2*j-1] - x[2*j]))) AS BIGINT) AS b2,
+               LIST_TRANSFORM(RANGE(1, 9), j -> x[2*j-1] + x[2*j]) AS x
+        FROM lvl1
+    ), lvl3 AS (
+        SELECT clip_id, n_windows, win, b1, b2,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 5),
+                    j -> ABS(x[2*j-1] - x[2*j]))) AS BIGINT) AS b3,
+               LIST_TRANSFORM(RANGE(1, 5), j -> x[2*j-1] + x[2*j]) AS x
+        FROM lvl2
+    ), lvl4 AS (
+        SELECT clip_id, n_windows, win, b1, b2, b3,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 3),
+                    j -> ABS(x[2*j-1] - x[2*j]))) AS BIGINT) AS b4,
+               LIST_TRANSFORM(RANGE(1, 3), j -> x[2*j-1] + x[2*j]) AS x
+        FROM lvl3
+    ), fps AS MATERIALIZED (
+        SELECT clip_id, n_windows, win,
+               CAST(b1 AS VARCHAR) || ',' || CAST(b2 AS VARCHAR) || ','
+               || CAST(b3 AS VARCHAR) || ',' || CAST(b4 AS VARCHAR) || ','
+               || CAST(ABS(x[1] - x[2]) AS VARCHAR) || ','
+               || CAST(ABS(x[1] + x[2]) AS VARCHAR) AS bands
+        FROM lvl4
+    )"""
+
+
+def _afp_oracle() -> str:
+    from pulsar_lunar_spark.operators.corpus import md5_int_sql
+
+    fp = md5_int_sql("bands", 8)
+    return f"""
+    WITH {_afp_clips_sql()},
+    pp AS MATERIALIZED (
+        SELECT clip_id, n_windows, win, {fp} AS fp FROM fps
+    ), pairs AS (
+        SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_match,
+               CAST(ANY_VALUE(a.n_windows) AS BIGINT) AS n_windows_a,
+               CAST(ANY_VALUE(b.n_windows) AS BIGINT) AS n_windows_b
+        FROM pp a JOIN pp b ON a.win = b.win AND a.fp = b.fp
+                           AND a.clip_id < b.clip_id
+        GROUP BY a.clip_id, b.clip_id
+    )
+    SELECT id_a, id_b, n_match, n_windows_a, n_windows_b,
+           CAST((1000000 * n_match) // LEAST(n_windows_a, n_windows_b)
+                AS BIGINT) AS match_ppm
+    FROM pairs
+    WHERE (1000000 * n_match) // LEAST(n_windows_a, n_windows_b)
+          >= {_AFP_MATCH_PPM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q_audio_fingerprint_dedup",
+    oracle=_afp_oracle(),
+    tags=("multimodal", "audio", "fingerprint", "dedup", "lsh"),
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio detection over REAL WAV content — the
+    Philips-robust-hash shape with exact integer spectral proxies:
+    every 32-sample window runs a full integer Haar decomposition
+    (multimodal.audio_fingerprints; 5 detail bands + the approximation,
+    all BIGINT adds — no FFT floats, so the fingerprint is value-exact
+    across Spark, numpy, and the SQL oracle), the band vector hashes
+    through the shared md5 twin, and clips pair through a SimHash-style
+    (window, fingerprint) inverted-index join — never all-pairs. A pair
+    is a duplicate when >= 60% of the shorter clip's windows match; the
+    fixture plants one variant clip (a single zeroed sample at i=40 —
+    one corrupted window) for every fifth audio doc, so every planted
+    pair matches at (W-1)/W and unrelated clips share nothing.
+
+    The oracle recomputes the fingerprints analytically from doc_id
+    (the clips are closed-form signals; the doc_id*i cross term keeps
+    distinct docs' signals distinct — a pure additive offset mod the
+    sample range collapsed clips into identical residue classes) and replays the same banded
+    join — any decode error (RIFF offsets, sample width) changes every
+    band and breaks the hash.
+
+    Scale: decode+fingerprint is map-only Arrow; the candidate join is
+    the LSH postings pattern — shuffle O(windows), pair mass bounded by
+    fingerprint agreement, verification rides the same aggregate."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 1)
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 128 + 96
+                i = np.arange(n, dtype=np.int64)
+                s = (
+                    (did * 7919 + 7 * i * i + did * i) % 20011 % 201 - 100
+                ).astype(np.int16)
+                rows.append(
+                    (f"m{did}", "audio", M.encode_wav(s, rate=1000),
+                     "wav", None, None, None)
+                )
+                if did % 5 == 1:
+                    sv = s.copy()
+                    sv[40] = 0
+                    rows.append(
+                        (f"m{did}v", "audio", M.encode_wav(sv, rate=1000),
+                         "wav", None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    clips = _materialized(
+        spark, sf_dir, "afp",
+        lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
+    )
+    from pulsar_lunar_spark.operators.corpus import md5_int
+
+    fps = M.audio_fingerprints(clips, window=_AFP_WINDOW).filter(
+        F.col("decode_ok")
+    )
+    pp = fps.select(
+        F.col("media_id").alias("clip_id"),
+        "n_windows",
+        F.col("win_index").alias("win"),
+        md5_int(F.col("bands"), hex_chars=8).alias("fp"),
+    )
+    pairs = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.clip_id") < F.col("b.clip_id")),
+        )
+        .groupBy(
+            F.col("a.clip_id").alias("id_a"), F.col("b.clip_id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_match"),
+            F.first(F.col("a.n_windows")).cast("long").alias("n_windows_a"),
+            F.first(F.col("b.n_windows")).cast("long").alias("n_windows_b"),
+        )
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "n_match",
+            "n_windows_a",
+            "n_windows_b",
+            F.expr(
+                "(1000000L * n_match) div least(n_windows_a, n_windows_b)"
+            )
+            .cast("long")
+            .alias("match_ppm"),
+        )
+        .filter(F.col("match_ppm") >= _AFP_MATCH_PPM)
+        .orderBy("id_a", "id_b")
+    )

@@ -298,8 +298,10 @@ def all_queries() -> dict[str, QuerySpec]:
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-10 additions and rewrites (each entry is registered with oracle
     # + tests + plan budget + three-scale parity before the driver sees it)
-    # round-10 additions (llm17: the r9 verdict's curation batch)
+    # round-10 additions (llm17/media: the r9 verdict's curation batch)
     "q_train_quality_lr",
+    "q_scene_cuts",
+    "q_audio_fingerprint_dedup",
     # round-10 rewrites: the LM family now trains once per process via the
     # shared n-gram type/model spools (corpus.ngram_types /
     # kn_bigram_model — the trade_edges pattern, r9 VERDICT #2)

@@ -129,3 +129,97 @@ def test_train_quality_lr_learns_past_fixed_baseline(spark, sf_dir):
     # weights moved and epochs are in order
     assert [int(r["epoch"]) for r in rows] == list(range(1, len(rows) + 1))
     assert all(int(r["w_l1_micro"]) > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Scene cuts + audio fingerprints vs pure-python brute force
+# ---------------------------------------------------------------------------
+
+
+def _scene_brute(did: int):
+    w, h, n = did % 13 + 2, did % 11 + 2, did % 8 + 4
+    # per-pixel delta between consecutive frames is exactly
+    # 3 + 60 * (scene jumped); cut when mean per-pixel delta > 30
+    cuts = [t for t in range(1, n) if t in (3, 7)]
+    bounds = [0] + cuts + [n]
+    shots = [b - a for a, b in zip(bounds, bounds[1:])]
+    return (n, len(cuts), len(cuts) + 1, max(shots))
+
+
+def test_scene_cuts_matches_bruteforce(spark, sf_dir):
+    rows = all_queries()["q_scene_cuts"].fn(spark, sf_dir).collect()
+    assert rows, "no video rows"
+    for r in rows:
+        did = int(r["media_id"][1:])
+        n, n_cuts, n_shots, longest = _scene_brute(did)
+        got = (
+            int(r["n_frames"]),
+            int(r["n_cuts"]),
+            int(r["n_shots"]),
+            int(r["longest_shot_frames"]),
+        )
+        assert got == (n, n_cuts, n_shots, longest), (r, (n, n_cuts, n_shots, longest))
+
+
+def _afp_samples(did: int, variant: bool):
+    n = did % 128 + 96
+    s = [((did * 7919 + 7 * i * i + did * i) % 20011) % 201 - 100 for i in range(n)]
+    if variant:
+        s[40] = 0
+    return s
+
+
+def _afp_fps(samples):
+    n_w = len(samples) // 32
+    out = []
+    for w_i in range(n_w):
+        x = samples[w_i * 32 : (w_i + 1) * 32]
+        bands = []
+        while len(x) > 1:
+            bands.append(sum(abs(x[2 * j] - x[2 * j + 1]) for j in range(len(x) // 2)))
+            x = [x[2 * j] + x[2 * j + 1] for j in range(len(x) // 2)]
+        bands.append(abs(x[0]))
+        out.append(",".join(str(b) for b in bands))
+    return out
+
+
+def test_audio_fingerprint_pairs_match_bruteforce(spark, sf_dir):
+    from pulsar_lunar_spark.session import load_table
+
+    dids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 1")
+        .select("doc_id")
+        .collect()
+    ]
+    # brute force: exact fingerprint multimaps, pair when >= 60% of the
+    # shorter clip's windows match at the same index
+    clips = {}
+    for did in dids:
+        clips[f"m{did}"] = _afp_fps(_afp_samples(did, False))
+        if did % 5 == 1:
+            clips[f"m{did}v"] = _afp_fps(_afp_samples(did, True))
+    ids = sorted(clips)
+    expected = set()
+    index = {}
+    for cid in ids:
+        for w_i, fp in enumerate(clips[cid]):
+            index.setdefault((w_i, fp), []).append(cid)
+    cand = {}
+    for (w_i, fp), members in index.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = sorted((members[i], members[j]))
+                cand[(a, b)] = cand.get((a, b), 0) + 1
+    for (a, b), m in cand.items():
+        if 1_000_000 * m // min(len(clips[a]), len(clips[b])) >= 600_000:
+            expected.add((a, b, m))
+    rows = all_queries()["q_audio_fingerprint_dedup"].fn(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"], int(r["n_match"])) for r in rows}
+    assert got == expected
+    # every planted variant pair is found
+    planted = {
+        (f"m{d}", f"m{d}v") for d in dids if d % 5 == 1
+    }
+    assert planted <= {(a, b) for a, b, _ in got}

@@ -55,6 +55,9 @@ PYTHON_OK = {
     "q_row_ids",  # mapInPandas partition-offset enumeration (zipWithIndex pattern)
     # round-7: rectangular blocked GEMM, same lane as q_dedup_embedding
     "q_crossmodal_dedup",
+    # round-10 media curation: mapInPandas decode is the declared lane
+    "q_scene_cuts",  # AVI decode + vectorized frame deltas
+    "q_audio_fingerprint_dedup",  # WAV decode + vectorized Haar bands
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -345,6 +348,10 @@ EXCHANGE_BUDGETS = {
     # driver-synchronized side jobs (one doc window + 65-row agg each,
     # the kmeans-iteration shape) and never appear in the returned plan
     "q_train_quality_lr": (2, 0),
+    # map-only Arrow decode stages; the relational tails shuffle only
+    # O(transitions)/O(windows) rows keyed by media/clip id
+    "q_scene_cuts": (3, 1),  # per-vid agg + cut window + left join + sort
+    "q_audio_fingerprint_dedup": (2, 1),  # (win,fp) postings self-join + pair agg
 }
 
 
