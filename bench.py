@@ -119,6 +119,7 @@ HEADLINE = [
     "q_train_quality_lr",
     "q_scene_cuts",
     "q_audio_fingerprint_dedup",
+    "q_rouge_overlap",
 ]
 
 

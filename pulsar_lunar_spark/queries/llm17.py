@@ -412,3 +412,158 @@ def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " fixed_eval_acc_ppm)"
         )
     ).orderBy("epoch")
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L / LCS overlap eval (block-extractive regime)
+# ---------------------------------------------------------------------------
+
+_ROUGE_K = 5  # positional k-gram width for span matching
+_ROUGE_MIN_WORDS = 25  # every planted block then has >= 5 tokens
+
+_ROUGE_WORDS = (
+    "LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)),"
+    " '\\s+', ' ', 'g'), ' '), x -> LEN(x) > 0)"
+)
+
+
+def _rouge_oracle() -> str:
+    return f"""
+    WITH refs AS (
+        SELECT doc_id, {_ROUGE_WORDS} AS words
+        FROM documents
+        WHERE doc_id % 7 = 3 AND LEN({_ROUGE_WORDS}) >= {_ROUGE_MIN_WORDS}
+    ), pairs AS MATERIALIZED (
+        SELECT doc_id, words,
+               LIST_CONCAT(LIST_CONCAT(LIST_CONCAT(LIST_CONCAT(
+                   words[1 : LEN(words) // 5 + 1], ['zqxnoise1']),
+                   words[2 * (LEN(words) // 5) + 1 : 3 * (LEN(words) // 5)]),
+                   ['zqxnoise2']),
+                   words[4 * (LEN(words) // 5) + 1 : LEN(words)]) AS cand
+        FROM refs
+    ), rg AS (
+        SELECT doc_id, i AS p_r,
+               ARRAY_TO_STRING(words[i : i + {_ROUGE_K} - 1], ' ') AS g
+        FROM pairs, UNNEST(RANGE(1, LEN(words) - {_ROUGE_K} + 2)) u(i)
+    ), cg AS (
+        SELECT doc_id, i AS p_c,
+               ARRAY_TO_STRING(cand[i : i + {_ROUGE_K} - 1], ' ') AS g
+        FROM pairs, UNNEST(RANGE(1, LEN(cand) - {_ROUGE_K} + 2)) u(i)
+    ), covered AS (
+        SELECT DISTINCT cg.doc_id, cg.p_c + o.off AS pos
+        FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {_ROUGE_K})) AS off) o
+    ), lcs AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS lcs_tokens
+        FROM covered GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(LEN(p.words) AS BIGINT) AS ref_tokens,
+           CAST(LEN(p.cand) AS BIGINT) AS cand_tokens,
+           CAST(COALESCE(l.lcs_tokens, 0) AS BIGINT) AS lcs_tokens,
+           CAST((1000000 * COALESCE(l.lcs_tokens, 0)) // LEN(p.words)
+                AS BIGINT) AS rouge_recall_ppm,
+           CAST((1000000 * COALESCE(l.lcs_tokens, 0)) // LEN(p.cand)
+                AS BIGINT) AS rouge_precision_ppm
+    FROM pairs p LEFT JOIN lcs l USING (doc_id)
+    ORDER BY p.doc_id
+    """
+
+
+@register(
+    "q_rouge_overlap",
+    oracle=_rouge_oracle(),
+    tags=("llm", "eval", "rouge", "lcs", "overlap"),
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (LCS) recall/precision between reference documents and
+    planted block-extractive candidate summaries — the summary-overlap
+    eval, computed distributively through positional 5-gram span
+    matching (the duplicate-span discipline, llm14): a candidate token
+    position counts toward the LCS when any 5-gram covering it appears
+    verbatim in the reference. In the block-extractive regime (every
+    candidate is ordered whole blocks of >= 5 reference tokens plus
+    out-of-vocabulary noise separators) this equals the true DP LCS
+    EXACTLY — noise tokens can never match, block tokens always do, and
+    order is preserved by construction — which
+    tests/test_llm17.py pins against a real O(n*m) DP per pair. On
+    free-form candidates the same plan is the standard lower-bound
+    span-overlap eval (the decontamination-style measure).
+
+    Plan: one scan builds refs + candidates (pairs are every 7th
+    sufficiently long doc); positional k-grams explode both sides, ONE
+    equi-join on (doc_id, gram) finds shared spans, a distinct-position
+    count per doc is the LCS mass. Shuffles are O(tokens) keyed by
+    (doc, gram) — never quadratic in pair length, unlike the DP."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    words_raw = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    refs = d.select("doc_id", words_raw.alias("words")).filter(
+        (F.col("doc_id") % 7 == 3) & (F.size("words") >= _ROUGE_MIN_WORDS)
+    )
+    n5 = F.expr("size(words) div 5")
+    cand = F.concat(
+        F.slice(F.col("words"), 1, n5 + F.lit(1)),
+        F.array(F.lit("zqxnoise1")),
+        F.expr(
+            "slice(words, 2 * (size(words) div 5) + 1,"
+            " (size(words) div 5))"
+        ),
+        F.array(F.lit("zqxnoise2")),
+        F.expr(
+            "slice(words, 4 * (size(words) div 5) + 1,"
+            " size(words) - 4 * (size(words) div 5))"
+        ),
+    )
+    pairs = refs.select("doc_id", "words", cand.alias("cand"))
+
+    def kgrams(col: str, pos_name: str):
+        return F.expr(
+            f"transform(sequence(1, size({col}) - {_ROUGE_K} + 1),"
+            f" i -> struct(i as {pos_name},"
+            f" concat_ws(' ', slice({col}, i, {_ROUGE_K})) as g))"
+        )
+
+    rg = pairs.select(
+        "doc_id", F.explode(kgrams("words", "p_r")).alias("x")
+    ).select("doc_id", "x.p_r", "x.g")
+    cg = pairs.select(
+        "doc_id", F.explode(kgrams("cand", "p_c")).alias("x")
+    ).select("doc_id", "x.p_c", "x.g")
+    covered = (
+        cg.join(rg, ["doc_id", "g"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, {_ROUGE_K} - 1), o -> p_c + o)")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    lcs = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("lcs_tokens")
+    )
+    return (
+        pairs.join(lcs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("ref_tokens"),
+            F.size("cand").cast("long").alias("cand_tokens"),
+            F.coalesce(F.col("lcs_tokens"), F.lit(0))
+            .cast("long")
+            .alias("lcs_tokens"),
+            F.expr(
+                "(1000000L * coalesce(lcs_tokens, 0L)) div size(words)"
+            )
+            .cast("long")
+            .alias("rouge_recall_ppm"),
+            F.expr(
+                "(1000000L * coalesce(lcs_tokens, 0L)) div size(cand)"
+            )
+            .cast("long")
+            .alias("rouge_precision_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -223,3 +223,48 @@ def test_audio_fingerprint_pairs_match_bruteforce(spark, sf_dir):
         (f"m{d}", f"m{d}v") for d in dids if d % 5 == 1
     }
     assert planted <= {(a, b) for a, b, _ in got}
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L vs a true O(n*m) DP LCS
+# ---------------------------------------------------------------------------
+
+
+def _lcs_dp(a: list, b: list) -> int:
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(max(prev[j], cur[j - 1], prev[j - 1] + (x == y)))
+        prev = cur
+    return prev[-1]
+
+
+def test_rouge_overlap_equals_true_dp_lcs(spark, sf_dir):
+    from pulsar_lunar_spark.session import load_table
+
+    docs = {
+        int(r["doc_id"]): [w for w in _norm(r["text"]).split(" ") if w]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = all_queries()["q_rouge_overlap"].fn(spark, sf_dir).collect()
+    assert rows, "no rouge pairs"
+    for r in rows:
+        words = docs[int(r["doc_id"])]
+        n = len(words)
+        assert int(r["doc_id"]) % 7 == 3 and n >= 25
+        n5 = n // 5
+        cand = (
+            words[0 : n5 + 1]
+            + ["zqxnoise1"]
+            + words[2 * n5 : 3 * n5]
+            + ["zqxnoise2"]
+            + words[4 * n5 : n]
+        )
+        assert int(r["cand_tokens"]) == len(cand)
+        assert int(r["ref_tokens"]) == n
+        # the engine's 5-gram span coverage must equal the true DP LCS in
+        # the block-extractive regime
+        assert int(r["lcs_tokens"]) == _lcs_dp(words, cand), r["doc_id"]

@@ -352,6 +352,8 @@ EXCHANGE_BUDGETS = {
     # O(transitions)/O(windows) rows keyed by media/clip id
     "q_scene_cuts": (3, 1),  # per-vid agg + cut window + left join + sort
     "q_audio_fingerprint_dedup": (2, 1),  # (win,fp) postings self-join + pair agg
+    # one (doc, gram) span equi-join + distinct-position count + pair join
+    "q_rouge_overlap": (4, 1),
 }
 
 
