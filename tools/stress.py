@@ -459,6 +459,85 @@ def probes(spark, sf_dir: str, mult: int):
         )
         return [True]
 
+    def conformal_order_stat_shape():
+        # two-pass bucketed k-th-smallest (q_conformal_threshold's r10
+        # hardening): synthesize a micro-quantized loss per multiplied
+        # doc (md5-uniform over the ~1e7 range), then pass 1 = fixed-
+        # width coarse histogram (div 4096 -> at most range/4096 rows at
+        # ANY corpus size) + bounded cumulative + per-alpha bucket
+        # locate, pass 2 = equi-join refine inside the located buckets.
+        # Linearity here proves the unbounded-value-table window the r9
+        # form used is fully retired.
+        from pyspark.sql import Window
+
+        from pulsar_lunar_spark.operators.corpus import md5_int
+
+        losses = docs.select(
+            (md5_int(F.col("doc_id").cast("string"), hex_chars=6) * 596 + 7)
+            .cast("long")
+            .alias("loss_micro")
+        )
+        n_cal = losses.count()
+        hist = losses.groupBy(
+            F.expr("loss_micro div 4096").alias("bk")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        cumh = hist.select(
+            "bk",
+            "c",
+            F.sum("c")
+            .over(Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cumb"),
+        )
+        ks = spark.createDataFrame(
+            [
+                (a, ((n_cal + 1) * (1_000_000 - a) + 999_999) // 1_000_000)
+                for a in (100_000, 50_000, 10_000)
+            ],
+            "alpha_ppm long, k_rank long",
+        )
+        loc = (
+            ks.join(cumh, F.col("cumb") >= F.col("k_rank"), "left")
+            .groupBy("alpha_ppm", "k_rank")
+            .agg(F.min(F.struct("bk", "cumb", "c")).alias("t"))
+            .select(
+                "alpha_ppm",
+                "k_rank",
+                F.col("t.bk").alias("bk"),
+                (F.col("t.cumb") - F.col("t.c")).cast("long").alias("base"),
+            )
+        )
+        within = (
+            losses.select(
+                F.expr("loss_micro div 4096").alias("bk"), "loss_micro"
+            )
+            .join(F.broadcast(loc.filter(F.col("bk").isNotNull())), "bk")
+            .repartition("alpha_ppm")
+            .groupBy("alpha_ppm", "k_rank", "base", "loss_micro")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        cumw = within.select(
+            "alpha_ppm",
+            "k_rank",
+            "loss_micro",
+            (
+                F.col("base")
+                + F.sum("c").over(
+                    Window.partitionBy("alpha_ppm")
+                    .orderBy("loss_micro")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+            )
+            .cast("long")
+            .alias("cum"),
+        )
+        return (
+            cumw.filter(F.col("cum") >= F.col("k_rank"))
+            .groupBy("alpha_ppm", "k_rank")
+            .agg(F.min("loss_micro").alias("threshold_micro"))
+            .collect()
+        )
+
     def max_dup_span_shape():
         # maximal-duplicate-span pipeline (q_max_dup_span): copies have
         # IDENTICAL text under disjoint doc_ids, so every span's doc-set
@@ -609,6 +688,7 @@ def probes(spark, sf_dir: str, mult: int):
         "max_dup_span_runs": max_dup_span_shape,
         "backoff_score_stream": backoff_score_shape,
         "containment_dfcap": containment_shape,
+        "conformal_order_stat": conformal_order_stat_shape,
     }
 
 
