@@ -120,6 +120,7 @@ HEADLINE = [
     "q_scene_cuts",
     "q_audio_fingerprint_dedup",
     "q_rouge_overlap",
+    "q_image_phash_dedup",
 ]
 
 

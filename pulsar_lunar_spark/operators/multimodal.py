@@ -822,3 +822,53 @@ def with_media_stats(df: DataFrame) -> DataFrame:
     return df.withColumn("n_bytes", F.length("content")).withColumn(
         "has_content", F.col("content").isNotNull() & (F.length("content") > 0)
     )
+
+
+#: Output schema of image difference-hash (dHash) extraction.
+IMAGE_DHASH_SCHEMA = (
+    "media_id string, b0 long, b1 long, b2 long, b3 long, decode_ok boolean"
+)
+
+
+def image_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL BMP content: decode
+    pixels, nearest-neighbor resample to rows x cols (the same integer
+    index math as resize_images: src[(i*h)//rows, (j*w)//cols]), then one
+    bit per horizontally adjacent pixel pair (left < right). The 64 bits
+    pack into FOUR 16-bit band integers (two rows each) — the SimHash
+    banding unit, and sign-safe in int64 — so near-duplicate lookup is a
+    band equi-join and verification is bit_count(xor) Hamming distance,
+    both JVM-side. Brightness shifts cancel in the comparisons (the
+    property that makes dHash a dedup hash, not a checksum).
+
+    Map-only Arrow stage; all arithmetic is exact integer indexing and
+    comparisons, so a SQL oracle replays the hash from closed-form
+    fixtures bit-for-bit."""
+
+    def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    src = decode_bmp_pixels(bytes(content))
+                except (ValueError, NotImplementedError):
+                    out.append((mid, -1, -1, -1, -1, False))
+                    continue
+                h, w = src.shape
+                yi = (np.arange(rows) * h) // rows
+                xi = (np.arange(cols) * w) // cols
+                grid = src[np.ix_(yi, xi)].astype(np.int64)
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)
+                bands = []
+                for k in range(rows // 2):
+                    pair = bits[2 * k : 2 * k + 2].reshape(-1)
+                    bands.append(int((pair << np.arange(pair.size)).sum()))
+                out.append((mid, *bands, True))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "b0", "b1", "b2", "b3", "decode_ok"],
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        _dh, schema=IMAGE_DHASH_SCHEMA
+    )

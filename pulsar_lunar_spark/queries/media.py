@@ -887,3 +887,170 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("match_ppm") >= _AFP_MATCH_PPM)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash (dHash) dedup — completes the tri-modal near-dup
+# story (audio fingerprints, video scene structure, image dHash)
+# ---------------------------------------------------------------------------
+
+_DHASH_HAMMING_MAX = 6  # pair when <= 6 of 64 bits differ
+
+
+def _dhash_oracle() -> str:
+    # closed-form bands: px(y, x) = 3x + 2y + ((x*y) % 16) * 8 (max 247,
+    # no wraparound), sampled at x = (j*w)//9, y = (i*h)//8; bit(i, j) =
+    # px(i, j) < px(i, j+1); band k packs rows 2k, 2k+1 little-endian.
+    px = lambda j, i: (  # noqa: E731 — local SQL fragment builder
+        f"(3 * ((({j}) * w) // 9) + 2 * ((({i}) * h) // 8)"
+        f" + (((({j}) * w) // 9 * ((({i}) * h) // 8)) % 16) * 8)"
+    )
+    band = (
+        "CAST(SUM(CASE WHEN "
+        + px("j", "2 * k + r")
+        + " < "
+        + px("j + 1", "2 * k + r")
+        + " THEN (1::BIGINT << (r * 8 + j)) ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+    WITH img AS (
+        SELECT doc_id, doc_id % 31 + 2 AS w, doc_id % 17 + 2 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), clips AS (
+        SELECT 'm' || doc_id AS media_id, w, h FROM img
+        UNION ALL
+        SELECT 'm' || doc_id || 'v', w, h FROM img WHERE doc_id % 15 = 0
+    ), bands AS MATERIALIZED (
+        SELECT media_id, k, {band} AS bv
+        FROM clips,
+             UNNEST(RANGE(0, 4)) kk(k),
+             UNNEST(RANGE(0, 2)) rr(r),
+             UNNEST(RANGE(0, 8)) jj(j)
+        GROUP BY media_id, k
+    ), hashes AS MATERIALIZED (
+        SELECT media_id,
+               MAX(CASE WHEN k = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN k = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN k = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN k = 3 THEN bv END) AS b3
+        FROM bands GROUP BY media_id
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.k = b.k AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(BIT_COUNT(XOR(ha.b0, hb.b0)) + BIT_COUNT(XOR(ha.b1, hb.b1))
+                + BIT_COUNT(XOR(ha.b2, hb.b2)) + BIT_COUNT(XOR(ha.b3, hb.b3))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.media_id = c.id_a
+    JOIN hashes hb ON hb.media_id = c.id_b
+    WHERE BIT_COUNT(XOR(ha.b0, hb.b0)) + BIT_COUNT(XOR(ha.b1, hb.b1))
+          + BIT_COUNT(XOR(ha.b2, hb.b2)) + BIT_COUNT(XOR(ha.b3, hb.b3))
+          <= {_DHASH_HAMMING_MAX}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q_image_phash_dedup",
+    oracle=_dhash_oracle(),
+    tags=("multimodal", "image", "phash", "dedup", "lsh"),
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection over REAL BMP content through a
+    perceptual difference-hash (dHash): decode pixels, NN-resample to
+    8x9, one bit per horizontally adjacent pixel pair, packed into four
+    16-bit bands (multimodal.image_dhash — exact integer indexing and
+    comparisons end to end). Candidates come from a SimHash-style
+    (band_index, band_value) self-join — never all-pairs — and verify by
+    bit_count(xor) Hamming distance <= 6, all JVM-side. The fixture is a
+    2-D-varying gradient (px = 3x + 2y + ((x*y) % 16)*8 — the cross term
+    keeps the hash sensitive to BOTH dimensions) plus a brightness-
+    shifted (+2) variant for every fifteenth doc: dHash compares
+    neighbors, so a global brightness shift leaves every bit unchanged —
+    the property that makes it a dedup hash, not a checksum — and every
+    planted variant pairs at Hamming 0. Same-dimension fixtures are
+    pixel-identical and pair too (true duplicates). The oracle replays
+    the resample/bit/pack math in closed form — any decode or indexing
+    error flips bits and breaks the hash.
+
+    Scale: decode+hash is map-only Arrow; the candidate join is the LSH
+    banding pattern (shuffle O(4 bands x images); pair mass bounded by
+    band agreement); verification rides broadcastable 4-column hash
+    frames keyed by media_id."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 31 + 2, did % 17 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                px = (3 * x + 2 * y + ((x * y) % 16) * 8).astype(np.uint8)
+                rows.append(
+                    (f"m{did}", "image", M.encode_bmp(px), "bmp",
+                     None, None, None)
+                )
+                if did % 15 == 0:
+                    rows.append(
+                        (f"m{did}v", "image", M.encode_bmp(px + 2), "bmp",
+                         None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    imgs = _materialized(
+        spark, sf_dir, "dhash",
+        lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
+    )
+    hashes = M.image_dhash(imgs).filter(F.col("decode_ok"))
+    bands = hashes.select(
+        "media_id",
+        "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"b{k}").alias("bv")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("kb"),
+    ).select("media_id", "b0", "b1", "b2", "b3", "kb.k", "kb.bv")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"b.b{k}").alias(f"bb{k}") for k in range(4)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{k} ^ bb{k}")) for k in range(4)
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
+        .orderBy("id_a", "id_b")
+    )

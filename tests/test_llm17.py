@@ -268,3 +268,70 @@ def test_rouge_overlap_equals_true_dp_lcs(spark, sf_dir):
         # the engine's 5-gram span coverage must equal the true DP LCS in
         # the block-extractive regime
         assert int(r["lcs_tokens"]) == _lcs_dp(words, cand), r["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# Image dHash dedup vs pure-python brute force
+# ---------------------------------------------------------------------------
+
+
+def _dhash_px(did: int):
+    import numpy as np
+
+    w, h = did % 31 + 2, did % 17 + 2
+    y, x = np.mgrid[0:h, 0:w]
+    return (3 * x + 2 * y + ((x * y) % 16) * 8).astype(np.int64)
+
+
+def _dhash(src):
+    import numpy as np
+
+    h, w = src.shape
+    yi = (np.arange(8) * h) // 8
+    xi = (np.arange(9) * w) // 9
+    grid = src[np.ix_(yi, xi)]
+    bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)
+    return tuple(
+        int((bits[2 * k : 2 * k + 2].reshape(-1) << np.arange(16)).sum())
+        for k in range(4)
+    )
+
+
+def test_image_phash_pairs_match_bruteforce(spark, sf_dir):
+    from pulsar_lunar_spark.session import load_table
+
+    dids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 0")
+        .select("doc_id")
+        .collect()
+    ]
+    hashes = {}
+    for did in dids:
+        hashes[f"m{did}"] = _dhash(_dhash_px(did))
+        if did % 15 == 0:
+            # +2 brightness: dHash compares neighbors, hash is identical
+            hashes[f"m{did}v"] = _dhash(_dhash_px(did) + 2)
+            assert hashes[f"m{did}v"] == hashes[f"m{did}"]
+    index = {}
+    for cid, hs in hashes.items():
+        for k, bv in enumerate(hs):
+            index.setdefault((k, bv), []).append(cid)
+    cand = set()
+    for members in index.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add(tuple(sorted((members[i], members[j]))))
+    expected = set()
+    for a, b in cand:
+        ham = sum(
+            bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b])
+        )
+        if ham <= 6:
+            expected.add((a, b, ham))
+    rows = all_queries()["q_image_phash_dedup"].fn(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"], int(r["hamming"])) for r in rows}
+    assert got == expected
+    planted = {(f"m{d}", f"m{d}v") for d in dids if d % 15 == 0}
+    assert planted <= {(a, b) for a, b, _ in got}

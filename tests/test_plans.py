@@ -58,6 +58,7 @@ PYTHON_OK = {
     # round-10 media curation: mapInPandas decode is the declared lane
     "q_scene_cuts",  # AVI decode + vectorized frame deltas
     "q_audio_fingerprint_dedup",  # WAV decode + vectorized Haar bands
+    "q_image_phash_dedup",  # BMP decode + vectorized dHash grid
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -352,6 +353,7 @@ EXCHANGE_BUDGETS = {
     # O(transitions)/O(windows) rows keyed by media/clip id
     "q_scene_cuts": (3, 1),  # per-vid agg + cut window + left join + sort
     "q_audio_fingerprint_dedup": (2, 1),  # (win,fp) postings self-join + pair agg
+    "q_image_phash_dedup": (3, 1),  # (band,value) postings self-join + distinct + sort
     # one (doc, gram) span equi-join + distinct-position count + pair join
     "q_rouge_overlap": (4, 1),
 }
