@@ -313,7 +313,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     # round-10 lifecycle-only refactor (trade_edges -> session.shared_spool:
     # applicationId cache key + build lock, ADVICE r9; plan unchanged)
     "q_pagerank_trade",
-    "q_hits_scores",
     "q_label_propagation",
+    # round-10 rewrite: conf-scoped eager run (partitions=4 + localized
+    # collect, the triangle pattern) over the shared-spool edges
+    "q_hits_scores",
 )
 
