@@ -121,6 +121,8 @@ HEADLINE = [
     "q_audio_fingerprint_dedup",
     "q_rouge_overlap",
     "q_image_phash_dedup",
+    "q_matryoshka_eval",
+    "q_ann_hubness",
 ]
 
 

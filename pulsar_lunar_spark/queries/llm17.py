@@ -567,3 +567,252 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval (MRL): does a prefix of the embedding
+# preserve the full-dimension ranking?
+# ---------------------------------------------------------------------------
+
+_MRL_K = 10
+_MRL_DIMS = (16, 32)
+_MRL_N_QUERIES = 4  # vec_id < 4, the kmeans/IVF anchor convention
+
+
+def _mrl_oracle() -> str:
+    per_dim = []
+    for d in _MRL_DIMS:
+        per_dim.append(
+            f"""
+    SELECT f.qid, CAST({d} AS BIGINT) AS trunc_dim,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS overlap{'' if d else ''}
+    FROM rf f LEFT JOIN r{d} t
+      ON f.qid = t.qid AND f.vec_id = t.vec_id AND t.rn <= {_MRL_K}
+    WHERE f.rn <= {_MRL_K}
+    GROUP BY f.qid"""
+        )
+    rank_ctes = ", ".join(
+        f"r{d} AS (SELECT qid, vec_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY qid ORDER BY s{d} DESC, vec_id) AS rn FROM sc)"
+        for d in _MRL_DIMS
+    )
+    dim_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN p.pos <= {d} THEN p.xk * a.qv ELSE 0 END)"
+        f" AS BIGINT) AS s{d}"
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))
+                   AS qk
+        FROM embeddings
+    ), pts AS (
+        SELECT vec_id, u.pos, u.xk
+        FROM (SELECT vec_id, UNNEST(qk) AS xk,
+                     GENERATE_SUBSCRIPTS(qk, 1) AS pos
+              FROM q) u
+    ), anchors AS MATERIALIZED (
+        SELECT vec_id AS qid, pos, xk AS qv FROM pts
+        WHERE vec_id < {_MRL_N_QUERIES}
+    ), sc AS MATERIALIZED (
+        SELECT a.qid, p.vec_id,
+               CAST(SUM(p.xk * a.qv) AS BIGINT) AS s_full,
+               {dim_sums}
+        FROM pts p JOIN anchors a USING (pos)
+        WHERE p.vec_id != a.qid
+        GROUP BY a.qid, p.vec_id
+    ), rf AS (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY s_full DESC, vec_id) AS rn FROM sc
+    ), {rank_ctes}
+    SELECT qid, trunc_dim, overlap AS overlap10
+    FROM ({" UNION ALL ".join(per_dim)})
+    ORDER BY qid, trunc_dim
+    """
+
+
+@register(
+    "q_matryoshka_eval",
+    oracle=_mrl_oracle(),
+    tags=("llm", "embeddings", "matryoshka", "ann", "eval"),
+)
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation eval (Kusupati et al. 2022): how much of
+    the FULL 64-dim nearest-neighbor ranking survives when vectors are
+    truncated to their first 16/32 dimensions — the go/no-go measurement
+    before serving truncated embeddings (the memory/latency lever every
+    MRL deployment pulls). For each anchor query (vec_id < 4, the
+    IVF/kmeans convention), top-10 overlap between the full-dot ranking
+    and each prefix-dot ranking, in exact kilo-quantized integer dot
+    products (the q_pca_power discipline) with a total (score DESC,
+    vec_id) tiebreak — rank-derived integers, hash-exact cross-engine.
+
+    Plan: ONE dims-exploded pass (the relational dim-matmul shape —
+    points explode by position, the 4x64 anchor side broadcasts) feeds a
+    single (qid, vec) aggregate computing the full dot AND every prefix
+    dot as conditional sums (the nprobe-sweep lesson: score once,
+    aggregate per config — never re-scan per truncation); the three
+    rankings are windows over the same qid-partitioned exchange, and
+    overlaps are top-10-row joins. At 100 TB: O(N·dims) exchange, then
+    everything is query-count-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qk = F.expr(
+        "transform(cast(embedding as array<double>),"
+        " x -> cast(floor(x * 1000 + 0.5) as bigint))"
+    )
+    pts = emb.select("vec_id", qk.alias("qk")).select(
+        "vec_id", F.posexplode("qk").alias("pos0", "xk")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xk")
+    anchors = pts.filter(F.col("vec_id") < _MRL_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("xk").alias("qv")
+    )
+    # ONE qid-keyed exchange serves everything downstream: the
+    # repartition BEFORE the aggregate satisfies the (qid, vec) groupBy
+    # (subset rule), all THREE rank windows, and the final per-qid
+    # overlap aggregate — without it each window re-derived the whole
+    # dims-exploded join (17 exchanges -> 3).
+    sc = (
+        pts.join(F.broadcast(anchors), "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .repartition("qid")
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("xk") * F.col("qv")).cast("long").alias("s_full"),
+            *[
+                F.sum(
+                    F.when(F.col("pos") <= d, F.col("xk") * F.col("qv"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias(f"s{d}")
+                for d in _MRL_DIMS
+            ],
+        )
+    )
+    from pyspark.sql.window import Window
+
+    def rank_col(score_col: str):
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(score_col), F.asc("vec_id")
+        )
+        return F.row_number().over(w)
+
+    ranked = sc.select(
+        "qid",
+        rank_col("s_full").alias("rn_full"),
+        *[rank_col(f"s{d}").alias(f"rn{d}") for d in _MRL_DIMS],
+    )
+    # overlap@10 = rows inside BOTH top-10s — a conditional count, no
+    # top-10 self-joins; dims unfold via stack on the 4-row aggregate
+    ov = ranked.groupBy("qid").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rn_full") <= _MRL_K) & (F.col(f"rn{d}") <= _MRL_K),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"ov{d}")
+            for d in _MRL_DIMS
+        ]
+    )
+    stack_expr = ", ".join(f"{d}L, ov{d}" for d in _MRL_DIMS)
+    return (
+        ov.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.expr(
+                f"stack({len(_MRL_DIMS)}, {stack_expr})"
+                " as (trunc_dim, overlap10)"
+            ),
+        )
+        .orderBy("qid", "trunc_dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN hubness audit: k-occurrence skew of the retrieval graph
+# ---------------------------------------------------------------------------
+
+_HUB_K = 10
+_HUB_TOPN = 20
+_HUB_QUERY_MOD = 10  # every 10th vector queries — a corpus-proportional sample
+
+
+def _hubness_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % {_HUB_QUERY_MOD} = 0
+    ), scored AS (
+        SELECT q_id, vec_id,
+               ROUND(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]), qv)
+                     / (SQRT(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+                        * SQRT(LIST_INNER_PRODUCT(qv, qv))), 6) AS cosine_sim
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id != q_id
+    ), knn AS MATERIALIZED (
+        SELECT q_id, vec_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine_sim DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= {_HUB_K}
+    )
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occurrence
+    FROM knn GROUP BY vec_id
+    ORDER BY k_occurrence DESC, vec_id
+    LIMIT {_HUB_TOPN}
+    """
+
+
+@register(
+    "q_ann_hubness",
+    oracle=_hubness_oracle(),
+    tags=("llm", "embeddings", "ann", "hubness", "eval"),
+)
+def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the retrieval graph (Radovanović et al. 2010):
+    how often each corpus vector appears in other vectors' top-10 —
+    high-dimensional similarity search concentrates retrieval onto a few
+    "hub" points, which silently dominate RAG contexts and kNN labels;
+    the k-occurrence leaderboard is the measurement a retrieval stack
+    checks before trusting its neighbor lists. Queries are a
+    corpus-proportional sample (every 10th vector, self excluded);
+    ranking is the q_knn_join lane verbatim — round-6 cosine with a
+    (score DESC, vec_id) total tiebreak, so the k-occurrence counts are
+    rank-derived integers, hash-exact cross-engine.
+
+    Plan: ONE Arrow GEMM pass (similarity.knn_join_gemm — each corpus
+    partition computes normalized C·Qᵀ in one BLAS call and keeps its
+    LOCAL top-k per query, shuffling O(partitions·|Q|·k) rows, never the
+    |Q|·n score table), then a vec_id count + TakeOrdered head. The
+    collected query batch is the documented bound — at 100 TB the query
+    sample shards into GEMM blocks (the SemDeDup cell shape)."""
+    from pulsar_lunar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _HUB_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    knn = S.knn_join_gemm(queries, emb, k=_HUB_K + 1).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    # k+1 then drop self: self is always rank 1 at cosine 1.0, so the
+    # remaining 10 are exactly the oracle's self-excluded top-10
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    top = knn.select(
+        "q_id", "vec_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _HUB_K)
+    return (
+        top.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_occurrence"))
+        .orderBy(F.desc("k_occurrence"), F.asc("vec_id"))
+        .limit(_HUB_TOPN)
+    )

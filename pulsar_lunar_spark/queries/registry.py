@@ -304,6 +304,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_audio_fingerprint_dedup",
     "q_rouge_overlap",
     "q_image_phash_dedup",
+    "q_matryoshka_eval",
+    "q_ann_hubness",
     # round-10 rewrites: the LM family now trains once per process via the
     # shared n-gram type/model spools (corpus.ngram_types /
     # kn_bigram_model — the trade_edges pattern, r9 VERDICT #2)

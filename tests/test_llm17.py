@@ -335,3 +335,80 @@ def test_image_phash_pairs_match_bruteforce(spark, sf_dir):
     assert got == expected
     planted = {(f"m{d}", f"m{d}v") for d in dids if d % 15 == 0}
     assert planted <= {(a, b) for a, b, _ in got}
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka eval + hubness vs numpy brute force
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_eval_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from pulsar_lunar_spark.session import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    mat = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    expected = set()
+    for qid in range(4):
+        qv = mat[ids == qid][0]
+
+        def topk(dims):
+            s = mat[:, :dims] @ qv[:dims]
+            mask = ids != qid
+            cand = sorted(
+                zip(-s[mask], ids[mask])
+            )  # score desc, vec_id asc
+            return {int(v) for _, v in cand[:10]}
+
+        full = topk(64)
+        for d in (16, 32):
+            expected.add((qid, d, len(full & topk(d))))
+    got = {
+        (int(r["qid"]), int(r["trunc_dim"]), int(r["overlap10"]))
+        for r in all_queries()["q_matryoshka_eval"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_ann_hubness_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from pulsar_lunar_spark.session import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array(sorted(int(r["vec_id"]) for r in rows))
+    by_id = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in rows}
+    mat = np.stack([by_id[i] for i in ids])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    counts: dict[int, int] = {}
+    for qid in ids[ids % 10 == 0]:
+        qv = by_id[int(qid)]
+        cos = np.round(
+            (mat @ qv) / (norms * np.sqrt((qv * qv).sum())), 6
+        )
+        mask = ids != qid
+        cand = sorted(zip(-cos[mask], ids[mask]))[:10]
+        for _, v in cand:
+            counts[int(v)] = counts.get(int(v), 0) + 1
+    expected = sorted(
+        ((v, c) for v, c in counts.items()), key=lambda t: (-t[1], t[0])
+    )[:20]
+    got = [
+        (int(r["vec_id"]), int(r["k_occurrence"]))
+        for r in all_queries()["q_ann_hubness"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected

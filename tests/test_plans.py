@@ -59,6 +59,7 @@ PYTHON_OK = {
     "q_scene_cuts",  # AVI decode + vectorized frame deltas
     "q_audio_fingerprint_dedup",  # WAV decode + vectorized Haar bands
     "q_image_phash_dedup",  # BMP decode + vectorized dHash grid
+    "q_ann_hubness",  # GEMM lane (knn_join_gemm), same as q_knn_join
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -354,6 +355,10 @@ EXCHANGE_BUDGETS = {
     "q_scene_cuts": (3, 1),  # per-vid agg + cut window + left join + sort
     "q_audio_fingerprint_dedup": (2, 1),  # (win,fp) postings self-join + pair agg
     "q_image_phash_dedup": (3, 1),  # (band,value) postings self-join + distinct + sort
+    # one qid-clustered exchange shared by the (qid,vec) agg, all three
+    # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
+    "q_matryoshka_eval": (2, 1),
+    "q_ann_hubness": (2, 0),  # GEMM local top-k + global window + count + TOAP
     # one (doc, gram) span equi-join + distinct-position count + pair join
     "q_rouge_overlap": (4, 1),
 }
