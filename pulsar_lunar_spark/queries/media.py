@@ -638,7 +638,7 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "scenes",
         lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
     )
-    deltas = M.frame_deltas(vids)
+    deltas = M.frame_deltas(vids).filter(F.col("decode_ok"))
     from pyspark.sql.window import Window
 
     per_vid = deltas.groupBy("media_id").agg(
