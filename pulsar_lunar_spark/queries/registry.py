@@ -319,5 +319,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     # round-10 rewrite: conf-scoped eager run (partitions=4 + localized
     # collect, the triangle pattern) over the shared-spool edges
     "q_hits_scores",
+    # round-10 rewrites: the r9 verdict's remaining perf/hardening items
+    "q_conformal_threshold",  # two-pass bucketed order statistic + loss spool
+    "q_setsim_prefix_join",   # window-form df + process-shared shingle spool
+    "q_ivf_nprobe_sweep",     # countDistinct matches the oracle's expression form
 )
 
