@@ -258,7 +258,10 @@ def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_LR_BUCKETS).cast("long").alias("b"),
             F.lit(_LR_BIAS_CNT).cast("long").alias("cnt"),
         )
-        return counts.unionByName(bias)
+        # 8 spool files, not 32+: five passes per call re-read this
+        # artifact, and per-stage task-scheduling floors scale with file
+        # count on a ~100 k-row table (same-session A/B: 3.67 -> 3.21 s)
+        return counts.unionByName(bias).repartition(8)
 
     feats = shared_spool(spark, sf_dir, "pulsar_lunar_lr_feats", feats_build)
 
