@@ -15,7 +15,13 @@ multimodal-curation asks from the r9 verdict —
   SimHash — near-duplicate audio detection;
 - scene-cut detection (``q_scene_cuts``): frame-delta thresholds +
   gaps-and-islands over the AVI frame lane — shot segmentation, the
-  first step of any video curation pipeline.
+  first step of any video curation pipeline (lives in queries/media.py
+  with the image dHash dedup, next to the other media lanes);
+- Matryoshka truncation eval (``q_matryoshka_eval``): top-10 overlap
+  between the full-dimension and prefix-dimension neighbor rankings —
+  the go/no-go measurement before serving truncated MRL embeddings;
+- ANN hubness audit (``q_ann_hubness``): k-occurrence skew of the
+  retrieval graph — the hub-domination check before trusting kNN lists.
 
 Determinism discipline: the llm13-16 rules (integer ppm/micro BIGINT,
 sign-separated division, EXP/LN at clamped micro floors written in the
