@@ -316,8 +316,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     # applicationId cache key + build lock, ADVICE r9; plan unchanged)
     "q_pagerank_trade",
     "q_label_propagation",
-    # round-10 rewrite: conf-scoped eager run (partitions=4 + localized
-    # collect, the triangle pattern) over the shared-spool edges
+    # round-10: shared_spool lifecycle + a documented NEGATIVE result
+    # (per-call conf scoping reverted after an interleaved A/B)
     "q_hits_scores",
     # round-10 rewrites: the r9 verdict's remaining perf/hardening items
     "q_conformal_threshold",  # two-pass bucketed order statistic + loss spool
