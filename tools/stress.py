@@ -538,6 +538,52 @@ def probes(spark, sf_dir: str, mult: int):
             .collect()
         )
 
+    def lr_gradient_epoch_shape():
+        # one full-batch GD epoch of q_train_quality_lr's exact shape over
+        # the multiplied corpus: hashed-feature explode -> doc-partitioned
+        # window logit with a 65-literal weight array -> integer sigmoid
+        # err -> 65-row gradient aggregate. Linearity proves the per-epoch
+        # cost is O(doc-bucket rows) data movement — the local wall is
+        # driver-synchronized job floors, not the pass itself.
+        from pyspark.sql import Window
+
+        from pulsar_lunar_spark.operators.corpus import md5_int
+        from pulsar_lunar_spark.operators.dedup import normalize_text
+
+        words = F.filter(
+            F.split(normalize_text(F.col("text")), " "),
+            lambda x: F.length(x) > 0,
+        )
+        lab = docs.select(
+            "doc_id",
+            F.when(F.size(words) >= 56, 1).otherwise(0).cast("long").alias("y"),
+            words.alias("__w"),
+        )
+        tok = lab.select("doc_id", "y", F.explode("__w").alias("__word")).select(
+            "doc_id", "y", (md5_int(F.col("__word")) % 64).alias("b")
+        )
+        feats = tok.groupBy("doc_id", "y", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        arr = F.array(*[F.lit((37 * i) % 201 - 100).cast("long") for i in range(65)])
+        w_doc = Window.partitionBy("doc_id")
+        lg = F.sum(
+            F.element_at(arr, (F.col("b") + 1).cast("int")) * F.col("cnt")
+        ).over(w_doc).cast("long")
+        p = F.expr(
+            "1000000000000L div (1000000L + cast(floor("
+            "exp((0 - cast(least(greatest(lg, -13000000L), 13000000L)"
+            " as double)) / 1000000.0) * 1000000 + 0.5) as long))"
+        )
+        return (
+            feats.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "y", "b", "cnt", lg.alias("lg"))
+            .select("b", "cnt", (p - 1_000_000 * F.col("y")).alias("err"))
+            .groupBy("b")
+            .agg(F.sum(F.col("err") * F.col("cnt")).cast("long").alias("g"))
+            .collect()
+        )
+
     def max_dup_span_shape():
         # maximal-duplicate-span pipeline (q_max_dup_span): copies have
         # IDENTICAL text under disjoint doc_ids, so every span's doc-set
@@ -689,6 +735,7 @@ def probes(spark, sf_dir: str, mult: int):
         "backoff_score_stream": backoff_score_shape,
         "containment_dfcap": containment_shape,
         "conformal_order_stat": conformal_order_stat_shape,
+        "lr_gradient_epoch": lr_gradient_epoch_shape,
     }
 
 
