@@ -123,6 +123,7 @@ HEADLINE = [
     "q_image_phash_dedup",
     "q_matryoshka_eval",
     "q_ann_hubness",
+    "q_audio_silence_segments",
 ]
 
 

@@ -872,3 +872,46 @@ def image_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
     return df.filter(F.col("media_type") == "image").mapInPandas(
         _dh, schema=IMAGE_DHASH_SCHEMA
     )
+
+
+#: Output schema of windowed audio energy extraction (VAD input).
+AUDIO_ENERGY_SCHEMA = (
+    "media_id string, win_index int, n_windows int, energy long, "
+    "decode_ok boolean"
+)
+
+
+def audio_window_energy(df: DataFrame, window: int = 32) -> DataFrame:
+    """Windowed audio energy over REAL WAV content: the exact integer
+    sum of absolute sample values per non-overlapping ``window``-sample
+    block — the voice-activity-detection input (silence = windows under
+    an energy threshold; gaps-and-islands assembly happens relationally
+    downstream, mirroring the video lane's scene cuts). Map-only Arrow
+    stage; all integer, so a SQL oracle replays it from closed-form
+    fixtures value-for-value."""
+
+    def _en(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    s = decode_wav_samples(content)
+                except (ValueError, NotImplementedError):
+                    rows.append((mid, -1, -1, -1, False))
+                    continue
+                n_w = len(s) // window
+                e = np.abs(s[: n_w * window].reshape(n_w, window)).sum(axis=1)
+                for w_i in range(n_w):
+                    rows.append((mid, w_i, n_w, int(e[w_i]), True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "win_index", "n_windows", "energy",
+                    "decode_ok",
+                ],
+            )
+
+    return df.filter(F.col("media_type") == "audio").mapInPandas(
+        _en, schema=AUDIO_ENERGY_SCHEMA
+    )

@@ -1054,3 +1054,137 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation (voice-activity-detection shape)
+# ---------------------------------------------------------------------------
+
+_VAD_ENERGY_THR = 100  # silent when window |s|-sum < 100 (speech ~ 1600)
+
+
+def _vad_oracle() -> str:
+    # closed-form clip: same signal family as the fingerprint fixture
+    # (did*i cross term keeps clips distinct) with PLANTED silence —
+    # samples zeroed over window 2 (i in [64, 96)) always, and window 4
+    # (i in [128, 160)) when the clip is long enough
+    return f"""
+    WITH aud AS (
+        SELECT doc_id, doc_id % 128 + 96 AS n FROM documents
+        WHERE doc_id % 3 = 1
+    ), samples AS (
+        SELECT 'm' || doc_id AS media_id, n, i // 32 AS win,
+               CASE WHEN (i >= 64 AND i < 96) OR (i >= 128 AND i < 160)
+                    THEN 0
+                    ELSE (doc_id * 7919 + 7 * i * i + doc_id * i) % 20011
+                         % 201 - 100 END AS s,
+               i
+        FROM (SELECT doc_id, n, UNNEST(RANGE(0, n)) AS i FROM aud)
+        WHERE i // 32 < n // 32
+    ), wins AS MATERIALIZED (
+        SELECT media_id, CAST(n // 32 AS BIGINT) AS n_windows, win,
+               CAST(SUM(ABS(s)) AS BIGINT) AS energy
+        FROM samples GROUP BY media_id, n, win
+    ), speech AS (
+        SELECT media_id, n_windows, win,
+               win - ROW_NUMBER() OVER (PARTITION BY media_id
+                                        ORDER BY win) AS grp
+        FROM wins WHERE energy >= {_VAD_ENERGY_THR}
+    ), segs AS (
+        SELECT media_id, ANY_VALUE(n_windows) AS n_windows, grp,
+               CAST(COUNT(*) AS BIGINT) AS seg_len
+        FROM speech GROUP BY media_id, grp
+    )
+    SELECT media_id,
+           CAST(ANY_VALUE(n_windows) AS BIGINT) AS n_windows,
+           CAST(ANY_VALUE(n_windows) - SUM(seg_len) AS BIGINT) AS n_silent,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_speech_windows
+    FROM segs GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+@register(
+    "q_audio_silence_segments",
+    oracle=_vad_oracle(),
+    tags=("multimodal", "audio", "vad", "islands", "segmentation"),
+)
+def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over REAL WAV content — the voice-activity-
+    detection preprocessing every speech-dataset pipeline runs before
+    transcription or chunking: exact integer window energies
+    (multimodal.audio_window_energy), an energy threshold marks silent
+    windows, and speech segments assemble through the gaps-and-islands
+    discipline (the audio twin of q_scene_cuts). The fixture plants one
+    or two 32-sample silent gaps per clip at known offsets; the oracle
+    recomputes the energies analytically from doc_id — any decode error
+    (RIFF offsets, sample widths, window framing) shifts an energy and
+    breaks the hash.
+
+    Scale: decode+energy is map-only Arrow (bytes cross once per batch);
+    the relational tail shuffles O(windows) rows keyed by media_id, and
+    every per-clip statistic is window-count bounded."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 1)
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 128 + 96
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + 7 * i * i + did * i) % 20011 % 201 - 100)
+                s[64:96] = 0
+                s[128:160] = 0  # no-op slice when n < 160 past the end
+                rows.append(
+                    (f"m{did}", "audio",
+                     M.encode_wav(s.astype(np.int16), rate=1000),
+                     "wav", None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    clips = _materialized(
+        spark, sf_dir, "vad",
+        lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
+    )
+    wins = M.audio_window_energy(clips, window=32).filter(F.col("decode_ok"))
+    from pyspark.sql.window import Window
+
+    speech = wins.filter(F.col("energy") >= _VAD_ENERGY_THR).select(
+        "media_id",
+        "n_windows",
+        "win_index",
+        (
+            F.col("win_index")
+            - F.row_number().over(
+                Window.partitionBy("media_id").orderBy("win_index")
+            )
+        ).alias("grp"),
+    )
+    segs = speech.groupBy("media_id", "grp").agg(
+        F.first("n_windows").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("seg_len"),
+    )
+    return (
+        segs.groupBy("media_id")
+        .agg(
+            F.first("n_windows").cast("long").alias("n_windows"),
+            (F.first("n_windows") - F.sum("seg_len"))
+            .cast("long")
+            .alias("n_silent"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.max("seg_len").cast("long").alias("longest_speech_windows"),
+        )
+        .orderBy("media_id")
+    )

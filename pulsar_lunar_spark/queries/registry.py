@@ -306,6 +306,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_image_phash_dedup",
     "q_matryoshka_eval",
     "q_ann_hubness",
+    "q_audio_silence_segments",
     # round-10 rewrites: the LM family now trains once per process via the
     # shared n-gram type/model spools (corpus.ngram_types /
     # kn_bigram_model — the trade_edges pattern, r9 VERDICT #2)

@@ -412,3 +412,66 @@ def test_ann_hubness_matches_bruteforce(spark, sf_dir):
         for r in all_queries()["q_ann_hubness"].fn(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation vs pure-python brute force
+# ---------------------------------------------------------------------------
+
+
+def test_audio_silence_segments_match_bruteforce(spark, sf_dir):
+    from pulsar_lunar_spark.session import load_table
+
+    dids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 1")
+        .select("doc_id")
+        .collect()
+    ]
+    expected = {}
+    for did in dids:
+        n = did % 128 + 96
+        s = [
+            0
+            if (64 <= i < 96) or (128 <= i < 160)
+            else ((did * 7919 + 7 * i * i + did * i) % 20011) % 201 - 100
+            for i in range(n)
+        ]
+        n_w = n // 32
+        energies = [
+            sum(abs(x) for x in s[w * 32 : (w + 1) * 32]) for w in range(n_w)
+        ]
+        flags = [e >= 100 for e in energies]
+        segs = []
+        run = 0
+        for f in flags + [False]:
+            if f:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        expected[f"m{did}"] = (
+            n_w,
+            n_w - sum(segs),
+            len(segs),
+            max(segs),
+        )
+    rows = (
+        all_queries()["q_audio_silence_segments"].fn(spark, sf_dir).collect()
+    )
+    got = {
+        r["media_id"]: (
+            int(r["n_windows"]),
+            int(r["n_silent"]),
+            int(r["n_segments"]),
+            int(r["longest_speech_windows"]),
+        )
+        for r in rows
+    }
+    assert got == expected
+    # every clip has at least one planted silent window; clips with five
+    # or more windows split around the mid-clip gap into >= 2 segments
+    # (3-window clips end ON the silent window -> a single segment)
+    assert all(v[1] >= 1 for v in got.values())
+    assert all(v[2] >= 2 for v in got.values() if v[0] >= 5)

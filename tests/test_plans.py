@@ -60,6 +60,7 @@ PYTHON_OK = {
     "q_audio_fingerprint_dedup",  # WAV decode + vectorized Haar bands
     "q_image_phash_dedup",  # BMP decode + vectorized dHash grid
     "q_ann_hubness",  # GEMM lane (knn_join_gemm), same as q_knn_join
+    "q_audio_silence_segments",  # WAV decode + vectorized window energies
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -359,6 +360,7 @@ EXCHANGE_BUDGETS = {
     # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
     "q_matryoshka_eval": (2, 1),
     "q_ann_hubness": (2, 0),  # GEMM local top-k + global window + count + TOAP
+    "q_audio_silence_segments": (3, 0),  # media-keyed islands window + 2 rollups
     # one (doc, gram) span equi-join + distinct-position count + pair join
     "q_rouge_overlap": (4, 1),
 }
