@@ -228,6 +228,12 @@ _DRIVER_CONFIRMED = frozenset(
         "q_source_attribution", "q_conformal_threshold", "q_partition_ari",
         "q_source_kl", "q_watermark_detect", "q_fleiss_kappa",
         "q_ivf_nprobe_sweep",
+        # round 10 (CORRECTNESS_r10.json, 50/50 green — 8 additions, 9
+        # rewrites re-confirmed via the _NEWEST_FIRST override, 33
+        # re-confirmations; ledger stays closed at 322)
+        "q_train_quality_lr", "q_scene_cuts", "q_audio_fingerprint_dedup",
+        "q_rouge_overlap", "q_image_phash_dedup", "q_matryoshka_eval",
+        "q_ann_hubness", "q_audio_silence_segments",
     }
 )
 
@@ -296,33 +302,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # CORRECTNESS_r{N} greens into _DRIVER_CONFIRMED and clear/refill this
 # tuple with the new round's names.
 _NEWEST_FIRST: tuple[str, ...] = (
-    # round-10 additions and rewrites (each entry is registered with oracle
+    # round-11 additions and rewrites (each entry is registered with oracle
     # + tests + plan budget + three-scale parity before the driver sees it)
-    # round-10 additions (llm17/media: the r9 verdict's curation batch)
-    "q_train_quality_lr",
-    "q_scene_cuts",
-    "q_audio_fingerprint_dedup",
-    "q_rouge_overlap",
-    "q_image_phash_dedup",
-    "q_matryoshka_eval",
-    "q_ann_hubness",
-    "q_audio_silence_segments",
-    # round-10 rewrites: the LM family now trains once per process via the
-    # shared n-gram type/model spools (corpus.ngram_types /
-    # kn_bigram_model — the trade_edges pattern, r9 VERDICT #2)
-    "q_kn_doc_surprisal",  # model spool + unhinted AQE join + no ensure_parallelism
-    "q_kneser_ney",        # TakeOrdered head over the spooled KN model
-    "q_stupid_backoff",    # per-call trigram spool -> process-shared ngram_types
-    # round-10 lifecycle-only refactor (trade_edges -> session.shared_spool:
-    # applicationId cache key + build lock, ADVICE r9; plan unchanged)
-    "q_pagerank_trade",
-    "q_label_propagation",
-    # round-10: shared_spool lifecycle + a documented NEGATIVE result
-    # (per-call conf scoping reverted after an interleaved A/B)
-    "q_hits_scores",
-    # round-10 rewrites: the r9 verdict's remaining perf/hardening items
-    "q_conformal_threshold",  # two-pass bucketed order statistic + loss spool
-    "q_setsim_prefix_join",   # window-form df + process-shared shingle spool
-    "q_ivf_nprobe_sweep",     # countDistinct matches the oracle's expression form
+    # filled in as round-11 work lands.
 )
 
