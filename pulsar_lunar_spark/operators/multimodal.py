@@ -632,6 +632,12 @@ def frame_deltas(df: DataFrame) -> DataFrame:
                 except (ValueError, NotImplementedError):
                     rows.append((mid, -1, -1, -1, -1, False))
                     continue
+                if len(frames) < 2:
+                    # A valid clip with <2 frames has no transitions; emit
+                    # the sentinel so the clip stays visible downstream
+                    # instead of silently vanishing from per-video aggs.
+                    rows.append((mid, -1, -1, -1, -1, False))
+                    continue
                 stack = np.stack(frames).astype(np.int64)
                 deltas = np.abs(np.diff(stack, axis=0)).sum(axis=(1, 2))
                 for t, d in enumerate(deltas, start=1):
@@ -849,8 +855,9 @@ def image_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
                 try:
-                    src = decode_bmp_pixels(bytes(content))
+                    src = decode_bmp_pixels(content)
                 except (ValueError, NotImplementedError):
                     out.append((mid, -1, -1, -1, -1, False))
                     continue

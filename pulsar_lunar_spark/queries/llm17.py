@@ -290,9 +290,12 @@ def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # n_train is a property of the spooled feature table — count it once
-    # per (process, spool), not once per call (one whole Spark job).
+    # per (process, spool), not once per call (one whole Spark job). Key
+    # on the FULL versioned slot path (drop only the filename): a rebuilt
+    # spool (new session/applicationId, or a regenerated dataset) lands in
+    # a new slot and naturally recounts (ADVICE r10).
     spool_tag = (
-        feats.inputFiles()[0].rsplit("/", 2)[0] if feats.inputFiles() else sf_dir
+        feats.inputFiles()[0].rsplit("/", 1)[0] if feats.inputFiles() else sf_dir
     )
     n_train = _LR_NTRAIN_CACHE.get(spool_tag)
     if n_train is None:
@@ -313,47 +316,51 @@ def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = [0] * (_LR_BUCKETS + 1)
     epoch_weights: list[list[int]] = []
     # The gradient jobs reduce to 65 rows — 32 shuffle partitions are
-    # pure task overhead. Conf-scoped + eager per-epoch collects, conf
-    # restored in finally (the q_triangle_count r8 pattern). A doc-keyed
-    # persist across epochs measured a WASH (the per-epoch cost is job
-    # scheduling floor, not the exchange — window form 0.52 s vs plain
-    # agg 0.23 s on 100k spool rows at sf0.1) and added cache lifecycle;
-    # this stays the plain spool-scan loop.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    train = feats.filter(F.col("doc_id") % 2 == 0)
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        for epoch in range(_LR_EPOCHS):
-            if epoch == 0:
-                # w0 = 0 => every logit is exactly 0, p is exactly 500000
-                # ppm: the first gradient needs no per-doc pass at all —
-                # the same integers the generic path produces, one
-                # window-stage cheaper.
-                scored = train.select(
-                    "b", "cnt", (500_000 - 1_000_000 * F.col("y")).alias("err")
-                )
-            else:
-                scored = train.select(
-                    "doc_id", "y", "b", "cnt", logit_win(weights).alias("lg")
-                ).select(
-                    "b",
-                    "cnt",
-                    (F.expr(p_sql) - 1_000_000 * F.col("y")).alias("err"),
-                )
-            grad_rows = (
-                scored.groupBy("b")
-                .agg(F.sum(F.col("err") * F.col("cnt")).cast("long").alias("g"))
-                .collect()
+    # pure task overhead. The 8-partition override runs on a CLONED
+    # session (isolated SQLConf, shared SparkContext) reading the spool
+    # parquet directly, so concurrent queries on the caller's session
+    # (threaded parity/bench harness) never plan against the flipped conf
+    # (ADVICE r10 — the finally-restore only protected sequential
+    # callers). A doc-keyed persist across epochs measured a WASH (the
+    # per-epoch cost is job scheduling floor, not the exchange — window
+    # form 0.52 s vs plain agg 0.23 s on 100k spool rows at sf0.1) and
+    # added cache lifecycle; this stays the plain spool-scan loop.
+    eng = spark.newSession()
+    eng.conf.set("spark.sql.shuffle.partitions", "8")
+    eng.conf.set("spark.sql.session.timeZone", "UTC")
+    eng_feats = (
+        eng.read.parquet(spool_tag) if feats.inputFiles() else feats
+    )
+    train = eng_feats.filter(F.col("doc_id") % 2 == 0)
+    for epoch in range(_LR_EPOCHS):
+        if epoch == 0:
+            # w0 = 0 => every logit is exactly 0, p is exactly 500000
+            # ppm: the first gradient needs no per-doc pass at all —
+            # the same integers the generic path produces, one
+            # window-stage cheaper.
+            scored = train.select(
+                "b", "cnt", (500_000 - 1_000_000 * F.col("y")).alias("err")
             )
-            grads = {int(r["b"]): int(r["g"]) for r in grad_rows}
-            weights = [
-                weights[b]
-                - tdiv(tdiv(_LR_ETA * grads.get(b, 0), n_train), 1_000_000)
-                for b in range(_LR_BUCKETS + 1)
-            ]
-            epoch_weights.append(list(weights))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        else:
+            scored = train.select(
+                "doc_id", "y", "b", "cnt", logit_win(weights).alias("lg")
+            ).select(
+                "b",
+                "cnt",
+                (F.expr(p_sql) - 1_000_000 * F.col("y")).alias("err"),
+            )
+        grad_rows = (
+            scored.groupBy("b")
+            .agg(F.sum(F.col("err") * F.col("cnt")).cast("long").alias("g"))
+            .collect()
+        )
+        grads = {int(r["b"]): int(r["g"]) for r in grad_rows}
+        weights = [
+            weights[b]
+            - tdiv(tdiv(_LR_ETA * grads.get(b, 0), n_train), 1_000_000)
+            for b in range(_LR_BUCKETS + 1)
+        ]
+        epoch_weights.append(list(weights))
 
     w_fixed = [
         int(

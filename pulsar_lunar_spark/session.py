@@ -216,29 +216,63 @@ def sf_cache_tag(sf_dir: str) -> str:
     return f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{digest}-{os.getpid()}"
 
 
-_SHARED_SPOOLS: dict[tuple[str, str, str], str] = {}
-# RLock, not Lock: a spool build may itself consume another shared spool
-# (kn_bigram_model builds from ngram_types) — re-entry from the owning
-# thread must not deadlock, while cold-cache races across threads still
-# serialize on one build.
-_SHARED_SPOOL_LOCK = threading.RLock()
+_SHARED_SPOOLS: dict[tuple[str, str, str, str], str] = {}
+# Registry guard only (dict mutations); each spool key gets its OWN build
+# lock so two threads cold-building UNRELATED spools never serialize on
+# each other (ADVICE r10). Per-key locks are RLocks: a spool build may
+# consume its OWN kind only never, but same-key re-entry from the owning
+# thread must not deadlock; cross-kind builds (kn_bigram_model consumes
+# ngram_types) take a DIFFERENT key's lock — safe because the kind
+# dependency graph is acyclic by construction.
+_SHARED_SPOOL_LOCK = threading.Lock()
+_SHARED_SPOOL_KEYLOCKS: dict[tuple[str, str, str, str], threading.RLock] = {}
+
+
+def _dataset_stamp(sf_dir: str) -> str:
+    """Content-identity stamp for a dataset dir: digest of every
+    *.parquet entry's (name, mtime_ns, size). A dataset regenerated IN
+    PLACE at the same path gets a new stamp, so spools keyed on it
+    rebuild instead of silently serving stale derived artifacts."""
+    import hashlib
+
+    real = os.path.realpath(sf_dir)
+    parts = []
+    try:
+        for name in sorted(os.listdir(real)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(real, name))
+                parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def shared_spool(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
-    """Per-(session, dataset, process) materialized fixture table: run
-    ``build() -> DataFrame`` ONCE, spool it to tmpfs parquet, and hand every
-    caller ``spark.read.parquet(path)`` — the `trade_edges` pattern
+    """Per-(session, dataset-content, process) materialized fixture table:
+    run ``build() -> DataFrame`` ONCE, spool it to tmpfs parquet, and hand
+    every caller ``spark.read.parquet(path)`` — the `trade_edges` pattern
     (build an artifact once, run N operators over it; exactly the at-scale
     shape where the shared table is materialized, not a per-query subplan).
 
     Key includes the Spark applicationId, mirroring _TABLE_CACHE's
     invalidation convention: a restarted session in the same process
-    rebuilds rather than serving plans bound to a dead context (ADVICE r9).
-    The build runs under a module lock so two driver threads hitting a cold
-    cache cannot both pay the build pipeline (ADVICE r9). The pid lives in
-    the on-disk path via sf_cache_tag (concurrent harness isolation)."""
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), kind)
+    rebuilds rather than serving plans bound to a dead context (ADVICE r9),
+    AND a dataset content stamp (mtime+size digest of the sf_dir's parquet
+    entries): the spool freezes a DERIVED artifact, so a dataset
+    regenerated in place must invalidate it (ADVICE r10). The build runs
+    under a PER-KEY lock — cold builds of unrelated kinds/datasets proceed
+    concurrently; only same-key racers serialize on one build. The pid
+    lives in the on-disk path via sf_cache_tag (concurrent harness
+    isolation)."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _dataset_stamp(sf_dir),
+        kind,
+    )
     with _SHARED_SPOOL_LOCK:
+        keylock = _SHARED_SPOOL_KEYLOCKS.setdefault(key, threading.RLock())
+    with keylock:
         path = _SHARED_SPOOLS.get(key)
         if path is None or not os.path.isdir(path):
             path = versioned_slot(scratch_root(kind, sf_dir), "spool")
