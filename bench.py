@@ -124,6 +124,9 @@ HEADLINE = [
     "q_matryoshka_eval",
     "q_ann_hubness",
     "q_audio_silence_segments",
+    # round-11 additions (continuous-pipeline batch)
+    "q_stream_ingest_dedup",
+    "q_video_neardup",
 ]
 
 

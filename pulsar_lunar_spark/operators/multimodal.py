@@ -836,6 +836,24 @@ IMAGE_DHASH_SCHEMA = (
 )
 
 
+def _dhash_bands(src: "np.ndarray", rows: int = 8, cols: int = 9) -> list[int]:
+    """dHash band integers from a 2-D pixel array: NN-resample to
+    rows x cols (src[(i*h)//rows, (j*w)//cols]), one bit per horizontally
+    adjacent pair (left < right), packed into rows//2 16-bit band ints —
+    shared by the image lane (image_dhash) and the video shot-signature
+    lane (video_frame_dhash); exact integer indexing and comparisons."""
+    h, w = src.shape
+    yi = (np.arange(rows) * h) // rows
+    xi = (np.arange(cols) * w) // cols
+    grid = src[np.ix_(yi, xi)].astype(np.int64)
+    bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)
+    bands = []
+    for k in range(rows // 2):
+        pair = bits[2 * k : 2 * k + 2].reshape(-1)
+        bands.append(int((pair << np.arange(pair.size)).sum()))
+    return bands
+
+
 def image_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
     """Perceptual difference-hash (dHash) over REAL BMP content: decode
     pixels, nearest-neighbor resample to rows x cols (the same integer
@@ -861,16 +879,7 @@ def image_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
                 except (ValueError, NotImplementedError):
                     out.append((mid, -1, -1, -1, -1, False))
                     continue
-                h, w = src.shape
-                yi = (np.arange(rows) * h) // rows
-                xi = (np.arange(cols) * w) // cols
-                grid = src[np.ix_(yi, xi)].astype(np.int64)
-                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)
-                bands = []
-                for k in range(rows // 2):
-                    pair = bits[2 * k : 2 * k + 2].reshape(-1)
-                    bands.append(int((pair << np.arange(pair.size)).sum()))
-                out.append((mid, *bands, True))
+                out.append((mid, *_dhash_bands(src, rows, cols), True))
             yield pd.DataFrame(
                 out,
                 columns=["media_id", "b0", "b1", "b2", "b3", "decode_ok"],
@@ -878,6 +887,53 @@ def image_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
 
     return df.filter(F.col("media_type") == "image").mapInPandas(
         _dh, schema=IMAGE_DHASH_SCHEMA
+    )
+
+
+#: Output schema of per-frame video dHash extraction.
+VIDEO_FRAME_DHASH_SCHEMA = (
+    "media_id string, frame_index int, n_frames int, "
+    "b0 long, b1 long, b2 long, b3 long, decode_ok boolean"
+)
+
+
+def video_frame_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
+    """Per-frame perceptual dHash over REAL AVI content: decode frames,
+    apply the image lane's difference hash (_dhash_bands — NN resample,
+    horizontal-neighbor bits, four 16-bit band ints) to every frame.
+    Joined against scene-cut shot boundaries downstream, this yields the
+    per-shot signature sequence that video near-dup matching LSH-joins
+    (q_video_neardup) — the standard video-dedup composition of shot
+    segmentation x perceptual frame hashing. Map-only Arrow stage; a
+    zero-frame clip emits the decode_ok=false sentinel so it stays
+    visible in per-video aggregates."""
+
+    def _vdh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    _w, _h, _usec, frames = decode_avi(content)
+                except (ValueError, NotImplementedError):
+                    out.append((mid, -1, -1, -1, -1, -1, -1, False))
+                    continue
+                if not frames:
+                    out.append((mid, -1, -1, -1, -1, -1, -1, False))
+                    continue
+                for t, fr in enumerate(frames):
+                    bands = _dhash_bands(np.asarray(fr), rows, cols)
+                    out.append((mid, t, len(frames), *bands, True))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_index", "n_frames",
+                    "b0", "b1", "b2", "b3", "decode_ok",
+                ],
+            )
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(
+        _vdh, schema=VIDEO_FRAME_DHASH_SCHEMA
     )
 
 

@@ -1188,3 +1188,223 @@ def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup via shot-signature sequences (scene cuts x dHash)
+# ---------------------------------------------------------------------------
+
+_VDUP_MATCH_PPM = 600_000  # dup when >= 60% of the smaller side's shot
+# signatures appear in the other clip's signature set
+
+
+def _vdup_oracle() -> str:
+    # closed-form replay of decode -> per-frame dHash -> scene-cut shot
+    # starts -> per-shot signature sets -> signature-bucket join: shot s
+    # of clip did has every frame equal to
+    #   px(x, y) = a*x + b*y + ((x*(y+s)) % 8)*4 + 60*s
+    # (a = did%2+1, b = (did//2)%2+1; max 196 < 256, no wraparound; the
+    # +60 jump keeps every cut pixel-delta >= 32 > the 30/pixel cut
+    # threshold while within-shot deltas are exactly 0), so the shot
+    # starts ARE the planted shot grid and the signatures are the dHash
+    # closed form — any decode, cut-detection, keyframe-join, or hash
+    # error on the Spark side breaks value equality.
+    px = lambda j, i, s: (  # noqa: E731 — local SQL fragment builder
+        f"(a * ((({j}) * w) // 9) + b * ((({i}) * h) // 8)"
+        f" + ((((({j}) * w) // 9) * (((({i}) * h) // 8) + {s})) % 8) * 4"
+        f" + 60 * ({s}))"
+    )
+    band = (
+        "CAST(SUM(CASE WHEN "
+        + px("j", "2 * k + r", "s")
+        + " < "
+        + px("j + 1", "2 * k + r", "s")
+        + " THEN (1::BIGINT << (r * 8 + j)) ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+    WITH vid AS (
+        SELECT doc_id, doc_id % 13 + 2 AS w, doc_id % 11 + 2 AS h,
+               doc_id % 2 + 2 AS nshots,
+               doc_id % 2 + 1 AS a, (doc_id // 2) % 2 + 1 AS b
+        FROM documents WHERE doc_id % 3 = 2
+    ), clips AS (
+        SELECT 'm' || doc_id AS media_id, w, h, a, b,
+               0 AS s_from, nshots AS s_to
+        FROM vid
+        UNION ALL
+        SELECT 'm' || doc_id || 't', w, h, a, b, 1, nshots
+        FROM vid WHERE doc_id % 10 = 2
+        UNION ALL
+        SELECT 'm' || doc_id || 'v', w, h, a, b, 0, nshots
+        FROM vid WHERE doc_id % 10 = 5
+    ), shots AS (
+        SELECT media_id, w, h, a, b, ss.s
+        FROM clips, UNNEST(RANGE(s_from, s_to)) ss(s)
+    ), bands AS MATERIALIZED (
+        SELECT media_id, s, k, {band} AS bv
+        FROM shots,
+             UNNEST(RANGE(0, 4)) kk(k),
+             UNNEST(RANGE(0, 2)) rr(r),
+             UNNEST(RANGE(0, 8)) jj(j)
+        GROUP BY media_id, s, k
+    ), sigs AS MATERIALIZED (
+        SELECT DISTINCT media_id,
+               MAX(CASE WHEN k = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN k = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN k = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN k = 3 THEN bv END) AS b3
+        FROM bands GROUP BY media_id, s
+    ), nsig AS MATERIALIZED (
+        SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_sigs
+        FROM sigs GROUP BY media_id
+    ), shared AS (
+        SELECT sa.media_id AS id_a, sb.media_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_sigs
+        FROM sigs sa JOIN sigs sb
+          ON sa.b0 = sb.b0 AND sa.b1 = sb.b1 AND sa.b2 = sb.b2
+         AND sa.b3 = sb.b3 AND sa.media_id < sb.media_id
+        GROUP BY sa.media_id, sb.media_id
+    )
+    SELECT s.id_a, s.id_b, s.shared_sigs,
+           na.n_sigs AS n_sigs_a, nb.n_sigs AS n_sigs_b,
+           CAST((1000000 * s.shared_sigs)
+                // LEAST(na.n_sigs, nb.n_sigs) AS BIGINT) AS match_ppm
+    FROM shared s
+    JOIN nsig na ON na.media_id = s.id_a
+    JOIN nsig nb ON nb.media_id = s.id_b
+    WHERE (1000000 * s.shared_sigs) // LEAST(na.n_sigs, nb.n_sigs)
+          >= {_VDUP_MATCH_PPM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q_video_neardup",
+    oracle=_vdup_oracle(),
+    tags=("multimodal", "video", "dedup", "lsh", "scene"),
+)
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection via shot-signature sequences — the
+    composition of the two round-10 media lanes: scene-cut shot
+    segmentation (multimodal.frame_deltas thresholded at 30/pixel, the
+    q_scene_cuts discipline) picks each shot's keyframe, the image
+    lane's perceptual dHash (multimodal.video_frame_dhash, shared
+    _dhash_bands math) fingerprints it, and clips match when >= 60% of
+    the smaller side's DISTINCT shot signatures appear in the other's
+    set — robust to trimming (a planted variant drops the first shot
+    and still matches at ppm 1000000) and to re-encoding brightness
+    shifts (a planted +2-luma variant hashes identically, the dHash
+    invariance the image lane pins). The candidate join buckets on the
+    full 64-bit signature (the LSH unit — every >= 1-shared-shot pair
+    survives; Hamming-tolerant shot matching would swap in the
+    q_image_phash_dedup band postings, machinery already built).
+
+    Scale: decode passes are map-only Arrow (bytes cross once per
+    batch); shot starts and signatures shuffle O(shots); the signature
+    join's pair mass is bounded by bucket agreement, never all-pairs —
+    the audio-fingerprint postings shape."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 13 + 2, did % 11 + 2
+                nshots = did % 2 + 2
+                a, b = did % 2 + 1, (did // 2) % 2 + 1
+                y, x = np.mgrid[0:h, 0:w]
+                shot_frames = []
+                for s in range(nshots):
+                    fr = (a * x + b * y + ((x * (y + s)) % 8) * 4 + 60 * s)
+                    reps = (did + 3 * s) % 3 + 2
+                    shot_frames.append((s, [fr] * reps))
+                base = np.stack(
+                    [f for _s, fl in shot_frames for f in fl]
+                ).astype(np.uint8)
+                rows.append(
+                    (f"m{did}", "video",
+                     M.encode_avi(base, usec_per_frame=500_000),
+                     "avi", None, None, len(base) * 500)
+                )
+                if did % 10 == 2:
+                    # trimmed variant: first shot dropped, rest verbatim
+                    trim = np.stack(
+                        [f for s, fl in shot_frames if s >= 1 for f in fl]
+                    ).astype(np.uint8)
+                    rows.append(
+                        (f"m{did}t", "video",
+                         M.encode_avi(trim, usec_per_frame=500_000),
+                         "avi", None, None, len(trim) * 500)
+                    )
+                if did % 10 == 5:
+                    # re-encoded variant: +2 global brightness
+                    rows.append(
+                        (f"m{did}v", "video",
+                         M.encode_avi(base + 2, usec_per_frame=500_000),
+                         "avi", None, None, len(base) * 500)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    vids = _materialized(
+        spark, sf_dir, "vdup",
+        lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
+    )
+    deltas = M.frame_deltas(vids).filter(F.col("decode_ok"))
+    fhash = M.video_frame_dhash(vids).filter(F.col("decode_ok"))
+    starts = fhash.filter(F.col("frame_index") == 0).select(
+        "media_id", "frame_index"
+    ).unionByName(
+        deltas.filter(
+            F.col("delta_sum")
+            > _CUT_PER_PIXEL * F.col("width").cast("long") * F.col("height")
+        ).select("media_id", "frame_index")
+    )
+    sigs = (
+        starts.join(fhash, ["media_id", "frame_index"])
+        .select("media_id", "b0", "b1", "b2", "b3")
+        .distinct()
+    )
+    nsig = sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sigs")
+    )
+    shared = (
+        sigs.alias("sa")
+        .join(
+            sigs.alias("sb"),
+            (F.col("sa.b0") == F.col("sb.b0"))
+            & (F.col("sa.b1") == F.col("sb.b1"))
+            & (F.col("sa.b2") == F.col("sb.b2"))
+            & (F.col("sa.b3") == F.col("sb.b3"))
+            & (F.col("sa.media_id") < F.col("sb.media_id")),
+        )
+        .groupBy(
+            F.col("sa.media_id").alias("id_a"),
+            F.col("sb.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_sigs"))
+    )
+    na = nsig.select(F.col("media_id").alias("id_a"), F.col("n_sigs").alias("n_sigs_a"))
+    nb = nsig.select(F.col("media_id").alias("id_b"), F.col("n_sigs").alias("n_sigs_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "shared_sigs", "n_sigs_a", "n_sigs_b",
+            F.expr("(1000000 * shared_sigs) div least(n_sigs_a, n_sigs_b)")
+            .cast("long")
+            .alias("match_ppm"),
+        )
+        .filter(F.col("match_ppm") >= _VDUP_MATCH_PPM)
+        .orderBy("id_a", "id_b")
+    )

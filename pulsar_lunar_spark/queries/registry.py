@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "pulsar_lunar_spark.queries.llm15",
     "pulsar_lunar_spark.queries.llm16",
     "pulsar_lunar_spark.queries.llm17",
+    "pulsar_lunar_spark.queries.llm18",
     "pulsar_lunar_spark.queries.formats",
     "pulsar_lunar_spark.queries.pipeline",
     "pulsar_lunar_spark.queries.modern",
@@ -304,6 +305,7 @@ def all_queries() -> dict[str, QuerySpec]:
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-11 additions and rewrites (each entry is registered with oracle
     # + tests + plan budget + three-scale parity before the driver sees it)
-    # filled in as round-11 work lands.
+    "q_stream_ingest_dedup",
+    "q_video_neardup",
 )
 

@@ -308,3 +308,73 @@ def test_sample_avi_frames_fanout(spark):
     assert [out[("v1", j)]["luma_sum"] for j in range(3)] == [0, 8, 16]
     assert out[("v1", 1)]["frame_ms"] == 1000
     assert out[("v2", -1)]["decode_ok"] is False
+
+
+def test_video_frame_dhash_brute_force(spark):
+    """Per-frame dHash equals the numpy brute-force replay (resample ->
+    horizontal bits -> band packing) for every frame; a zero-length/
+    corrupt clip emits exactly one decode_ok=false sentinel row."""
+    import pandas as pd
+
+    from pulsar_lunar_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        video_frame_dhash,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 255, size=(3, 9, 13), dtype=np.uint8)
+    rows = [
+        ("v1", "video", encode_avi(frames, usec_per_frame=500_000), "avi",
+         None, None, 1500),
+        ("v2", "video", b"garbage-bytes", "avi", None, None, 10),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id"], r["frame_index"]): r
+        for r in video_frame_dhash(df).collect()
+    }
+
+    def brute(src):
+        h, w = src.shape
+        grid = src[
+            np.ix_((np.arange(8) * h) // 8, (np.arange(9) * w) // 9)
+        ].astype(np.int64)
+        bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)
+        return [
+            int((bits[2 * k : 2 * k + 2].reshape(-1) << np.arange(16)).sum())
+            for k in range(4)
+        ]
+
+    for t in range(3):
+        r = got[("v1", t)]
+        assert r["n_frames"] == 3 and r["decode_ok"]
+        assert [r["b0"], r["b1"], r["b2"], r["b3"]] == brute(frames[t])
+    assert got[("v2", -1)]["decode_ok"] is False
+
+
+def test_video_neardup_planted_variants_pair(spark):
+    """The planted trimmed (first shot dropped) and brightness-shifted
+    variants each pair with their base clip at match_ppm = 1000000 —
+    trim robustness comes from signature-SET containment, brightness
+    robustness from the dHash neighbor comparisons."""
+    from pulsar_lunar_spark.queries import all_queries
+
+    res = all_queries()["q_video_neardup"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in res}
+    # doc_id = 2: % 10 == 2 -> trimmed variant m2t; doc_id = 5: % 10 == 5
+    # -> brightness variant m5v (both in the video lane doc_id % 3 == 2)
+    assert ("m2", "m2t") in pairs
+    assert pairs[("m2", "m2t")]["match_ppm"] == 1_000_000
+    assert ("m5", "m5v") in pairs
+    assert pairs[("m5", "m5v")]["match_ppm"] == 1_000_000
+    # the trimmed side's signature set is a strict subset
+    assert (
+        pairs[("m2", "m2t")]["n_sigs_b"]
+        <= pairs[("m2", "m2t")]["n_sigs_a"]
+    )

@@ -61,6 +61,8 @@ PYTHON_OK = {
     "q_image_phash_dedup",  # BMP decode + vectorized dHash grid
     "q_ann_hubness",  # GEMM lane (knn_join_gemm), same as q_knn_join
     "q_audio_silence_segments",  # WAV decode + vectorized window energies
+    # round-11 media curation
+    "q_video_neardup",  # AVI decode x2 (frame deltas + per-frame dHash)
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -356,6 +358,10 @@ EXCHANGE_BUDGETS = {
     "q_scene_cuts": (3, 1),  # per-vid agg + cut window + left join + sort
     "q_audio_fingerprint_dedup": (2, 1),  # (win,fp) postings self-join + pair agg
     "q_image_phash_dedup": (3, 1),  # (band,value) postings self-join + distinct + sort
+    # round-11 additions: every exchange moves O(shots)/O(pairs) rows,
+    # never frames or bytes
+    "q_video_neardup": (12, 4),  # keyframe join + sig distinct/counts + sig-bucket self-join
+    "q_stream_ingest_dedup": (1, 0),  # result = pair-store scan + sort (work happens per-batch)
     # one qid-clustered exchange shared by the (qid,vec) agg, all three
     # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
     "q_matryoshka_eval": (2, 1),

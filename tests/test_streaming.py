@@ -1002,3 +1002,32 @@ def test_state_store_read_matches_batch_counts(spark, sf_dir):
     assert got == want
     assert all(r.state_matches_batch for r in rows)
     assert all(r.metadata_ok for r in rows)
+
+
+def test_stream_ingest_dedup_matches_batch_replay(spark):
+    """The streaming ingest drain's final pair set equals the batch
+    MinHash-LSH pair set (same hashes, bands, verify threshold), with
+    day_found = max(day of either side) — a pair is discovered exactly
+    in the batch where its later document arrives."""
+    from pyspark.sql import functions as F
+
+    from pulsar_lunar_spark.operators import dedup as D
+    from pulsar_lunar_spark.queries import all_queries
+    from pulsar_lunar_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_lo"], r["id_hi"]): r
+        for r in all_queries()["q_stream_ingest_dedup"].fn(spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    batch = D.minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.3, hasher="md5"
+    ).collect()
+    want = {
+        (r["id_a"], r["id_b"]): max(r["id_a"] % 3, r["id_b"] % 3)
+        for r in batch
+    }
+    assert set(got) == set(want)
+    for k, day in want.items():
+        assert got[k]["day_found"] == day
