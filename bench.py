@@ -127,6 +127,8 @@ HEADLINE = [
     # round-11 additions (continuous-pipeline batch)
     "q_stream_ingest_dedup",
     "q_video_neardup",
+    "q_unigram_lm_train",
+    "q_unigram_encode",
 ]
 
 

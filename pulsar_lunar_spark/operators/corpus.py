@@ -882,3 +882,146 @@ def kn_bigram_probs(cnt: DataFrame) -> DataFrame:
             F.lit(1).cast("long"),
         ).alias("p_kn_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: EM-pruned vocabulary trainer
+# ---------------------------------------------------------------------------
+
+#: cost of an out-of-vocabulary single character during ENCODE (micro-nats):
+#: strictly worse than any trained piece (p_ppm >= 1 => cost <= ln(1e6)*1e6
+#: ~= 13.8e6), so known pieces always win where they exist.
+UNK_COST_MICRO = 20_000_000
+
+
+def unigram_viterbi(
+    word: str,
+    cost_micro: dict[str, int],
+    max_piece_len: int = 4,
+    unk_chars: bool = False,
+) -> tuple[int, int, tuple[str, ...]]:
+    """Best segmentation of ``word`` under integer micro-nat piece costs:
+    left-to-right DP minimizing (total cost, piece count, piece tuple) —
+    the lexicographic tiebreak makes the segmentation fully deterministic.
+    ``unk_chars=True`` (the encode path) lets any single character fall
+    back to UNK_COST_MICRO, so unseen words still segment; training runs
+    with the closed vocabulary (every char of the training words is a
+    seed piece by construction)."""
+    n = len(word)
+    best: list[tuple[int, int, tuple[str, ...]] | None] = [None] * (n + 1)
+    best[0] = (0, 0, ())
+    for i in range(1, n + 1):
+        cands = []
+        for j in range(max(0, i - max_piece_len), i):
+            prev = best[j]
+            if prev is None:
+                continue
+            piece = word[j:i]
+            c = cost_micro.get(piece)
+            if c is None and unk_chars and len(piece) == 1:
+                c = UNK_COST_MICRO
+            if c is None:
+                continue
+            cands.append((prev[0] + c, prev[1] + 1, prev[2] + (piece,)))
+        if cands:
+            best[i] = min(cands)
+    if best[n] is None:
+        raise ValueError(f"unsegmentable word: {word!r}")
+    return best[n]
+
+
+def _unigram_probs_ppm(
+    counts: dict[str, int], pieces: list[str]
+) -> dict[str, int]:
+    """Piece probabilities in exact ppm (floored, min 1 — every vocab
+    piece stays reachable). sum(p_ppm) <= 1e6 + len(pieces)."""
+    total = sum(counts.get(p, 0) for p in pieces)
+    return {
+        p: max(1, (1_000_000 * counts.get(p, 0)) // max(total, 1))
+        for p in pieces
+    }
+
+
+def _unigram_costs_micro(p_ppm: dict[str, int]) -> dict[str, int]:
+    import math
+
+    return {
+        p: int(math.floor(-math.log(v / 1_000_000.0) * 1_000_000 + 0.5))
+        for p, v in p_ppm.items()
+    }
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 96,
+    seed_multis: int = 192,
+    n_iters: int = 3,
+    top_words: int = 300,
+    max_piece_len: int = 4,
+):
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    hard-EM/Viterbi variant, all-integer ppm/micro-nat arithmetic):
+
+    1. distributed (the ONLY corpus-sized pass, same as bpe_train): the
+       (word, freq) vocabulary — top ``top_words`` by freq, word tiebreak;
+    2. seed: every substring of length 1..max_piece_len of the vocab
+       words, weighted by word freq — all single chars plus the top
+       ``seed_multis`` multi-char pieces (count desc, piece asc);
+    3. EM epoch 0 on the seed vocabulary: Viterbi-segment each vocab word
+       under costs -ln(p) (p = seed-count ppm), re-estimate counts;
+    4. PRUNE to ``vocab_size``: keep all single chars + the top
+       (vocab_size - n_chars) multis by EM count (desc, piece asc) — the
+       EM-pruning step that distinguishes unigram-LM from BPE's greedy
+       merge growth;
+    5. remaining epochs re-run Viterbi-EM on the fixed pruned vocabulary.
+
+    Returns (p_ppm dict, pieces list, chars list, seed counts dict,
+    per-epoch total corpus Viterbi cost in micro-nats). The driver loop
+    is bounded by construction (top_words words x n_iters epochs — the
+    bpe_train scale argument: a tokenizer trains on at most ~1M word
+    forms regardless of corpus size); the trained table then broadcasts
+    into the distributed encode (q_unigram_encode)."""
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    vocab_rows = (
+        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(top_words)
+        .collect()
+    )
+    words = [(r["w"], int(r["freq"])) for r in vocab_rows]
+    seed: dict[str, int] = {}
+    for w, f in words:
+        for i in range(len(w)):
+            for ln in range(1, max_piece_len + 1):
+                if i + ln <= len(w):
+                    p = w[i : i + ln]
+                    seed[p] = seed.get(p, 0) + f
+    chars = sorted(p for p in seed if len(p) == 1)
+    multis = sorted(
+        (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+    )[:seed_multis]
+    pieces = chars + multis
+    p_ppm = _unigram_probs_ppm(seed, pieces)
+    epoch_cost: list[int] = []
+    for it in range(n_iters):
+        cost = _unigram_costs_micro(p_ppm)
+        total = 0
+        em_counts: dict[str, int] = {}
+        for w, f in words:
+            c, _np, segs = unigram_viterbi(w, cost, max_piece_len)
+            total += f * c
+            for p in segs:
+                em_counts[p] = em_counts.get(p, 0) + f
+        epoch_cost.append(total)
+        if it == 0:
+            keep = max(vocab_size - len(chars), 0)
+            pieces = chars + sorted(
+                multis, key=lambda p: (-em_counts.get(p, 0), p)
+            )[:keep]
+        p_ppm = _unigram_probs_ppm(em_counts, pieces)
+    return p_ppm, pieces, chars, seed, epoch_cost

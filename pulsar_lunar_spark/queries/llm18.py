@@ -14,16 +14,25 @@ named as the remaining gaps —
   scene-cut shot segmentation x per-shot perceptual hashing -> per-clip
   signature sequences, LSH-joined by (shot-position, band) postings —
   the standard video-dedup composition of the two media lanes built in
-  round 10 (frame deltas / scene cuts + image dHash).
+  round 10 (frame deltas / scene cuts + image dHash) — the query itself
+  lives in queries/media.py with the other media lanes;
+- unigram-LM (SentencePiece-style) tokenizer trainer + encode twin
+  (``q_unigram_lm_train`` / ``q_unigram_encode``): EM-pruned unigram
+  vocabulary on the bpe_train bounded-vocab driver-loop pattern
+  (corpus.unigram_lm_train), exact integer ppm/micro-nat arithmetic.
 
 Determinism discipline: md5-portable hashing end to end, so the DuckDB
 oracle replicates the full pipelines value-exactly in SQL; every float
-is ROUND(x, 6) of a ratio of exact integers on both sides.
+is ROUND(x, 6) of a ratio of exact integers on both sides; iterative
+loops with no SQL twin use the flag-style oracle + brute-force pytest
+split (the q_bpe_merges precedent).
 """
 
 from __future__ import annotations
 
 import os
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -223,3 +232,198 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             no_data_batches=False,  # stateless foreachBatch pipeline
         )
     return spark.read.parquet(pairs).orderBy("id_lo", "id_hi")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: train + encode twin
+# ---------------------------------------------------------------------------
+
+_UNI_VOCAB = 96
+_UNI_SEED_MULTIS = 192
+_UNI_ITERS = 3
+_UNI_MAXLEN = 4
+_UNI_TOPWORDS = 300
+# EM-monotonicity slack in micro-nats: integer cost rounding (<= 0.5
+# micro per piece) breaks EXACT hard-EM monotonicity by at most
+# ~n_pieces-per-word micro units summed over the bounded vocab.
+_UNI_EM_SLACK = 1_000
+
+# trained model per (resolved dataset, content stamp): the training
+# corpus pass + bounded EM loop run once per process, and the encode
+# twin reuses the same model (the shared_spool staleness convention).
+_UNI_MODEL_CACHE: dict = {}
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str):
+    from pulsar_lunar_spark.operators import corpus as C
+    from pulsar_lunar_spark.session import _dataset_stamp
+
+    key = (os.path.realpath(sf_dir), _dataset_stamp(sf_dir))
+    model = _UNI_MODEL_CACHE.get(key)
+    if model is None:
+        d = load_table(spark, sf_dir, "documents")
+        model = C.unigram_lm_train(
+            d, "text",
+            vocab_size=_UNI_VOCAB, seed_multis=_UNI_SEED_MULTIS,
+            n_iters=_UNI_ITERS, top_words=_UNI_TOPWORDS,
+            max_piece_len=_UNI_MAXLEN,
+        )
+        _UNI_MODEL_CACHE[key] = model
+    return model
+
+
+_UNI_WORDS = r"""
+        SELECT UNNEST(LIST_FILTER(
+                   STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'),
+                                ' '), x -> LEN(x) > 0)) AS w
+        FROM documents
+"""
+
+_UNI_TRAIN_ORACLE = f"""
+    WITH words AS ({_UNI_WORDS}
+    ), vocab AS (
+        SELECT w, COUNT(*) AS freq
+        FROM words GROUP BY w ORDER BY freq DESC, w LIMIT {_UNI_TOPWORDS}
+    ), subs AS MATERIALIZED (
+        SELECT SUBSTR(w, i, l) AS piece, l AS pl,
+               CAST(SUM(freq) AS BIGINT) AS n
+        FROM vocab,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w))) AS i) ti,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(1, {_UNI_MAXLEN})) AS l) tl
+        WHERE i + l - 1 <= LEN(w)
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN pl = 1 THEN piece END) AS BIGINT)
+                   AS nc,
+               CAST(COUNT(DISTINCT CASE WHEN pl > 1 THEN piece END) AS BIGINT)
+                   AS nm
+        FROM subs
+    ), top AS (
+        SELECT piece, n FROM subs WHERE pl > 1 ORDER BY n DESC, piece LIMIT 1
+    )
+    SELECT top.piece AS seed_top_piece, top.n AS seed_top_count,
+           agg.nc AS n_chars,
+           CAST(CASE WHEN agg.nc >= {_UNI_VOCAB} THEN agg.nc
+                     ELSE agg.nc + LEAST({_UNI_VOCAB} - agg.nc, agg.nm)
+                END AS BIGINT) AS n_pieces,
+           TRUE AS chars_covered_ok, TRUE AS prob_mass_ok,
+           TRUE AS em_improved_ok
+    FROM top, agg
+"""
+
+
+@register(
+    "q_unigram_lm_train",
+    oracle=_UNI_TRAIN_ORACLE,
+    tags=("llm", "tokenizer", "unigram"),
+)
+def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training summary
+    (corpus.unigram_lm_train): seed every 1-4-char substring of the
+    top-300 word vocabulary, Viterbi-EM one epoch over the seed, EM-PRUNE
+    to 96 pieces (all single chars always kept), then two more hard-EM
+    epochs in exact integer micro-nat costs — the tokenizer-family
+    completion next to BPE's greedy merge growth (q_bpe_merges).
+
+    The EM loop has no tractable SQL twin (the q_bpe_merges precedent),
+    so the oracle value-checks what IS closed-form — the seed-candidate
+    argmax (top multi-char substring by freq-weighted count, exact in
+    DuckDB), the distinct char/multi candidate counts, and the exact
+    pruned vocabulary SIZE formula — plus invariant flags the trained
+    model must satisfy: every character is a piece, probability mass
+    sums to <= 1e6 + n_pieces ppm (floored exact shares), and the final
+    EM epoch's total corpus cost does not exceed the first post-prune
+    epoch's beyond integer-rounding slack. The exact per-epoch costs and
+    segmentations are pinned by the brute-force replication test in
+    tests/test_llm18.py."""
+    p_ppm, pieces, chars, seed, epoch_cost = _unigram_model(spark, sf_dir)
+    multis = sorted((p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p))
+    seed_top = multis[0]
+    vocab_chars = set(chars)
+    covered = all(
+        c in vocab_chars for p in seed for c in (p if len(p) == 1 else "")
+    )
+    return spark.createDataFrame(
+        [(
+            seed_top,
+            int(seed[seed_top]),
+            len(chars),
+            len(pieces),
+            bool(covered),
+            bool(sum(p_ppm.values()) <= 1_000_000 + len(pieces)),
+            bool(epoch_cost[-1] <= epoch_cost[1] + _UNI_EM_SLACK),
+        )],
+        "seed_top_piece string, seed_top_count long, n_chars long, "
+        "n_pieces long, chars_covered_ok boolean, prob_mass_ok boolean, "
+        "em_improved_ok boolean",
+    )
+
+
+@register(
+    "q_unigram_encode",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(
+                   STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'),
+                                ' '), x -> LEN(x) > 0)) AS word
+        FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           TRUE AS tokens_ok
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "tokenizer", "unigram"),
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer APPLICATION: Viterbi-segment every word of
+    the doc_id % 19 slice under the trained 96-piece model
+    (q_unigram_lm_train's cached model — train once per process, apply
+    corpus-wide), out-of-vocabulary characters falling back to the UNK
+    cost. The segmentation DP is inherently per-word sequential, so it
+    runs as an Arrow-batched pandas UDF over the exploded word column
+    (the declared Python lane; the piece-cost dict is a bounded 96-entry
+    broadcast in the UDF closure).
+
+    The oracle checks the exact per-doc word counts plus the provable
+    token envelope (n_words <= n_tokens <= total characters: every piece
+    is >= 1 char and every word segments to >= 1 piece); exact Viterbi
+    semantics are pinned by the brute-force test in tests/test_llm18.py."""
+    from pulsar_lunar_spark.operators import corpus as C
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
+    p_ppm, _pieces, _chars, _seed, _costs = _unigram_model(spark, sf_dir)
+    cost = C._unigram_costs_micro(p_ppm)
+    maxlen = _UNI_MAXLEN
+
+    @F.pandas_udf("long")
+    def n_tokens(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: C.unigram_viterbi(w, cost, maxlen, unk_chars=True)[1]
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.filter(F.col("doc_id") % 19 == 0).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("w"),
+    )
+    toks = words.select(
+        "doc_id", F.length("w").alias("n_chars"), n_tokens("w").alias("n_toks")
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            (
+                (F.sum("n_toks") >= F.count(F.lit(1)))
+                & (F.sum("n_toks") <= F.sum("n_chars"))
+            ).alias("tokens_ok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -307,5 +307,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     # + tests + plan budget + three-scale parity before the driver sees it)
     "q_stream_ingest_dedup",
     "q_video_neardup",
+    "q_unigram_lm_train",
+    "q_unigram_encode",
 )
 

@@ -63,6 +63,8 @@ PYTHON_OK = {
     "q_audio_silence_segments",  # WAV decode + vectorized window energies
     # round-11 media curation
     "q_video_neardup",  # AVI decode x2 (frame deltas + per-frame dHash)
+    # round-11 tokenizer: per-word Viterbi DP is the declared Arrow lane
+    "q_unigram_encode",
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -362,6 +364,8 @@ EXCHANGE_BUDGETS = {
     # never frames or bytes
     "q_video_neardup": (12, 4),  # keyframe join + sig distinct/counts + sig-bucket self-join
     "q_stream_ingest_dedup": (1, 0),  # result = pair-store scan + sort (work happens per-batch)
+    "q_unigram_lm_train": (0, 0),  # corpus pass collects in the operator; result is literal rows
+    "q_unigram_encode": (2, 0),  # per-doc agg + sort; Viterbi rides the scan
     # one qid-clustered exchange shared by the (qid,vec) agg, all three
     # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
     "q_matryoshka_eval": (2, 1),
