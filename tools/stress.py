@@ -715,6 +715,40 @@ def probes(spark, sf_dir: str, mult: int):
     # (each probe warms immediately before its measured rep, but a warm
     # rep that REUSES a cache filled by the warm call would be silently
     # cold-started). Last-in-pass makes the wipe unobservable.
+    def band_postings_shape():
+        # the (band_index, band_value) postings self-join pair-mass shape
+        # shared by the media near-dup lanes (q_image_phash_dedup /
+        # q_audio_fingerprint_dedup / q_video_neardup): 4 band postings
+        # per item, planted 5-item clusters sharing all four values (the
+        # realistic regime — near-dup cluster size is a data property,
+        # bounded as the corpus grows, so pair mass stays O(items x
+        # cluster)). The probe measures the join + distinct-pair
+        # aggregate; the decode stages it follows are map-only.
+        bands = docs.select(
+            "doc_id", F.explode(F.expr("array(0, 1, 2, 3)")).alias("k")
+        ).select(
+            "doc_id",
+            "k",
+            ((F.col("doc_id") - F.col("doc_id") % 5) * 4 + F.col("k")).alias(
+                "bv"
+            ),
+        )
+        pairs = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        return pairs.groupBy().count().collect()
+
     return {
         "q1_scan_agg": q1_shape,
         "fact_fact_join": join_agg_shape,
@@ -736,6 +770,7 @@ def probes(spark, sf_dir: str, mult: int):
         "containment_dfcap": containment_shape,
         "conformal_order_stat": conformal_order_stat_shape,
         "lr_gradient_epoch": lr_gradient_epoch_shape,
+        "band_postings": band_postings_shape,
     }
 
 
