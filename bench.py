@@ -129,6 +129,9 @@ HEADLINE = [
     "q_video_neardup",
     "q_unigram_lm_train",
     "q_unigram_encode",
+    "q_neardup_safe_split",
+    "q_domain_curriculum",
+    "q_distill_threshold_eval",
 ]
 
 

@@ -66,7 +66,10 @@ _DOREMI_ITERATIONS = 4
 # part of the algorithm on both sides, not a Spark-only guard.
 
 
-def _doremi_oracle() -> str:
+def _doremi_cte() -> str:
+    """The shared DoReMi CTE chain (base -> s0 -> s{N}): reused by the
+    q_doremi_weights oracle and the q_domain_curriculum oracle (llm18) —
+    the engine/oracle pairs must share SQL builders, not copy them."""
     steps = []
     for t in range(_DOREMI_ITERATIONS):
         steps.append(f""", s{t + 1} AS (
@@ -102,7 +105,11 @@ def _doremi_oracle() -> str:
                CAST(1000000 // COUNT(*) OVER () AS BIGINT) AS u_ppm,
                CAST(1000000 // COUNT(*) OVER () AS BIGINT) AS w_ppm
         FROM base
-    ){"".join(steps)}
+    ){"".join(steps)}"""
+
+
+def _doremi_oracle() -> str:
+    return f"""{_doremi_cte()}
     SELECT source, n_docs, loss_milli,
            u_ppm AS uniform_ppm,
            CAST(w_ppm AS BIGINT) AS doremi_ppm
@@ -141,6 +148,19 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the corpus aggregate is the only data-bearing stage; the
     iteration cost is invariant in corpus size because the state is one
     row per SOURCE, not per document."""
+    cur = doremi_frame(spark, sf_dir)
+    return cur.select(
+        "source", "n_docs", "loss_milli",
+        F.col("u_ppm").cast("long").alias("uniform_ppm"),
+        F.col("w_ppm").cast("long").alias("doremi_ppm"),
+    ).orderBy("source")
+
+
+def doremi_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared DoReMi weight pipeline: (source, n_docs, loss_milli,
+    u_ppm, w_ppm) after the 4 multiplicative updates — consumed by
+    q_doremi_weights and q_domain_curriculum (llm18); the Spark twin of
+    _doremi_cte, factored so the two queries cannot drift."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     base = (
         d.select(
@@ -180,11 +200,7 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w_ppm"),
         )
-    return cur.select(
-        "source", "n_docs", "loss_milli",
-        F.col("u_ppm").cast("long").alias("uniform_ppm"),
-        F.col("w_ppm").cast("long").alias("doremi_ppm"),
-    ).orderBy("source")
+    return cur
 
 
 # ---------------------------------------------------------------------------

@@ -105,11 +105,16 @@ def _lr_feats_sql() -> str:
     )"""
 
 
-def _lr_oracle() -> str:
-    # w0 = zeros; each epoch: per-doc logit join -> sigmoid err on the
-    # train split -> per-bucket integer gradient -> sign-separated
-    # truncating update. Every epoch CTE is MATERIALIZED (the r8 lesson:
-    # chained iteration CTEs referenced twice inline exponentially).
+def _lr_w_chain_sql() -> str:
+    """The WITH chain through the trained w{_LR_EPOCHS} weight CTE —
+    shared by the q_train_quality_lr oracle and the
+    q_distill_threshold_eval oracle (llm18), so the two replicas of the
+    training chain cannot drift.
+
+    w0 = zeros; each epoch: per-doc logit join -> sigmoid err on the
+    train split -> per-bucket integer gradient -> sign-separated
+    truncating update. Every epoch CTE is MATERIALIZED (the r8 lesson:
+    chained iteration CTEs referenced twice inline exponentially)."""
     parts = [f"WITH {_lr_feats_sql()}, w0 AS MATERIALIZED ("]
     parts.append(
         f"    SELECT UNNEST(RANGE(0, {_LR_BUCKETS + 1})) AS b,"
@@ -142,6 +147,11 @@ def _lr_oracle() -> str:
         FROM {prev} w LEFT JOIN g{t} g USING (b) CROSS JOIN ntr
     )"""
         )
+    return "".join(parts)
+
+
+def _lr_oracle() -> str:
+    parts = [_lr_w_chain_sql()]
     # fixed-classifier baseline weights (the corpus.py md5 convention the
     # whole fixed-classifier family uses); bias bucket weight 0.
     parts.append(
@@ -199,52 +209,16 @@ def _lr_oracle() -> str:
     return "".join(parts)
 
 
-@register(
-    "q_train_quality_lr",
-    oracle=_lr_oracle(),
-    tags=("llm", "classifier", "training", "logistic-regression"),
-)
-def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINABLE hashed logistic-regression quality classifier — the
-    fastText-style distillation step every earlier classifier query
-    skipped (they all score with FIXED md5 weights): four deterministic
-    full-batch gradient epochs learn a heuristic quality gate (docs
-    shorter than 56 tokens fail) from 64 hashed bag-of-words buckets
-    plus a scaled bias feature, trained on the even-doc_id split and
-    evaluated on the odd split against the fixed-weight baseline.
-    Training lifts held-out accuracy from the fixed classifier's ~57%
-    (chance-ish) into the 90s within four epochs at sf0.01+.
+def lr_model(spark: SparkSession, sf_dir: str):
+    """The shared trainable-LR pipeline: spooled hashed-feature table +
+    the four trained epoch weight vectors (exact integer GD, cached per
+    (process, spool slot) — train once, consume many). Factored out so
+    q_train_quality_lr and q_distill_threshold_eval (llm18) share one
+    pipeline instead of drifting copies (the r9 factoring rule).
 
-    Exactness: logits are exact BIGINT micro sums; the sigmoid floors
-    ONCE to ppm through the shared clamped-EXP expression (r8 DoReMi
-    precedent); gradients are exact integer sums of err*cnt; the update
-    is a sign-separated double truncating division (eta*g // n //
-    1e6) identical in Python, Spark, and DuckDB. Every epoch is
-    bit-reproducible — rerunning training yields byte-identical weights.
-
-    Plan: the hashed-feature table (doc_id, y, bucket, cnt) comes from a
-    process-shared spool (featurize once, train/eval many); each epoch
-    is ONE pass over it — a doc-partitioned window computes per-doc
-    logits with the current weights embedded as a 65-literal array (no
-    weights join; the kmeans literal-argmin precedent, fixed 65 ints so
-    no codegen churn), the train-split error rides the same rows, and a
-    bucket groupBy reduces to a 65-row gradient collected to the driver
-    (the kmeans bounded-collect shape). The accuracy pass scores all
-    four epoch models plus the fixed baseline in ONE further pass (five
-    literal-array sums over the same window). At 100 TB: per epoch, one
-    doc-keyed exchange + one 65-row aggregate — the textbook distributed
-    full-batch GD shape; gradients stay in int64 below ~9e12 tokens per
-    bucket, beyond which shard-and-average the gradient (documented
-    deviation).
-
-    Round 11 (the r10 verdict's shave item): the trained epoch weights
-    are a DETERMINISTIC function of the spooled feature table
-    (bit-reproducible training, proven by the parity oracle), so they
-    cache per (process, spool slot) exactly like the KN model spool —
-    train once, evaluate many. Warm calls pay only the eval pass (the
-    4 sequential gradient-job floors were the whole 2.2-3.2 s band);
-    folding the eval INTO epoch 4 is impossible — epoch-4 weights exist
-    only after its own gradient collect returns."""
+    Returns (feats DataFrame, n_train, epoch_weights, logit_agg) where
+    logit_agg(weights, name) is the 65-literal-array logit aggregate
+    expression over (b, cnt) rows."""
     from pulsar_lunar_spark.session import shared_spool
 
     def feats_build() -> DataFrame:
@@ -380,6 +354,56 @@ def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_weights.append(list(weights))
 
         _LR_WEIGHTS_CACHE[spool_tag] = [list(w) for w in epoch_weights]
+    return feats, n_train, epoch_weights, logit_agg
+
+
+@register(
+    "q_train_quality_lr",
+    oracle=_lr_oracle(),
+    tags=("llm", "classifier", "training", "logistic-regression"),
+)
+def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINABLE hashed logistic-regression quality classifier — the
+    fastText-style distillation step every earlier classifier query
+    skipped (they all score with FIXED md5 weights): four deterministic
+    full-batch gradient epochs learn a heuristic quality gate (docs
+    shorter than 56 tokens fail) from 64 hashed bag-of-words buckets
+    plus a scaled bias feature, trained on the even-doc_id split and
+    evaluated on the odd split against the fixed-weight baseline.
+    Training lifts held-out accuracy from the fixed classifier's ~57%
+    (chance-ish) into the 90s within four epochs at sf0.01+.
+
+    Exactness: logits are exact BIGINT micro sums; the sigmoid floors
+    ONCE to ppm through the shared clamped-EXP expression (r8 DoReMi
+    precedent); gradients are exact integer sums of err*cnt; the update
+    is a sign-separated double truncating division (eta*g // n //
+    1e6) identical in Python, Spark, and DuckDB. Every epoch is
+    bit-reproducible — rerunning training yields byte-identical weights.
+
+    Plan: the hashed-feature table (doc_id, y, bucket, cnt) comes from a
+    process-shared spool (featurize once, train/eval many); each epoch
+    is ONE pass over it — a doc-partitioned window computes per-doc
+    logits with the current weights embedded as a 65-literal array (no
+    weights join; the kmeans literal-argmin precedent, fixed 65 ints so
+    no codegen churn), the train-split error rides the same rows, and a
+    bucket groupBy reduces to a 65-row gradient collected to the driver
+    (the kmeans bounded-collect shape). The accuracy pass scores all
+    four epoch models plus the fixed baseline in ONE further pass (five
+    literal-array sums over the same window). At 100 TB: per epoch, one
+    doc-keyed exchange + one 65-row aggregate — the textbook distributed
+    full-batch GD shape; gradients stay in int64 below ~9e12 tokens per
+    bucket, beyond which shard-and-average the gradient (documented
+    deviation).
+
+    Round 11 (the r10 verdict's shave item): the trained epoch weights
+    are a DETERMINISTIC function of the spooled feature table
+    (bit-reproducible training, proven by the parity oracle), so they
+    cache per (process, spool slot) exactly like the KN model spool —
+    train once, evaluate many. Warm calls pay only the eval pass (the
+    4 sequential gradient-job floors were the whole 2.2-3.2 s band);
+    folding the eval INTO epoch 4 is impossible — epoch-4 weights exist
+    only after its own gradient collect returns."""
+    feats, n_train, epoch_weights, logit_agg = lr_model(spark, sf_dir)
 
     w_fixed = [
         int(

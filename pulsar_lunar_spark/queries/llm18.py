@@ -19,7 +19,15 @@ named as the remaining gaps —
 - unigram-LM (SentencePiece-style) tokenizer trainer + encode twin
   (``q_unigram_lm_train`` / ``q_unigram_encode``): EM-pruned unigram
   vocabulary on the bpe_train bounded-vocab driver-loop pattern
-  (corpus.unigram_lm_train), exact integer ppm/micro-nat arithmetic.
+  (corpus.unigram_lm_train), exact integer ppm/micro-nat arithmetic;
+- the r10 verdict's round-11 curation batch, each composing existing
+  lanes: near-dup-aware eval-set construction
+  (``q_neardup_safe_split`` — LSH pairs x stratified holdout), a
+  per-domain loss-reweighting curriculum (``q_domain_curriculum`` —
+  DoReMi weights annealed over epochs with exact-budget
+  largest-remainder rounding), and a quality-classifier distillation
+  eval (``q_distill_threshold_eval`` — the trained llm17 teacher
+  compressed into a word-count-rule student).
 
 Determinism discipline: md5-portable hashing end to end, so the DuckDB
 oracle replicates the full pipelines value-exactly in SQL; every float
@@ -426,4 +434,344 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_ok"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware eval-set construction (LSH-safe stratified holdout)
+# ---------------------------------------------------------------------------
+
+_SPLIT_EVAL_MOD = 10  # eval candidates: doc_id % 10 == 7 (stratified-by-id)
+_SPLIT_EVAL_RES = 7
+
+
+_NEARDUP_SPLIT_ORACLE = f"""
+    WITH sh AS MATERIALIZED ({_MH_SHINGLES}
+    ), base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5(t.s), 1, 15)) AS BIGINT) % {_MH_P} AS h
+        FROM sh, UNNEST(sh.sh) AS t(s)
+    ), sigs AS MATERIALIZED (
+        SELECT doc_id,
+               {_MH_SIG_SQL}
+        FROM base GROUP BY doc_id
+    ), buckets AS MATERIALIZED (
+        SELECT doc_id, t.band AS band, bl[t.band + 1] AS bucket
+        FROM (SELECT doc_id, [{_MH_BUCKETS_SQL}] AS bl FROM sigs),
+             UNNEST(RANGE(0, 32)) AS t(band)
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), pairs AS MATERIALIZED (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        WHERE {_MH_JACCARD} >= 0.3
+    ), leaky AS (
+        SELECT DISTINCT e FROM (
+            SELECT id_a AS e FROM pairs
+            WHERE id_a % {_SPLIT_EVAL_MOD} = {_SPLIT_EVAL_RES}
+              AND id_b % {_SPLIT_EVAL_MOD} != {_SPLIT_EVAL_RES}
+            UNION ALL
+            SELECT id_b AS e FROM pairs
+            WHERE id_b % {_SPLIT_EVAL_MOD} = {_SPLIT_EVAL_RES}
+              AND id_a % {_SPLIT_EVAL_MOD} != {_SPLIT_EVAL_RES}
+        )
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id % {_SPLIT_EVAL_MOD} = {_SPLIT_EVAL_RES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_cand,
+           CAST(SUM(CASE WHEN l.e IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_excluded,
+           CAST(SUM(CASE WHEN d.doc_id % {_SPLIT_EVAL_MOD} = {_SPLIT_EVAL_RES}
+                          AND l.e IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eval
+    FROM documents d LEFT JOIN leaky l ON l.e = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
+@register(
+    "q_neardup_safe_split",
+    oracle=_NEARDUP_SPLIT_ORACLE,
+    tags=("llm", "dedup", "split", "leakage", "minhash"),
+)
+def q_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware eval-set construction — the decontaminated-holdout
+    upgrade of q_leakage_safe_split: the stratified eval candidate slice
+    (doc_id % 10 == 7) is filtered to EXCLUDE every document that
+    MinHash-LSH near-duplicates (verified Jaccard >= 0.3, the
+    q_dedup_minhash pipeline) any TRAINING document — an eval doc whose
+    near-twin sits in train measures memorization, not generalization
+    (the Lee et al. dedup-eval hazard). Emits the per-source holdout
+    accounting: candidates, excluded-as-leaky, final eval count.
+
+    Plan: the pair table is the banded-LSH + exact-verify pipeline
+    (shuffle O(docs x bands), never all-pairs); the exclusion is one
+    projection of the (small) pair table semi-joined back to documents —
+    at 100 TB the pair table is the already-persisted dedup artifact and
+    this query is a single pass over it plus one corpus aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3, hasher="md5")
+    is_eval_a = F.col("id_a") % _SPLIT_EVAL_MOD == _SPLIT_EVAL_RES
+    is_eval_b = F.col("id_b") % _SPLIT_EVAL_MOD == _SPLIT_EVAL_RES
+    leaky = (
+        pairs.select(F.when(is_eval_a & ~is_eval_b, F.col("id_a"))
+                     .when(is_eval_b & ~is_eval_a, F.col("id_b"))
+                     .alias("e"))
+        .filter(F.col("e").isNotNull())
+        .distinct()
+    )
+    is_eval_d = F.col("doc_id") % _SPLIT_EVAL_MOD == _SPLIT_EVAL_RES
+    return (
+        d.join(leaky, d.doc_id == leaky.e, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(is_eval_d, 1).otherwise(0))
+            .cast("long")
+            .alias("n_eval_cand"),
+            F.sum(F.when(F.col("e").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_excluded"),
+            F.sum(F.when(is_eval_d & F.col("e").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_eval"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain curriculum: DoReMi weights annealed over epochs, exact budget
+# ---------------------------------------------------------------------------
+
+_CURR_EPOCHS = 4
+_CURR_BUDGET = 1_000_000  # tokens allocated per epoch
+
+
+def _domain_curriculum_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm11 import _DOREMI_ITERATIONS, _doremi_cte
+
+    e_max = _CURR_EPOCHS - 1
+    return f"""{_doremi_cte()}, sched AS (
+        SELECT source, ee.e AS epoch,
+               CAST((({e_max} - ee.e) * u_ppm + ee.e * w_ppm) // {e_max}
+                    AS BIGINT) AS alloc_ppm
+        FROM s{_DOREMI_ITERATIONS},
+             UNNEST(RANGE(0, {_CURR_EPOCHS})) ee(e)
+    ), quota AS (
+        SELECT source, epoch, alloc_ppm,
+               CAST(({_CURR_BUDGET} * alloc_ppm)
+                    // CAST(SUM(alloc_ppm) OVER w AS BIGINT) AS BIGINT)
+                   AS base_tokens,
+               CAST(({_CURR_BUDGET} * alloc_ppm)
+                    % CAST(SUM(alloc_ppm) OVER w AS BIGINT) AS BIGINT) AS rem
+        FROM sched
+        WINDOW w AS (PARTITION BY epoch)
+    ), ranked AS (
+        SELECT source, epoch, alloc_ppm, base_tokens,
+               ROW_NUMBER() OVER (PARTITION BY epoch
+                                  ORDER BY rem DESC, source ASC) AS rk,
+               CAST({_CURR_BUDGET}
+                    - SUM(base_tokens) OVER (PARTITION BY epoch) AS BIGINT)
+                   AS deficit
+        FROM quota
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, source, alloc_ppm,
+           CAST(base_tokens + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS tokens
+    FROM ranked
+    ORDER BY epoch, source
+    """
+
+
+@register(
+    "q_domain_curriculum",
+    oracle=_domain_curriculum_oracle(),
+    tags=("llm", "mixture", "curriculum", "doremi", "training-prep"),
+)
+def q_domain_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain loss-reweighting curriculum — the DoReMi x epoch
+    schedule composition the r10 verdict named: epoch 0 samples domains
+    uniformly and the mixture anneals LINEARLY to the DoReMi weights by
+    the final epoch (alloc_e = ((E-1-e)*uniform + e*doremi) div (E-1),
+    exact ppm integers — the standard warmup-to-target curriculum), then
+    each epoch's fixed token budget is apportioned by largest-remainder
+    rounding (rank remainders desc, source asc) so per-epoch totals hit
+    the budget EXACTLY — fractional-quota drift across thousands of
+    shards is a real training-data bug class.
+
+    Plan: the DoReMi weight pipeline is the shared llm11 frame (one
+    corpus scan into a |sources|-row aggregate + 4 window updates on 20
+    rows); the schedule explodes 4 epoch literals on that bounded frame
+    and every window partitions by epoch — bytes, not data. At 100 TB
+    nothing here grows with the corpus except the one weight-fitting
+    scan."""
+    from pulsar_lunar_spark.queries.llm11 import doremi_frame
+
+    cur = doremi_frame(spark, sf_dir)
+    e_max = _CURR_EPOCHS - 1
+    sched = cur.select(
+        "source", "u_ppm", "w_ppm",
+        F.explode(F.sequence(F.lit(0), F.lit(e_max))).alias("epoch"),
+    ).select(
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.expr(f"(({e_max} - epoch) * u_ppm + epoch * w_ppm) div {e_max}")
+        .cast("long")
+        .alias("alloc_ppm"),
+    )
+    quota = sched.select(
+        "source", "epoch", "alloc_ppm",
+        F.expr(
+            f"({_CURR_BUDGET} * alloc_ppm)"
+            " div SUM(alloc_ppm) OVER (PARTITION BY epoch)"
+        )
+        .cast("long")
+        .alias("base_tokens"),
+        F.expr(
+            f"({_CURR_BUDGET} * alloc_ppm)"
+            " % SUM(alloc_ppm) OVER (PARTITION BY epoch)"
+        )
+        .cast("long")
+        .alias("rem"),
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("epoch").orderBy(
+        F.desc("rem"), F.asc("source")
+    )
+    ranked = quota.select(
+        "source", "epoch", "alloc_ppm", "base_tokens",
+        F.row_number().over(w_rank).alias("rk"),
+        (
+            F.lit(_CURR_BUDGET)
+            - F.expr("SUM(base_tokens) OVER (PARTITION BY epoch)")
+        )
+        .cast("long")
+        .alias("deficit"),
+    )
+    return ranked.select(
+        "epoch", "source", "alloc_ppm",
+        (
+            F.col("base_tokens")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens"),
+    ).orderBy("epoch", "source")
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier distillation eval (teacher LR -> student threshold)
+# ---------------------------------------------------------------------------
+
+_DISTILL_THRESHOLDS = (48, 52, 56, 60, 64)
+
+
+def _distill_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm17 import (
+        _LR_BIAS_CNT,
+        _LR_EPOCHS,
+        _lr_w_chain_sql,
+    )
+
+    thr_list = ", ".join(str(t) for t in _DISTILL_THRESHOLDS)
+    match = (
+        "(CASE WHEN n_words >= tt.thr THEN 1 ELSE 0 END)"
+        " = (CASE WHEN lg >= 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""{_lr_w_chain_sql()}, pd AS MATERIALIZED (
+        SELECT f.doc_id, CAST(SUM(w.wv * f.cnt) AS BIGINT) AS lg,
+               CAST(SUM(f.cnt) - {_LR_BIAS_CNT} AS BIGINT) AS n_words
+        FROM f JOIN w{_LR_EPOCHS} w USING (b)
+        GROUP BY f.doc_id
+    ), sweep AS (
+        SELECT CAST(tt.thr AS BIGINT) AS thr,
+               CAST((1000000 * SUM(CASE WHEN doc_id % 2 = 0 AND {match}
+                                        THEN 1 ELSE 0 END))
+                    // SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS train_agree_ppm,
+               CAST((1000000 * SUM(CASE WHEN doc_id % 2 = 1 AND {match}
+                                        THEN 1 ELSE 0 END))
+                    // SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS eval_agree_ppm
+        FROM pd CROSS JOIN UNNEST([{thr_list}]) AS tt(thr)
+        GROUP BY tt.thr
+    )
+    SELECT thr, train_agree_ppm, eval_agree_ppm,
+           ROW_NUMBER() OVER (ORDER BY train_agree_ppm DESC, thr ASC) = 1
+               AS is_best
+    FROM sweep
+    ORDER BY thr
+    """
+
+
+@register(
+    "q_distill_threshold_eval",
+    oracle=_distill_oracle(),
+    tags=("llm", "classifier", "distillation", "training-prep"),
+)
+def q_distill_threshold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier DISTILLATION eval — teacher-to-rule compression:
+    the trained LR's hard labels (sign of the epoch-4 logit,
+    llm17.lr_model — the shared pipeline, weights cached per process)
+    are distilled into the cheapest possible student, a single
+    word-count threshold, by sweeping candidate thresholds and scoring
+    teacher-student agreement on the train split (best = agreement desc,
+    threshold asc) with held-out agreement reported alongside — the
+    standard check that an expensive learned gate can be replaced by a
+    rule at the pipeline's scoring tier. The teacher's training gate IS
+    a 56-word rule, so the sweep recovering 56 or an adjacent candidate
+    as best (four crude GD epochs land the boundary NEAR the gate;
+    measured best = 60/52/56 at sf0.001/0.01/0.1, all >= 0.9 train
+    agreement) is the end-to-end fidelity check of training + scoring.
+
+    Plan: ONE pass over the spooled feature table yields per-doc teacher
+    logit AND word count (sum(cnt) minus the scaled bias — the hashed
+    counts already sum to the word count); the 5-threshold sweep
+    explodes literals on that bounded per-doc frame (the r9 sweep rule:
+    never re-join a scored stream against itself). All-integer ppm."""
+    from pulsar_lunar_spark.queries.llm17 import _LR_BIAS_CNT, lr_model
+
+    feats, _n_train, epoch_weights, logit_agg = lr_model(spark, sf_dir)
+    per_doc = feats.groupBy("doc_id").agg(
+        logit_agg(epoch_weights[-1], "lg"),
+        (F.sum("cnt") - _LR_BIAS_CNT).cast("long").alias("n_words"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in _DISTILL_THRESHOLDS])
+    ).alias("thr")
+    sweep = (
+        per_doc.select("doc_id", "lg", "n_words", thr)
+        .groupBy(F.col("thr").cast("long").alias("thr"))
+        .agg(
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN doc_id % 2 = 0 AND "
+                "(CASE WHEN n_words >= thr THEN 1 ELSE 0 END) = "
+                "(CASE WHEN lg >= 0 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END))"
+                " div SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("train_agree_ppm"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN doc_id % 2 = 1 AND "
+                "(CASE WHEN n_words >= thr THEN 1 ELSE 0 END) = "
+                "(CASE WHEN lg >= 0 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END))"
+                " div SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("eval_agree_ppm"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_best = Window.orderBy(F.desc("train_agree_ppm"), F.asc("thr"))
+    return (
+        sweep.select(
+            "thr", "train_agree_ppm", "eval_agree_ppm",
+            (F.row_number().over(w_best) == 1).alias("is_best"),
+        )
+        .orderBy("thr")
     )

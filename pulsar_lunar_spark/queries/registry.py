@@ -309,6 +309,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "q_video_neardup",
     "q_unigram_lm_train",
     "q_unigram_encode",
+    "q_neardup_safe_split",
+    "q_domain_curriculum",
+    "q_distill_threshold_eval",
     # round-11 rewrite: trained weights cache per (process, spool) — warm
     # calls pay only the eval pass (2.3 -> 1.04 s solo median); the
     # cloned-session epoch loop closes the ADVICE r10 conf-leak finding

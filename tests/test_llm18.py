@@ -144,3 +144,90 @@ def test_unigram_train_replicates_python_reference(spark):
     # invariant flags the registered query asserts
     assert sum(p_ppm.values()) <= 1_000_000 + len(pieces)
     assert epoch_cost[-1] <= epoch_cost[1] + 1_000
+
+
+def test_neardup_safe_split_excludes_exactly_leaky_eval_docs(spark):
+    """Exclusions = precisely the eval-candidate docs with a verified
+    near-dup pair to a train doc (independent recomputation from the
+    operator-level pair table); per-source counts reconcile."""
+    from pyspark.sql import functions as F
+
+    from pulsar_lunar_spark.operators import dedup as D
+    from pulsar_lunar_spark.queries import all_queries
+    from pulsar_lunar_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    res = {r["source"]: r for r in
+           all_queries()["q_neardup_safe_split"].fn(spark, sf).collect()}
+    d = load_table(spark, sf, "documents")
+    pairs = D.minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.3, hasher="md5"
+    ).collect()
+    docs = d.select("doc_id", "source").collect()
+    src = {r["doc_id"]: r["source"] for r in docs}
+    is_eval = lambda i: i % 10 == 7  # noqa: E731
+    leaky = set()
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if is_eval(a) and not is_eval(b):
+            leaky.add(a)
+        if is_eval(b) and not is_eval(a):
+            leaky.add(b)
+    for s in {v for v in src.values()}:
+        ids = [i for i, v in src.items() if v == s]
+        assert res[s]["n_docs"] == len(ids)
+        assert res[s]["n_eval_cand"] == sum(1 for i in ids if is_eval(i))
+        assert res[s]["n_excluded"] == sum(1 for i in ids if i in leaky)
+        assert res[s]["n_eval"] == res[s]["n_eval_cand"] - res[s]["n_excluded"]
+    # and the final split is leak-free by construction
+    final_eval = {i for i in src if is_eval(i) and i not in leaky}
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        assert not (
+            (a in final_eval and not is_eval(b))
+            or (b in final_eval and not is_eval(a))
+        )
+
+
+def test_domain_curriculum_budget_exact_and_anneals(spark):
+    """Every epoch's token allocation sums EXACTLY to the budget
+    (largest-remainder correction), epoch 0 is the uniform mixture, the
+    final epoch is the DoReMi mixture, and the path is monotone toward
+    the target per source."""
+    from pulsar_lunar_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_domain_curriculum"].fn(spark, sf).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1, 2, 3}
+    for e, rs in by_epoch.items():
+        assert sum(r["tokens"] for r in rs) == 1_000_000, e
+    w = {r["source"]: r["alloc_ppm"] for r in by_epoch[3]}
+    u = {r["source"]: r["alloc_ppm"] for r in by_epoch[0]}
+    # epoch 0 uniform: all sources equal
+    assert len(set(u.values())) == 1
+    # monotone anneal per source (integer-floored linear interpolation)
+    for r in rows:
+        lo, hi = sorted((u[r["source"]], w[r["source"]]))
+        assert lo - 1 <= r["alloc_ppm"] <= hi + 1
+
+
+def test_distill_best_threshold_recovers_teacher_gate(spark):
+    """The teacher was trained to distill a 56-word gate; four crude GD
+    epochs land the decision boundary NEAR it, so the student sweep's
+    best threshold is 56 or an adjacent candidate with high train
+    agreement, and 56 itself agrees within noise of the best (measured:
+    best = 60/52/56 at sf0.001/0.01/0.1)."""
+    from pulsar_lunar_spark.queries import all_queries
+
+    rows = all_queries()["q_distill_threshold_eval"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["thr"] in (52, 56, 60)
+    assert best[0]["train_agree_ppm"] >= 900_000
+    at56 = next(r for r in rows if r["thr"] == 56)
+    assert best[0]["train_agree_ppm"] - at56["train_agree_ppm"] <= 60_000

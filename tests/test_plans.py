@@ -65,6 +65,8 @@ PYTHON_OK = {
     "q_video_neardup",  # AVI decode x2 (frame deltas + per-frame dHash)
     # round-11 tokenizer: per-word Viterbi DP is the declared Arrow lane
     "q_unigram_encode",
+    # round-11: vectorized Arrow minhash signatures (q_dedup_minhash lane)
+    "q_neardup_safe_split",
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
@@ -366,6 +368,9 @@ EXCHANGE_BUDGETS = {
     "q_stream_ingest_dedup": (1, 0),  # result = pair-store scan + sort (work happens per-batch)
     "q_unigram_lm_train": (0, 0),  # corpus pass collects in the operator; result is literal rows
     "q_unigram_encode": (2, 0),  # per-doc agg + sort; Viterbi rides the scan
+    "q_neardup_safe_split": (5, 3),  # LSH pair pipeline + leaky projection joined back
+    "q_domain_curriculum": (2, 0),  # source agg + epoch windows on the 20-row frame
+    "q_distill_threshold_eval": (3, 0),  # per-doc agg + 5-thr sweep agg + 5-row rank
     # one qid-clustered exchange shared by the (qid,vec) agg, all three
     # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
     "q_matryoshka_eval": (2, 1),
