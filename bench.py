@@ -132,6 +132,7 @@ HEADLINE = [
     "q_neardup_safe_split",
     "q_domain_curriculum",
     "q_distill_threshold_eval",
+    "q_nucleus_sampling_audit",
 ]
 
 

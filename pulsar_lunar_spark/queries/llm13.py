@@ -673,7 +673,11 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KN_TOPK = 20
 
 
-def _kn_oracle() -> str:
+def _kn_cte() -> str:
+    """The shared KN-model CTE chain (through ``k`` = the full bigram
+    model with p_kn_ppm): reused by the q_kneser_ney oracle and the
+    q_nucleus_sampling_audit oracle (llm18) — engine/oracle pairs share
+    SQL builders so replicas cannot drift."""
     return f"""
     WITH w AS (
         SELECT STRING_SPLIT({_NORM}, ' ') AS words FROM documents
@@ -706,7 +710,11 @@ def _kn_oracle() -> str:
                           // (4 * c1) AS BIGINT),
                    1) AS p_kn_ppm
         FROM p
-    ), r AS (
+    )"""
+
+
+def _kn_oracle() -> str:
+    return f"""{_kn_cte()}, r AS (
         SELECT w1, w2, c12, c1, p_kn_ppm,
                ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2) AS rn
         FROM k

@@ -27,7 +27,10 @@ named as the remaining gaps —
   DoReMi weights annealed over epochs with exact-budget
   largest-remainder rounding), and a quality-classifier distillation
   eval (``q_distill_threshold_eval`` — the trained llm17 teacher
-  compressed into a word-count-rule student).
+  compressed into a word-count-rule student);
+- nucleus (top-p) sampling audit (``q_nucleus_sampling_audit``): per-
+  context truncation size and covered mass over the spooled KN model —
+  the serving-time sampling-parameter measurement.
 
 Determinism discipline: md5-portable hashing end to end, so the DuckDB
 oracle replicates the full pipelines value-exactly in SQL; every float
@@ -774,4 +777,115 @@ def q_distill_threshold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w_best) == 1).alias("is_best"),
         )
         .orderBy("thr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) sampling audit over the KN model
+# ---------------------------------------------------------------------------
+
+_NUC_CONTEXTS = 8  # audit the top-8 contexts by continuation mass
+_NUC_P_NUM, _NUC_P_DEN = 9, 10  # nucleus threshold p = 0.9, exact rational
+
+
+def _nucleus_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm13 import _kn_cte
+
+    return f"""{_kn_cte()}, ctx AS (
+        SELECT w1, c1 FROM (
+            SELECT w1, c1,
+                   ROW_NUMBER() OVER (ORDER BY c1 DESC, w1) AS crn
+            FROM (SELECT DISTINCT w1, c1 FROM k)
+        ) WHERE crn <= {_NUC_CONTEXTS}
+    ), ranked AS (
+        SELECT k.w1, ctx.c1, k.w2, k.p_kn_ppm,
+               ROW_NUMBER() OVER win AS rn,
+               CAST(SUM(k.p_kn_ppm) OVER (PARTITION BY k.w1 ORDER BY
+                    k.p_kn_ppm DESC, k.w2
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(k.p_kn_ppm) OVER (PARTITION BY k.w1) AS BIGINT)
+                   AS tot,
+               CAST(COUNT(*) OVER (PARTITION BY k.w1) AS BIGINT) AS ncand
+        FROM k JOIN ctx USING (w1)
+        WINDOW win AS (PARTITION BY k.w1 ORDER BY k.p_kn_ppm DESC, k.w2)
+    )
+    SELECT w1, c1,
+           MAX(ncand) AS n_candidates,
+           CAST(MIN(CASE WHEN {_NUC_P_DEN} * cum >= {_NUC_P_NUM} * tot
+                         THEN rn END) AS BIGINT) AS nucleus_size,
+           CAST(MAX(CASE WHEN rn = 1 THEN p_kn_ppm END) AS BIGINT)
+               AS top1_ppm,
+           CAST((1000000 * MIN(CASE WHEN {_NUC_P_DEN} * cum
+                                         >= {_NUC_P_NUM} * tot
+                                    THEN cum END))
+                // MAX(tot) AS BIGINT) AS nucleus_mass_ppm
+    FROM ranked
+    GROUP BY w1, c1
+    ORDER BY c1 DESC, w1
+    """
+
+
+@register(
+    "q_nucleus_sampling_audit",
+    oracle=_nucleus_oracle(),
+    tags=("llm", "lm", "sampling", "nucleus"),
+)
+def q_nucleus_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) truncation audit over the trained Kneser-Ney
+    bigram model: for the top-8 contexts by continuation mass, how many
+    highest-probability continuations does a p=0.9 nucleus keep, and how
+    much mass does it actually cover — the measurement that picks
+    serving-time sampling parameters (a context whose nucleus is 2
+    tokens degenerates to greedy; one whose nucleus is the whole
+    observed vocabulary means the truncation does nothing). Nucleus
+    size = the first rank whose cumulative model probability reaches
+    9/10 of the context's observed mass — exact integers end to end
+    (the 0.9 threshold is the rational 10*cum >= 9*tot, never a float).
+
+    Plan: reads the process-shared KN model spool (train once, the
+    llm13 family lane); contexts come from one TakeOrdered head; the
+    per-context rank/cumulative windows partition by w1 (distributed,
+    never a global sort); one 8-row aggregate ends it."""
+    from pulsar_lunar_spark.operators.corpus import kn_bigram_model
+    from pyspark.sql.window import Window
+
+    k = kn_bigram_model(spark, sf_dir).select("w1", "w2", "c1", "p_kn_ppm")
+    ctx = (
+        k.select("w1", "c1")
+        .distinct()
+        .orderBy(F.desc("c1"), F.asc("w1"))
+        .limit(_NUC_CONTEXTS)
+        .select("w1")
+    )
+    win = Window.partitionBy("w1").orderBy(F.desc("p_kn_ppm"), F.asc("w2"))
+    cum_w = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = Window.partitionBy("w1")
+    ranked = (
+        k.join(F.broadcast(ctx), "w1")
+        .select(
+            "w1", "c1", "w2", "p_kn_ppm",
+            F.row_number().over(win).alias("rn"),
+            F.sum("p_kn_ppm").over(cum_w).cast("long").alias("cum"),
+            F.sum("p_kn_ppm").over(part).cast("long").alias("tot"),
+            F.count(F.lit(1)).over(part).cast("long").alias("ncand"),
+        )
+    )
+    in_nucleus = _NUC_P_DEN * F.col("cum") >= _NUC_P_NUM * F.col("tot")
+    return (
+        ranked.groupBy("w1", "c1")
+        .agg(
+            F.max("ncand").cast("long").alias("n_candidates"),
+            F.min(F.when(in_nucleus, F.col("rn")))
+            .cast("long")
+            .alias("nucleus_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("p_kn_ppm")))
+            .cast("long")
+            .alias("top1_ppm"),
+            F.expr(
+                f"CAST((1000000 * MIN(CASE WHEN {_NUC_P_DEN} * cum"
+                f" >= {_NUC_P_NUM} * tot THEN cum END))"
+                " div MAX(tot) AS BIGINT)"
+            ).alias("nucleus_mass_ppm"),
+        )
+        .orderBy(F.desc("c1"), F.asc("w1"))
     )

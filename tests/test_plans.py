@@ -371,6 +371,7 @@ EXCHANGE_BUDGETS = {
     "q_neardup_safe_split": (5, 3),  # LSH pair pipeline + leaky projection joined back
     "q_domain_curriculum": (2, 0),  # source agg + epoch windows on the 20-row frame
     "q_distill_threshold_eval": (3, 0),  # per-doc agg + 5-thr sweep agg + 5-row rank
+    "q_nucleus_sampling_audit": (3, 1),  # ctx TakeOrdered + w1 windows + 8-row agg
     # one qid-clustered exchange shared by the (qid,vec) agg, all three
     # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
     "q_matryoshka_eval": (2, 1),
