@@ -231,3 +231,34 @@ def test_distill_best_threshold_recovers_teacher_gate(spark):
     assert best[0]["train_agree_ppm"] >= 900_000
     at56 = next(r for r in rows if r["thr"] == 56)
     assert best[0]["train_agree_ppm"] - at56["train_agree_ppm"] <= 60_000
+
+
+def test_nucleus_audit_matches_python_reference(spark):
+    """Nucleus sizes/masses recomputed independently in Python from the
+    KN model rows (sort by p desc then w2, cumulative-sum until
+    10*cum >= 9*total)."""
+    from pulsar_lunar_spark.operators.corpus import kn_bigram_model
+    from pulsar_lunar_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_nucleus_sampling_audit"].fn(spark, sf).collect()
+    model = kn_bigram_model(spark, sf).select(
+        "w1", "w2", "c1", "p_kn_ppm"
+    ).collect()
+    by_ctx = {}
+    for r in model:
+        by_ctx.setdefault(r["w1"], []).append((r["w2"], r["p_kn_ppm"]))
+    assert len(rows) == 8
+    for r in rows:
+        cands = sorted(by_ctx[r["w1"]], key=lambda t: (-t[1], t[0]))
+        tot = sum(p for _, p in cands)
+        cum, size = 0, None
+        for i, (_, p) in enumerate(cands, start=1):
+            cum += p
+            if 10 * cum >= 9 * tot:
+                size = i
+                break
+        assert r["n_candidates"] == len(cands)
+        assert r["nucleus_size"] == size
+        assert r["top1_ppm"] == cands[0][1]
+        assert r["nucleus_mass_ppm"] == (1_000_000 * cum) // tot
