@@ -133,6 +133,7 @@ HEADLINE = [
     "q_domain_curriculum",
     "q_distill_threshold_eval",
     "q_nucleus_sampling_audit",
+    "q_spec_decode_overlap",
 ]
 
 

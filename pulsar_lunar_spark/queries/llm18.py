@@ -889,3 +889,85 @@ def q_nucleus_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c1"), F.asc("w1"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Speculative-decoding acceptance audit (draft/target distribution overlap)
+# ---------------------------------------------------------------------------
+
+
+def _spec_decode_oracle() -> str:
+    from pulsar_lunar_spark.queries.llm13 import _kn_cte
+
+    return f"""{_kn_cte()}, du AS MATERIALIZED (
+        SELECT w2, CAST(SUM(c12) AS BIGINT) AS cw2 FROM k GROUP BY w2
+    ), tot AS (
+        SELECT CAST(SUM(c12) AS BIGINT) AS nbi FROM k
+    ), ctx AS (
+        SELECT w1, c1 FROM (
+            SELECT w1, c1,
+                   ROW_NUMBER() OVER (ORDER BY c1 DESC, w1) AS crn
+            FROM (SELECT DISTINCT w1, c1 FROM k)
+        ) WHERE crn <= {_NUC_CONTEXTS}
+    )
+    SELECT k.w1, ctx.c1,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(LEAST(k.p_kn_ppm,
+                          GREATEST((1000000 * du.cw2) // tot.nbi, 1)))
+                AS BIGINT) AS overlap_ppm
+    FROM k JOIN ctx USING (w1) JOIN du USING (w2) CROSS JOIN tot
+    GROUP BY k.w1, ctx.c1
+    ORDER BY ctx.c1 DESC, k.w1
+    """
+
+
+@register(
+    "q_spec_decode_overlap",
+    oracle=_spec_decode_oracle(),
+    tags=("llm", "lm", "speculative-decoding", "sampling"),
+)
+def q_spec_decode_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance audit: the expected acceptance
+    rate of a draft model against a target model is the distribution
+    OVERLAP sum_w min(p_draft(w), p_target(w|ctx)) — 1 minus their total
+    variation distance — so measuring it per context predicts the
+    speedup before wiring the sampler. Target = the trained Kneser-Ney
+    bigram (the process-shared model spool); draft = the context-free
+    continuation-unigram distribution derivable from the SAME model
+    table (the cheapest possible draft), evaluated over each context's
+    observed continuation set for the top-8 contexts by mass. All exact
+    ppm integers: min/sum of two floored ppm shares.
+
+    Plan: both distributions come from ONE spool read — the draft is a
+    w2-grouped aggregate of the model, the scalar bigram total rides a
+    broadcast 1-row cross join (the scalar-total pattern), contexts are
+    a TakeOrdered head — then one 8-context aggregate. Nothing rescans
+    the corpus."""
+    from pulsar_lunar_spark.operators.corpus import kn_bigram_model
+
+    k = kn_bigram_model(spark, sf_dir).select("w1", "w2", "c12", "c1", "p_kn_ppm")
+    du = k.groupBy("w2").agg(F.sum("c12").cast("long").alias("cw2"))
+    tot = k.agg(F.sum("c12").cast("long").alias("nbi"))
+    ctx = (
+        k.select("w1", "c1")
+        .distinct()
+        .orderBy(F.desc("c1"), F.asc("w1"))
+        .limit(_NUC_CONTEXTS)
+    )
+    return (
+        k.join(F.broadcast(ctx.select("w1")), "w1")
+        .join(du, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "c1", "p_kn_ppm",
+            F.expr("GREATEST((1000000 * cw2) div nbi, 1L)").alias("p_d_ppm"),
+        )
+        .groupBy("w1", "c1")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.least("p_kn_ppm", "p_d_ppm"))
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+        .orderBy(F.desc("c1"), F.asc("w1"))
+    )

@@ -262,3 +262,34 @@ def test_nucleus_audit_matches_python_reference(spark):
         assert r["nucleus_size"] == size
         assert r["top1_ppm"] == cands[0][1]
         assert r["nucleus_mass_ppm"] == (1_000_000 * cum) // tot
+
+
+def test_spec_decode_overlap_bounds_and_reference(spark):
+    """Overlap recomputed independently in Python from the model rows;
+    each context's overlap is a valid acceptance mass: 0 < overlap <=
+    min(draft mass on support, target mass) + rounding slack."""
+    from pulsar_lunar_spark.operators.corpus import kn_bigram_model
+    from pulsar_lunar_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_spec_decode_overlap"].fn(spark, sf).collect()
+    model = kn_bigram_model(spark, sf).select(
+        "w1", "w2", "c12", "c1", "p_kn_ppm"
+    ).collect()
+    cw2 = {}
+    nbi = 0
+    for r in model:
+        cw2[r["w2"]] = cw2.get(r["w2"], 0) + r["c12"]
+        nbi += r["c12"]
+    by_ctx = {}
+    for r in model:
+        pd_ppm = max((1_000_000 * cw2[r["w2"]]) // nbi, 1)
+        by_ctx.setdefault(r["w1"], []).append(
+            min(r["p_kn_ppm"], pd_ppm)
+        )
+    assert len(rows) == 8
+    for r in rows:
+        vals = by_ctx[r["w1"]]
+        assert r["n_candidates"] == len(vals)
+        assert r["overlap_ppm"] == sum(vals)
+        assert 0 < r["overlap_ppm"] <= 1_000_000 + len(vals)

@@ -91,6 +91,7 @@ CARTESIAN_OK = {
     "q_chi2_cells",  # single-row broadcast grand-total side
     "q_bpe_encode",  # bpe_train's bounded vocab argmax feeds the fold
     "q_kn_doc_surprisal",  # single-row broadcast corpus-mean side
+    "q_spec_decode_overlap",  # single-row broadcast bigram-total side
     "q_hits_scores",  # single-row broadcast per-round max side
 }
 
@@ -372,6 +373,7 @@ EXCHANGE_BUDGETS = {
     "q_domain_curriculum": (2, 0),  # source agg + epoch windows on the 20-row frame
     "q_distill_threshold_eval": (3, 0),  # per-doc agg + 5-thr sweep agg + 5-row rank
     "q_nucleus_sampling_audit": (3, 1),  # ctx TakeOrdered + w1 windows + 8-row agg
+    "q_spec_decode_overlap": (5, 3),  # draft agg + scalar total + ctx head + 8-row agg
     # one qid-clustered exchange shared by the (qid,vec) agg, all three
     # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
     "q_matryoshka_eval": (2, 1),
