@@ -242,6 +242,15 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             state_partitions=8,
             no_data_batches=False,  # stateless foreachBatch pipeline
         )
+    # A corpus with NO near-dup pairs writes no parquet parts at all
+    # (an empty-frame append emits only _SUCCESS) — return the typed
+    # empty result instead of letting schema inference fail.
+    if not os.path.isdir(pairs) or not any(
+        f.endswith(".parquet") for f in os.listdir(pairs)
+    ):
+        return spark.createDataFrame(
+            [], "day_found long, id_lo long, id_hi long, jaccard double"
+        )
     return spark.read.parquet(pairs).orderBy("id_lo", "id_hi")
 
 
