@@ -937,6 +937,60 @@ def video_frame_dhash(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
     )
 
 
+#: Output schema of combined per-frame video features (delta + dHash).
+VIDEO_FRAME_FEATURES_SCHEMA = (
+    "media_id string, frame_index int, n_frames int, width int, height int, "
+    "delta_sum long, b0 long, b1 long, b2 long, b3 long, decode_ok boolean"
+)
+
+
+def video_frame_features(df: DataFrame, rows: int = 8, cols: int = 9) -> DataFrame:
+    """Combined per-frame video features in ONE decode pass: the
+    consecutive-frame absolute pixel delta (frame_deltas' exact integer;
+    -1 on frame 0, which has no predecessor) AND the frame's perceptual
+    dHash bands (_dhash_bands) ride the same output row. A consumer that
+    needs both — video near-dup matching cuts shots from deltas and
+    fingerprints each shot's first frame — pays bytes-across-Arrow once
+    instead of twice, and the keyframe hash needs no join back (the cut
+    row already carries its frame's bands). Values are identical to the
+    frame_deltas / video_frame_dhash pair by construction (shared math);
+    pytest pins it."""
+
+    def _vff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    w, h, _usec, frames = decode_avi(content)
+                except (ValueError, NotImplementedError):
+                    out.append((mid, -1, -1, -1, -1, -1, -1, -1, -1, -1, False))
+                    continue
+                if not frames:
+                    out.append((mid, -1, -1, -1, -1, -1, -1, -1, -1, -1, False))
+                    continue
+                stack = np.stack(frames).astype(np.int64)
+                deltas = np.abs(np.diff(stack, axis=0)).sum(axis=(1, 2))
+                for t, fr in enumerate(frames):
+                    bands = _dhash_bands(np.asarray(fr), rows, cols)
+                    d = int(deltas[t - 1]) if t >= 1 else -1
+                    out.append(
+                        (mid, t, len(frames), w, h, d, *bands, True)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_index", "n_frames", "width",
+                    "height", "delta_sum", "b0", "b1", "b2", "b3",
+                    "decode_ok",
+                ],
+            )
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(
+        _vff, schema=VIDEO_FRAME_FEATURES_SCHEMA
+    )
+
+
 #: Output schema of windowed audio energy extraction (VAD input).
 AUDIO_ENERGY_SCHEMA = (
     "media_id string, win_index int, n_windows int, energy long, "

@@ -1360,21 +1360,32 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "vdup",
         lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
     )
-    deltas = M.frame_deltas(vids).filter(F.col("decode_ok"))
-    fhash = M.video_frame_dhash(vids).filter(F.col("decode_ok"))
-    starts = fhash.filter(F.col("frame_index") == 0).select(
-        "media_id", "frame_index"
-    ).unionByName(
-        deltas.filter(
-            F.col("delta_sum")
-            > _CUT_PER_PIXEL * F.col("width").cast("long") * F.col("height")
-        ).select("media_id", "frame_index")
+    # ONE decode pass (video_frame_features: deltas + per-frame dHash on
+    # the same row), spooled per call so the two shot-start consumers
+    # scan it instead of re-running the Arrow stage (exchange reuse fails
+    # under divergent pruning — the r4 lesson); the cut row already
+    # carries its frame's bands, so there is NO keyframe join at all.
+    # (frame_deltas / video_frame_dhash remain the single-purpose ops;
+    # value identity with this fused stage is pytest-pinned.)
+    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+
+    feat_slot = versioned_slot(scratch_root("pl_vdup_feat", sf_dir), "feat")
+    M.video_frame_features(vids).filter(F.col("decode_ok")).write.mode(
+        "overwrite"
+    ).parquet(feat_slot)
+    ff = spark.read.parquet(feat_slot)
+    starts = ff.filter(F.col("frame_index") == 0).unionByName(
+        ff.filter(
+            (F.col("frame_index") >= 1)
+            & (
+                F.col("delta_sum")
+                > _CUT_PER_PIXEL
+                * F.col("width").cast("long")
+                * F.col("height")
+            )
+        )
     )
-    sigs = (
-        starts.join(fhash, ["media_id", "frame_index"])
-        .select("media_id", "b0", "b1", "b2", "b3")
-        .distinct()
-    )
+    sigs = starts.select("media_id", "b0", "b1", "b2", "b3").distinct()
     nsig = sigs.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sigs")
     )

@@ -378,3 +378,52 @@ def test_video_neardup_planted_variants_pair(spark):
         pairs[("m2", "m2t")]["n_sigs_b"]
         <= pairs[("m2", "m2t")]["n_sigs_a"]
     )
+
+
+def test_video_frame_features_matches_single_purpose_ops(spark):
+    """The fused per-frame feature stage (one decode pass) is value-
+    identical to the frame_deltas + video_frame_dhash pair it replaces
+    in q_video_neardup."""
+    import pandas as pd
+
+    from pulsar_lunar_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        frame_deltas,
+        video_frame_dhash,
+        video_frame_features,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(3):
+        frames = rng.randint(0, 255, size=(2 + i, 5 + i, 7), dtype=np.uint8)
+        rows.append(
+            (f"v{i}", "video", encode_avi(frames, usec_per_frame=500_000),
+             "avi", None, None, len(frames) * 500)
+        )
+    rows.append(("bad", "video", b"nope", "avi", None, None, 1))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA,
+    )
+    fused = {
+        (r["media_id"], r["frame_index"]): r
+        for r in video_frame_features(df).collect()
+    }
+    for r in frame_deltas(df).collect():
+        if r["decode_ok"]:
+            f = fused[(r["media_id"], r["frame_index"])]
+            assert f["delta_sum"] == r["delta_sum"]
+            assert (f["width"], f["height"]) == (r["width"], r["height"])
+    for r in video_frame_dhash(df).collect():
+        f = fused[(r["media_id"], r["frame_index"])]
+        assert f["decode_ok"] == r["decode_ok"]
+        if r["decode_ok"]:
+            assert [f[c] for c in ("b0", "b1", "b2", "b3")] == [
+                r[c] for c in ("b0", "b1", "b2", "b3")
+            ]
+            assert f["n_frames"] == r["n_frames"]
+    # frame 0 carries the no-predecessor sentinel
+    assert fused[("v0", 0)]["delta_sum"] == -1
+    assert fused[("bad", -1)]["decode_ok"] is False

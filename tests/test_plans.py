@@ -365,7 +365,7 @@ EXCHANGE_BUDGETS = {
     "q_image_phash_dedup": (3, 1),  # (band,value) postings self-join + distinct + sort
     # round-11 additions: every exchange moves O(shots)/O(pairs) rows,
     # never frames or bytes
-    "q_video_neardup": (12, 4),  # keyframe join + sig distinct/counts + sig-bucket self-join
+    "q_video_neardup": (8, 3),  # fused-feature spool scan + sig distinct/counts + sig-bucket self-join
     "q_stream_ingest_dedup": (1, 0),  # result = pair-store scan + sort (work happens per-batch)
     "q_unigram_lm_train": (0, 0),  # corpus pass collects in the operator; result is literal rows
     "q_unigram_encode": (2, 0),  # per-doc agg + sort; Viterbi rides the scan
