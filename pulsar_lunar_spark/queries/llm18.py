@@ -74,11 +74,12 @@ _INGEST_DAYS = 3  # ingest day = doc_id % 3 — the deterministic batch split
 
 
 def _docs_topics(spark: SparkSession, sf_dir: str) -> MessageLog:
-    """Produce the per-day document topics ONCE per (process, dataset):
-    ``docs_d{k}`` holds ingest day k's documents (doc_id % 3 == k) as
-    envelope rows with the text in the payload — the crawl drop that day.
-    Deterministic function of the immutable documents table, so every
-    call (and every bench rep) replays the same topics."""
+    """Produce the ``docs`` topic ONCE per (process, dataset) as THREE
+    sequential appends — ingest day k (doc_id % 3 == k) lands as its own
+    produce, so the file source's (mtime, path) ordering serves the days
+    oldest-first to a single continuous subscription — the crawl-drop
+    timeline. Deterministic function of the immutable documents table,
+    so every call (and every bench rep) replays the same topic."""
     import shutil
 
     base = os.path.join(scratch_root("pl_ingest_topics", sf_dir), "log")
@@ -91,7 +92,7 @@ def _docs_topics(spark: SparkSession, sf_dir: str) -> MessageLog:
         for k in range(_INGEST_DAYS):
             log.produce(
                 d.filter(F.col("doc_id") % _INGEST_DAYS == k),
-                topic=f"docs_d{k}",
+                topic="docs",
                 payload_cols=["doc_id", "text"],
                 key="doc_id",
                 sequence_id="doc_id",
@@ -136,8 +137,10 @@ _INGEST_ORACLE = f"""
 )
 def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ingest near-dup dedup against a PERSISTED signature
-    store — the continuous-crawl composition: each ingest day's documents
-    land as a real availableNow streaming drain whose foreachBatch
+    store — the continuous-crawl composition: ONE continuous availableNow
+    subscription drains the docs topic day-batch by day-batch
+    (max_files_per_trigger = one produce's file count, so each micro-batch
+    is one ingest day's drop), and every foreachBatch
 
     1. appends the batch's shingle sets to the store (one pass computes
        them; the bucket stage reads them back materialized),
@@ -150,8 +153,12 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     A pair is discovered exactly once — in the batch where its LATER
     document arrives (the earlier one is already in the store; same-batch
     pairs canonicalize via least/greatest + distinct) — so the drained
-    pair set equals the batch LSH pair set with day_found =
-    max(day(a), day(b)), which is exactly what the oracle replays in SQL.
+    pair set equals the batch LSH pair set, and day_found =
+    max(doc_id%3 of either side) is derived FROM THE IDS, which keeps the
+    result correct under ANY micro-batch split of the stream (a batch
+    boundary that merges or splits days changes only when a pair is
+    written, never the pair set or its day stamp) — exactly what the
+    oracle replays in SQL.
 
     Scale shape: the store is an append-only derived dataset (at 100
     TB/day it is bucket-partitioned parquet so each probe prunes to the
@@ -177,71 +184,79 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("doc_id", LongType()), StructField("text", StringType())]
     )
 
-    def ingest_day(day: int):
-        def ingest(bdf: DataFrame, batch_id: int) -> None:
-            ss = bdf.sparkSession
-            docs = bdf.select(
-                F.col("payload.doc_id").alias("__id"),
-                F.col("payload.text").alias("text"),
-            )
-            # 1) shingle sets -> store (the one pass that tokenizes text)
-            docs.select(
-                "__id",
-                D.shingles(F.col("text"), 3).alias("__sh"),
-                F.lit(day).cast("long").alias("day"),
-            ).write.mode("append").parquet(store_sh)
-            # 2) signatures/buckets from the MATERIALIZED shingles
-            sh_all = ss.read.parquet(store_sh)
-            bk = D._banded_buckets(
-                sh_all.filter(F.col("day") == day).select("__id", "__sh"),
-                128, 32, 42, True, "md5",
-            ).withColumn("day", F.lit(day).cast("long"))
-            bk.write.mode("append").parquet(store_bk)
-            # 3) probe the store with this batch's buckets + exact verify
-            bk_all = ss.read.parquet(store_bk)
-            cand = (
-                bk_all.filter(F.col("day") == day)
-                .alias("n")
-                .join(
-                    bk_all.alias("h"),
-                    (F.col("n.band") == F.col("h.band"))
-                    & (F.col("n.bucket") == F.col("h.bucket"))
-                    & (F.col("n.__id") != F.col("h.__id")),
-                )
-                .select(
-                    F.least("n.__id", "h.__id").alias("id_lo"),
-                    F.greatest("n.__id", "h.__id").alias("id_hi"),
-                )
-                .distinct()
-            )
-            a = sh_all.select(F.col("__id").alias("id_lo"), F.col("__sh").alias("sh_a"))
-            b = sh_all.select(F.col("__id").alias("id_hi"), F.col("__sh").alias("sh_b"))
-            inter = F.size(F.array_intersect("sh_a", "sh_b"))
-            union = F.size(F.array_union("sh_a", "sh_b"))
-            (
-                cand.join(a, "id_lo")
-                .join(b, "id_hi")
-                .select(
-                    F.lit(day).cast("long").alias("day_found"),
-                    "id_lo",
-                    "id_hi",
-                    F.round(inter / union, 6).alias("jaccard"),
-                )
-                .filter(F.col("jaccard") >= 0.3)
-                .write.mode("append")
-                .parquet(pairs)
-            )
-
-        return ingest
-
-    for k in range(_INGEST_DAYS):
-        stream = log.subscribe(f"docs_d{k}", payload_schema=payload)
-        run_available_now(
-            stream.writeStream.foreachBatch(ingest_day(k)).outputMode("append"),
-            os.path.join(run, f"ck_d{k}"),
-            state_partitions=8,
-            no_data_batches=False,  # stateless foreachBatch pipeline
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        ss = bdf.sparkSession
+        docs = bdf.select(
+            F.col("payload.doc_id").alias("__id"),
+            F.col("payload.text").alias("text"),
         )
+        # 1) shingle sets -> store (the one pass that tokenizes text);
+        #    bid is probe bookkeeping only — day attribution on output
+        #    rows derives from the ids, so ANY batch split stays correct
+        docs.select(
+            "__id",
+            D.shingles(F.col("text"), 3).alias("__sh"),
+            F.lit(batch_id).cast("long").alias("bid"),
+        ).write.mode("append").parquet(store_sh)
+        # 2) signatures/buckets from the MATERIALIZED shingles
+        sh_all = ss.read.parquet(store_sh)
+        bk = D._banded_buckets(
+            sh_all.filter(F.col("bid") == batch_id).select("__id", "__sh"),
+            128, 32, 42, True, "md5",
+        ).withColumn("bid", F.lit(batch_id).cast("long"))
+        bk.write.mode("append").parquet(store_bk)
+        # 3) probe the store with this batch's buckets + exact verify
+        bk_all = ss.read.parquet(store_bk)
+        cand = (
+            bk_all.filter(F.col("bid") == batch_id)
+            .alias("n")
+            .join(
+                bk_all.alias("h"),
+                (F.col("n.band") == F.col("h.band"))
+                & (F.col("n.bucket") == F.col("h.bucket"))
+                & (F.col("n.__id") != F.col("h.__id")),
+            )
+            .select(
+                F.least("n.__id", "h.__id").alias("id_lo"),
+                F.greatest("n.__id", "h.__id").alias("id_hi"),
+            )
+            .distinct()
+        )
+        a = sh_all.select(F.col("__id").alias("id_lo"), F.col("__sh").alias("sh_a"))
+        b = sh_all.select(F.col("__id").alias("id_hi"), F.col("__sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        (
+            cand.join(a, "id_lo")
+            .join(b, "id_hi")
+            .select(
+                F.greatest(
+                    F.col("id_lo") % _INGEST_DAYS,
+                    F.col("id_hi") % _INGEST_DAYS,
+                ).cast("long").alias("day_found"),
+                "id_lo",
+                "id_hi",
+                F.round(inter / union, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.3)
+            .write.mode("append")
+            .parquet(pairs)
+        )
+
+    # one produce writes <= DEFAULT_NUM_PARTITIONS files; capping the
+    # trigger at that count makes each micro-batch one day's drop under
+    # the file source's (mtime, path) order (sequential produces have
+    # strictly increasing mtimes). Correctness does NOT depend on the
+    # alignment — only the marginal-cost story does.
+    stream = log.subscribe(
+        "docs", payload_schema=payload, max_files_per_trigger=8
+    )
+    run_available_now(
+        stream.writeStream.foreachBatch(ingest).outputMode("append"),
+        os.path.join(run, "ck"),
+        state_partitions=8,
+        no_data_batches=False,  # stateless foreachBatch pipeline
+    )
     # A corpus with NO near-dup pairs writes no parquet parts at all
     # (an empty-frame append emits only _SUCCESS) — return the typed
     # empty result instead of letting schema inference fail.
