@@ -134,6 +134,7 @@ HEADLINE = [
     "q_distill_threshold_eval",
     "q_nucleus_sampling_audit",
     "q_spec_decode_overlap",
+    "q_stream_media_ingest",
 ]
 
 

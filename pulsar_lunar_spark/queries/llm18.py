@@ -30,7 +30,11 @@ named as the remaining gaps —
   compressed into a word-count-rule student);
 - nucleus (top-p) sampling audit (``q_nucleus_sampling_audit``): per-
   context truncation size and covered mass over the spooled KN model —
-  the serving-time sampling-parameter measurement.
+  the serving-time sampling-parameter measurement;
+- streaming MEDIA ingest near-dup dedup (``q_stream_media_ingest``):
+  the video twin of the text ingest lane — real AVI bytes through the
+  envelope, per-batch decode + shot signatures probed against a
+  persisted signature store (closes the tri-modal streaming story).
 
 Determinism discipline: md5-portable hashing end to end, so the DuckDB
 oracle replicates the full pipelines value-exactly in SQL; every float
@@ -995,3 +999,206 @@ def q_spec_decode_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c1"), F.asc("w1"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MEDIA ingest near-dup dedup (video twin of the text lane)
+# ---------------------------------------------------------------------------
+
+
+def _clips_topic(spark: SparkSession, sf_dir: str):
+    """Produce the ``clips`` topic ONCE per (process, dataset) as three
+    sequential day appends (day = base doc_id % 3; a clip's planted
+    variants land the same day) from the SAME materialized vdup fixture
+    q_video_neardup decodes — real AVI bytes ride the envelope payload
+    (base64 through the JSON serde, lossless)."""
+    import shutil
+
+    from pulsar_lunar_spark.queries.media import _vdup_fixture
+
+    base = os.path.join(scratch_root("pl_clips_topic", sf_dir), "log")
+    log = MessageLog(spark, base)
+    marker = os.path.join(base, "_PRODUCED")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        log = MessageLog(spark, base)
+        vids = _vdup_fixture(spark, sf_dir).withColumn(
+            "did", F.regexp_extract("media_id", "^m([0-9]+)", 1).cast("long")
+        )
+        for k in range(_INGEST_DAYS):
+            log.produce(
+                vids.filter(F.col("did") % _INGEST_DAYS == k),
+                topic="clips",
+                payload_cols=["media_id", "content"],
+                key="media_id",
+                sequence_id="did",
+            )
+        with open(marker, "w"):
+            pass
+    return log
+
+
+def _stream_media_oracle() -> str:
+    from pulsar_lunar_spark.queries.media import _VDUP_MATCH_PPM, _vdup_cte
+
+    return f"""{_vdup_cte()}, dm AS (
+        SELECT media_id, doc_id FROM clips
+    )
+    SELECT CAST(GREATEST(da.doc_id % {_INGEST_DAYS},
+                         db.doc_id % {_INGEST_DAYS}) AS BIGINT) AS day_found,
+           s.id_a, s.id_b, s.shared_sigs,
+           na.n_sigs AS n_sigs_a, nb.n_sigs AS n_sigs_b,
+           CAST((1000000 * s.shared_sigs)
+                // LEAST(na.n_sigs, nb.n_sigs) AS BIGINT) AS match_ppm
+    FROM shared s
+    JOIN nsig na ON na.media_id = s.id_a
+    JOIN nsig nb ON nb.media_id = s.id_b
+    JOIN dm da ON da.media_id = s.id_a
+    JOIN dm db ON db.media_id = s.id_b
+    WHERE (1000000 * s.shared_sigs) // LEAST(na.n_sigs, nb.n_sigs)
+          >= {_VDUP_MATCH_PPM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q_stream_media_ingest",
+    oracle=_stream_media_oracle(),
+    tags=("streaming", "multimodal", "video", "dedup", "ingest"),
+)
+def q_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING video ingest near-dup dedup — the MEDIA twin of
+    q_stream_ingest_dedup, closing the tri-modal streaming story: real
+    AVI bytes arrive day-batch by day-batch through one continuous
+    availableNow subscription; every foreachBatch decodes its clips ONCE
+    (multimodal.video_frame_features — frame deltas + per-frame dHash in
+    one Arrow pass), cuts shots, appends the batch's DISTINCT shot
+    signatures to a persisted signature store, then probes the store on
+    full 64-bit signature equality and emits clip pairs whose shared
+    signature count reaches 60% of the smaller side's set — the
+    q_video_neardup matching rule, discovered incrementally as clips
+    land. A pair appears exactly once (found in the later clip's batch;
+    same-batch matches canonicalize + distinct at the (pair, signature)
+    level), and day attribution derives from the clip ids, so ANY
+    micro-batch split yields the identical result.
+
+    Scale shape: decode is map-only Arrow per batch; the store is
+    append-only (media_id, b0..b3) rows — O(shots) per clip; the probe
+    is the signature-bucket equi-join (pair mass bounded by agreement,
+    the band_postings stress-probe shape); per-clip signature-set sizes
+    come from one store aggregate, never a re-decode."""
+    log = _clips_topic(spark, sf_dir)
+    run = versioned_slot(scratch_root("pl_media_ingest", sf_dir), "run")
+    store_sigs = os.path.join(run, "store_sigs")
+    pairs = os.path.join(run, "pairs")
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pulsar_lunar_spark.operators import multimodal as M
+    from pulsar_lunar_spark.queries.media import _CUT_PER_PIXEL, _VDUP_MATCH_PPM
+
+    payload = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    day_of = (
+        F.regexp_extract(F.col("media_id"), "^m([0-9]+)", 1).cast("long")
+        % _INGEST_DAYS
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        ss = bdf.sparkSession
+        clips = bdf.select(
+            F.col("payload.media_id").alias("media_id"),
+            F.col("payload.content").alias("content"),
+            F.lit("video").alias("media_type"),
+        )
+        ff = M.video_frame_features(clips).filter(F.col("decode_ok"))
+        starts = ff.filter(F.col("frame_index") == 0).unionByName(
+            ff.filter(
+                (F.col("frame_index") >= 1)
+                & (
+                    F.col("delta_sum")
+                    > _CUT_PER_PIXEL
+                    * F.col("width").cast("long")
+                    * F.col("height")
+                )
+            )
+        )
+        # 1) batch shot-signature sets -> store (the one decode pass)
+        starts.select(
+            "media_id", "b0", "b1", "b2", "b3",
+            F.lit(batch_id).cast("long").alias("bid"),
+        ).distinct().write.mode("append").parquet(store_sigs)
+        # 2) probe the store with this batch's signatures + verify
+        sg = ss.read.parquet(store_sigs)
+        nsig = sg.groupBy("media_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sigs")
+        )
+        matched = (
+            sg.filter(F.col("bid") == batch_id)
+            .alias("n")
+            .join(
+                sg.alias("h"),
+                (F.col("n.b0") == F.col("h.b0"))
+                & (F.col("n.b1") == F.col("h.b1"))
+                & (F.col("n.b2") == F.col("h.b2"))
+                & (F.col("n.b3") == F.col("h.b3"))
+                & (F.col("n.media_id") != F.col("h.media_id")),
+            )
+            .select(
+                F.least("n.media_id", "h.media_id").alias("id_a"),
+                F.greatest("n.media_id", "h.media_id").alias("id_b"),
+                F.col("n.b0").alias("b0"), F.col("n.b1").alias("b1"),
+                F.col("n.b2").alias("b2"), F.col("n.b3").alias("b3"),
+            )
+            .distinct()
+        )
+        na = nsig.select(F.col("media_id").alias("id_a"), F.col("n_sigs").alias("n_sigs_a"))
+        nb = nsig.select(F.col("media_id").alias("id_b"), F.col("n_sigs").alias("n_sigs_b"))
+        (
+            matched.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_sigs"))
+            .join(na, "id_a")
+            .join(nb, "id_b")
+            .select(
+                F.greatest(
+                    F.regexp_extract(F.col("id_a"), "^m([0-9]+)", 1)
+                    .cast("long") % _INGEST_DAYS,
+                    F.regexp_extract(F.col("id_b"), "^m([0-9]+)", 1)
+                    .cast("long") % _INGEST_DAYS,
+                ).cast("long").alias("day_found"),
+                "id_a", "id_b", "shared_sigs", "n_sigs_a", "n_sigs_b",
+                F.expr(
+                    "(1000000 * shared_sigs) div least(n_sigs_a, n_sigs_b)"
+                ).cast("long").alias("match_ppm"),
+            )
+            .filter(F.col("match_ppm") >= _VDUP_MATCH_PPM)
+            .write.mode("append")
+            .parquet(pairs)
+        )
+
+    stream = log.subscribe(
+        "clips", payload_schema=payload, max_files_per_trigger=8
+    )
+    run_available_now(
+        stream.writeStream.foreachBatch(ingest).outputMode("append"),
+        os.path.join(run, "ck"),
+        state_partitions=8,
+        no_data_batches=False,  # stateless foreachBatch pipeline
+    )
+    if not os.path.isdir(pairs) or not any(
+        f.endswith(".parquet") for f in os.listdir(pairs)
+    ):
+        return spark.createDataFrame(
+            [],
+            "day_found long, id_a string, id_b string, shared_sigs long,"
+            " n_sigs_a long, n_sigs_b long, match_ppm long",
+        )
+    return spark.read.parquet(pairs).orderBy("id_a", "id_b")

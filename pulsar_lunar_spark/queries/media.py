@@ -1209,6 +1209,26 @@ def _vdup_oracle() -> str:
     # starts ARE the planted shot grid and the signatures are the dHash
     # closed form — any decode, cut-detection, keyframe-join, or hash
     # error on the Spark side breaks value equality.
+    return f"""{_vdup_cte()}
+    SELECT s.id_a, s.id_b, s.shared_sigs,
+           na.n_sigs AS n_sigs_a, nb.n_sigs AS n_sigs_b,
+           CAST((1000000 * s.shared_sigs)
+                // LEAST(na.n_sigs, nb.n_sigs) AS BIGINT) AS match_ppm
+    FROM shared s
+    JOIN nsig na ON na.media_id = s.id_a
+    JOIN nsig nb ON nb.media_id = s.id_b
+    WHERE (1000000 * s.shared_sigs) // LEAST(na.n_sigs, nb.n_sigs)
+          >= {_VDUP_MATCH_PPM}
+    ORDER BY id_a, id_b
+    """
+
+
+def _vdup_cte() -> str:
+    """The shared video-shot-signature CTE chain (vid -> clips -> shots
+    -> bands -> sigs -> nsig -> shared): reused by the q_video_neardup
+    oracle and the q_stream_media_ingest oracle (llm18 composes the same
+    pipeline behind a streaming ingest) — one replica, no drift. clips
+    carries doc_id so day attribution can derive from it."""
     px = lambda j, i, s: (  # noqa: E731 — local SQL fragment builder
         f"(a * ((({j}) * w) // 9) + b * ((({i}) * h) // 8)"
         f" + ((((({j}) * w) // 9) * (((({i}) * h) // 8) + {s})) % 8) * 4"
@@ -1228,14 +1248,14 @@ def _vdup_oracle() -> str:
                doc_id % 2 + 1 AS a, (doc_id // 2) % 2 + 1 AS b
         FROM documents WHERE doc_id % 3 = 2
     ), clips AS (
-        SELECT 'm' || doc_id AS media_id, w, h, a, b,
+        SELECT doc_id, 'm' || doc_id AS media_id, w, h, a, b,
                0 AS s_from, nshots AS s_to
         FROM vid
         UNION ALL
-        SELECT 'm' || doc_id || 't', w, h, a, b, 1, nshots
+        SELECT doc_id, 'm' || doc_id || 't', w, h, a, b, 1, nshots
         FROM vid WHERE doc_id % 10 = 2
         UNION ALL
-        SELECT 'm' || doc_id || 'v', w, h, a, b, 0, nshots
+        SELECT doc_id, 'm' || doc_id || 'v', w, h, a, b, 0, nshots
         FROM vid WHERE doc_id % 10 = 5
     ), shots AS (
         SELECT media_id, w, h, a, b, ss.s
@@ -1264,45 +1284,14 @@ def _vdup_oracle() -> str:
           ON sa.b0 = sb.b0 AND sa.b1 = sb.b1 AND sa.b2 = sb.b2
          AND sa.b3 = sb.b3 AND sa.media_id < sb.media_id
         GROUP BY sa.media_id, sb.media_id
-    )
-    SELECT s.id_a, s.id_b, s.shared_sigs,
-           na.n_sigs AS n_sigs_a, nb.n_sigs AS n_sigs_b,
-           CAST((1000000 * s.shared_sigs)
-                // LEAST(na.n_sigs, nb.n_sigs) AS BIGINT) AS match_ppm
-    FROM shared s
-    JOIN nsig na ON na.media_id = s.id_a
-    JOIN nsig nb ON nb.media_id = s.id_b
-    WHERE (1000000 * s.shared_sigs) // LEAST(na.n_sigs, nb.n_sigs)
-          >= {_VDUP_MATCH_PPM}
-    ORDER BY id_a, id_b
-    """
+    )"""
 
 
-@register(
-    "q_video_neardup",
-    oracle=_vdup_oracle(),
-    tags=("multimodal", "video", "dedup", "lsh", "scene"),
-)
-def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-duplicate detection via shot-signature sequences — the
-    composition of the two round-10 media lanes: scene-cut shot
-    segmentation (multimodal.frame_deltas thresholded at 30/pixel, the
-    q_scene_cuts discipline) picks each shot's keyframe, the image
-    lane's perceptual dHash (multimodal.video_frame_dhash, shared
-    _dhash_bands math) fingerprints it, and clips match when >= 60% of
-    the smaller side's DISTINCT shot signatures appear in the other's
-    set — robust to trimming (a planted variant drops the first shot
-    and still matches at ppm 1000000) and to re-encoding brightness
-    shifts (a planted +2-luma variant hashes identically, the dHash
-    invariance the image lane pins). The candidate join buckets on the
-    full 64-bit signature (the LSH unit — every >= 1-shared-shot pair
-    survives; Hamming-tolerant shot matching would swap in the
-    q_image_phash_dedup band postings, machinery already built).
-
-    Scale: decode passes are map-only Arrow (bytes cross once per
-    batch); shot starts and signatures shuffle O(shots); the signature
-    join's pair mass is bounded by bucket agreement, never all-pairs —
-    the audio-fingerprint postings shape."""
+def _vdup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared video near-dup fixture (base clips + planted trimmed /
+    brightness variants), materialized once per (process, dataset) —
+    consumed by q_video_neardup and by the q_stream_media_ingest topic
+    producer (llm18), so both lanes decode the same bytes."""
     d = ensure_parallelism(
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -1356,10 +1345,39 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    vids = _materialized(
+    return _materialized(
         spark, sf_dir, "vdup",
         lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
     )
+
+
+@register(
+    "q_video_neardup",
+    oracle=_vdup_oracle(),
+    tags=("multimodal", "video", "dedup", "lsh", "scene"),
+)
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection via shot-signature sequences — the
+    composition of the two round-10 media lanes: scene-cut shot
+    segmentation (multimodal.frame_deltas thresholded at 30/pixel, the
+    q_scene_cuts discipline) picks each shot's keyframe, the image
+    lane's perceptual dHash (multimodal.video_frame_dhash, shared
+    _dhash_bands math) fingerprints it, and clips match when >= 60% of
+    the smaller side's DISTINCT shot signatures appear in the other's
+    set — robust to trimming (a planted variant drops the first shot
+    and still matches at ppm 1000000) and to re-encoding brightness
+    shifts (a planted +2-luma variant hashes identically, the dHash
+    invariance the image lane pins). The candidate join buckets on the
+    full 64-bit signature (the LSH unit — every >= 1-shared-shot pair
+    survives; Hamming-tolerant shot matching would swap in the
+    q_image_phash_dedup band postings, machinery already built).
+
+    Scale: decode passes are map-only Arrow (bytes cross once per
+    batch); shot starts and signatures shuffle O(shots); the signature
+    join's pair mass is bounded by bucket agreement, never all-pairs —
+    the audio-fingerprint postings shape."""
+    vids = _vdup_fixture(spark, sf_dir)
+
     # ONE decode pass (video_frame_features: deltas + per-frame dHash on
     # the same row), spooled per call so the two shot-start consumers
     # scan it instead of re-running the Arrow stage (exchange reuse fails

@@ -293,3 +293,32 @@ def test_spec_decode_overlap_bounds_and_reference(spark):
         assert r["n_candidates"] == len(vals)
         assert r["overlap_ppm"] == sum(vals)
         assert 0 < r["overlap_ppm"] <= 1_000_000 + len(vals)
+
+
+def test_stream_media_ingest_matches_batch_video_neardup(spark):
+    """The streamed drain's final pair set equals the batch
+    q_video_neardup result, with day_found = max(base doc_id % 3 of
+    either side)."""
+    from pulsar_lunar_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in all_queries()["q_stream_media_ingest"].fn(spark, sf).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r
+        for r in all_queries()["q_video_neardup"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    import re as _re
+
+    for k, r in want.items():
+        g = got[k]
+        for c in ("shared_sigs", "n_sigs_a", "n_sigs_b", "match_ppm"):
+            assert g[c] == r[c], (k, c)
+        day = max(
+            int(_re.match(r"m(\d+)", k[0]).group(1)) % 3,
+            int(_re.match(r"m(\d+)", k[1]).group(1)) % 3,
+        )
+        assert g["day_found"] == day
