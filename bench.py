@@ -135,6 +135,7 @@ HEADLINE = [
     "q_nucleus_sampling_audit",
     "q_spec_decode_overlap",
     "q_stream_media_ingest",
+    "q_stream_audio_ingest",
 ]
 
 

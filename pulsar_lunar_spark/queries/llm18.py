@@ -31,10 +31,11 @@ named as the remaining gaps —
 - nucleus (top-p) sampling audit (``q_nucleus_sampling_audit``): per-
   context truncation size and covered mass over the spooled KN model —
   the serving-time sampling-parameter measurement;
-- streaming MEDIA ingest near-dup dedup (``q_stream_media_ingest``):
-  the video twin of the text ingest lane — real AVI bytes through the
-  envelope, per-batch decode + shot signatures probed against a
-  persisted signature store (closes the tri-modal streaming story).
+- streaming MEDIA ingest near-dup dedup (``q_stream_media_ingest``
+  for video, ``q_stream_audio_ingest`` for audio): the media twins of
+  the text ingest lane — real AVI/WAV bytes through the envelope,
+  per-batch decode + shot-signature / window-fingerprint stores — the
+  continuous-crawl near-dup composition is literally tri-modal.
 
 Determinism discipline: md5-portable hashing end to end, so the DuckDB
 oracle replicates the full pipelines value-exactly in SQL; every float
@@ -1200,5 +1201,190 @@ def q_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "day_found long, id_a string, id_b string, shared_sigs long,"
             " n_sigs_a long, n_sigs_b long, match_ppm long",
+        )
+    return spark.read.parquet(pairs).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Streaming AUDIO ingest near-dup dedup (completes tri-modal streaming)
+# ---------------------------------------------------------------------------
+
+
+def _audio_topic(spark: SparkSession, sf_dir: str):
+    """Produce the ``audio`` topic ONCE per (process, dataset) as three
+    sequential day appends — the audio lane's doc_ids are all ≡1 mod 3,
+    so its ingest day is (doc_id div 3) % 3 — from the SAME materialized
+    fixture q_audio_fingerprint_dedup decodes (real WAV bytes through
+    the envelope)."""
+    import shutil
+
+    from pulsar_lunar_spark.queries.media import _afp_fixture
+
+    base = os.path.join(scratch_root("pl_audio_topic", sf_dir), "log")
+    log = MessageLog(spark, base)
+    marker = os.path.join(base, "_PRODUCED")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        log = MessageLog(spark, base)
+        clips = _afp_fixture(spark, sf_dir).withColumn(
+            "did", F.regexp_extract("media_id", "^m([0-9]+)", 1).cast("long")
+        )
+        for k in range(_INGEST_DAYS):
+            log.produce(
+                clips.filter((F.col("did") / 3).cast("long") % _INGEST_DAYS == k),
+                topic="audio",
+                payload_cols=["media_id", "content"],
+                key="media_id",
+                sequence_id="did",
+            )
+        with open(marker, "w"):
+            pass
+    return log
+
+
+def _stream_audio_oracle() -> str:
+    from pulsar_lunar_spark.queries.media import _AFP_MATCH_PPM, _afp_pairs_cte
+
+    return f"""{_afp_pairs_cte()}, dm AS (
+        SELECT clip_id, doc_id FROM clips
+    )
+    SELECT CAST(GREATEST((da.doc_id // 3) % {_INGEST_DAYS},
+                         (db.doc_id // 3) % {_INGEST_DAYS}) AS BIGINT)
+               AS day_found,
+           p.id_a, p.id_b, p.n_match, p.n_windows_a, p.n_windows_b,
+           CAST((1000000 * p.n_match) // LEAST(p.n_windows_a, p.n_windows_b)
+                AS BIGINT) AS match_ppm
+    FROM pairs p
+    JOIN dm da ON da.clip_id = p.id_a
+    JOIN dm db ON db.clip_id = p.id_b
+    WHERE (1000000 * p.n_match) // LEAST(p.n_windows_a, p.n_windows_b)
+          >= {_AFP_MATCH_PPM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q_stream_audio_ingest",
+    oracle=_stream_audio_oracle(),
+    tags=("streaming", "multimodal", "audio", "dedup", "ingest"),
+)
+def q_stream_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING audio ingest near-dup dedup — with the text
+    (q_stream_ingest_dedup) and video (q_stream_media_ingest) lanes this
+    makes the continuous-crawl near-dup composition literally
+    tri-modal: real WAV bytes arrive day-batch by day-batch, every
+    foreachBatch decodes its clips once (multimodal.audio_fingerprints —
+    exact integer Haar band hashes), appends (window, fingerprint)
+    postings to a persisted store, probes the store on (window,
+    fingerprint) equality, and emits clip pairs whose matched-window
+    count reaches 60% of the shorter clip — the
+    q_audio_fingerprint_dedup rule discovered incrementally. Pair-found-
+    once and id-derived day attribution follow the text lane's argument
+    (the audio lane's ids are ≡1 mod 3, so its day is (id div 3) % 3).
+
+    Scale shape: decode+fingerprint is map-only Arrow per batch; the
+    store is append-only postings; the probe is the LSH postings join
+    (pair mass bounded by fingerprint agreement); per-clip window counts
+    ride the same store aggregate."""
+    log = _audio_topic(spark, sf_dir)
+    run = versioned_slot(scratch_root("pl_audio_ingest", sf_dir), "run")
+    store_pp = os.path.join(run, "store_postings")
+    pairs = os.path.join(run, "pairs")
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pulsar_lunar_spark.operators import multimodal as M
+    from pulsar_lunar_spark.operators.corpus import md5_int
+    from pulsar_lunar_spark.queries.media import _AFP_MATCH_PPM, _AFP_WINDOW
+
+    payload = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        ss = bdf.sparkSession
+        clips = bdf.select(
+            F.col("payload.media_id").alias("media_id"),
+            F.col("payload.content").alias("content"),
+            F.lit("audio").alias("media_type"),
+        )
+        fps = M.audio_fingerprints(clips, window=_AFP_WINDOW).filter(
+            F.col("decode_ok")
+        )
+        fps.select(
+            F.col("media_id").alias("clip_id"),
+            "n_windows",
+            F.col("win_index").alias("win"),
+            md5_int(F.col("bands"), hex_chars=8).alias("fp"),
+            F.lit(batch_id).cast("long").alias("bid"),
+        ).write.mode("append").parquet(store_pp)
+        pp = ss.read.parquet(store_pp)
+        day_of = lambda c: (  # noqa: E731
+            (F.regexp_extract(F.col(c), "^m([0-9]+)", 1).cast("long") / 3)
+            .cast("long") % _INGEST_DAYS
+        )
+        matched = (
+            pp.filter(F.col("bid") == batch_id)
+            .alias("a")
+            .join(
+                pp.alias("b"),
+                (F.col("a.win") == F.col("b.win"))
+                & (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.clip_id") != F.col("b.clip_id")),
+            )
+            .select(
+                F.least("a.clip_id", "b.clip_id").alias("id_a"),
+                F.greatest("a.clip_id", "b.clip_id").alias("id_b"),
+                F.col("a.win").alias("win"),
+            )
+            .distinct()
+        )
+        nw = pp.groupBy("clip_id").agg(
+            F.max("n_windows").cast("long").alias("n_windows")
+        )
+        na = nw.select(F.col("clip_id").alias("id_a"), F.col("n_windows").alias("n_windows_a"))
+        nb = nw.select(F.col("clip_id").alias("id_b"), F.col("n_windows").alias("n_windows_b"))
+        (
+            matched.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+            .join(na, "id_a")
+            .join(nb, "id_b")
+            .select(
+                F.greatest(day_of("id_a"), day_of("id_b"))
+                .cast("long")
+                .alias("day_found"),
+                "id_a", "id_b", "n_match", "n_windows_a", "n_windows_b",
+                F.expr(
+                    "(1000000L * n_match) div least(n_windows_a, n_windows_b)"
+                ).cast("long").alias("match_ppm"),
+            )
+            .filter(F.col("match_ppm") >= _AFP_MATCH_PPM)
+            .write.mode("append")
+            .parquet(pairs)
+        )
+
+    stream = log.subscribe(
+        "audio", payload_schema=payload, max_files_per_trigger=8
+    )
+    run_available_now(
+        stream.writeStream.foreachBatch(ingest).outputMode("append"),
+        os.path.join(run, "ck"),
+        state_partitions=8,
+        no_data_batches=False,  # stateless foreachBatch pipeline
+    )
+    if not os.path.isdir(pairs) or not any(
+        f.endswith(".parquet") for f in os.listdir(pairs)
+    ):
+        return spark.createDataFrame(
+            [],
+            "day_found long, id_a string, id_b string, n_match long,"
+            " n_windows_a long, n_windows_b long, match_ppm long",
         )
     return spark.read.parquet(pairs).orderBy("id_a", "id_b")

@@ -748,7 +748,11 @@ def _afp_clips_sql() -> str:
     )"""
 
 
-def _afp_oracle() -> str:
+def _afp_pairs_cte() -> str:
+    """The shared audio-fingerprint pair CTE chain (clips -> fps -> pp
+    -> pairs): reused by the q_audio_fingerprint_dedup oracle and the
+    q_stream_audio_ingest oracle (llm18) — one replica, no drift. clips
+    carries doc_id so day attribution can derive from it."""
     from pulsar_lunar_spark.operators.corpus import md5_int_sql
 
     fp = md5_int_sql("bands", 8)
@@ -764,7 +768,11 @@ def _afp_oracle() -> str:
         FROM pp a JOIN pp b ON a.win = b.win AND a.fp = b.fp
                            AND a.clip_id < b.clip_id
         GROUP BY a.clip_id, b.clip_id
-    )
+    )"""
+
+
+def _afp_oracle() -> str:
+    return f"""{_afp_pairs_cte()}
     SELECT id_a, id_b, n_match, n_windows_a, n_windows_b,
            CAST((1000000 * n_match) // LEAST(n_windows_a, n_windows_b)
                 AS BIGINT) AS match_ppm
@@ -775,35 +783,11 @@ def _afp_oracle() -> str:
     """
 
 
-@register(
-    "q_audio_fingerprint_dedup",
-    oracle=_afp_oracle(),
-    tags=("multimodal", "audio", "fingerprint", "dedup", "lsh"),
-)
-def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate audio detection over REAL WAV content — the
-    Philips-robust-hash shape with exact integer spectral proxies:
-    every 32-sample window runs a full integer Haar decomposition
-    (multimodal.audio_fingerprints; 5 detail bands + the approximation,
-    all BIGINT adds — no FFT floats, so the fingerprint is value-exact
-    across Spark, numpy, and the SQL oracle), the band vector hashes
-    through the shared md5 twin, and clips pair through a SimHash-style
-    (window, fingerprint) inverted-index join — never all-pairs. A pair
-    is a duplicate when >= 60% of the shorter clip's windows match; the
-    fixture plants one variant clip (a single zeroed sample at i=40 —
-    one corrupted window) for every fifth audio doc, so every planted
-    pair matches at (W-1)/W and unrelated clips share nothing.
-
-    The oracle recomputes the fingerprints analytically from doc_id
-    (the clips are closed-form signals; the doc_id*i cross term keeps
-    distinct docs' signals distinct — a pure additive offset mod the
-    sample range collapsed clips into identical residue classes) and replays the same banded
-    join — any decode error (RIFF offsets, sample width) changes every
-    band and breaks the hash.
-
-    Scale: decode+fingerprint is map-only Arrow; the candidate join is
-    the LSH postings pattern — shuffle O(windows), pair mass bounded by
-    fingerprint agreement, verification rides the same aggregate."""
+def _afp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared audio-fingerprint fixture (closed-form WAV clips +
+    planted one-window-corrupted variants), materialized once per
+    (process, dataset) — consumed by q_audio_fingerprint_dedup and by
+    the q_stream_audio_ingest topic producer (llm18)."""
     d = ensure_parallelism(
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -839,10 +823,43 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    clips = _materialized(
+    return _materialized(
         spark, sf_dir, "afp",
         lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
     )
+
+
+@register(
+    "q_audio_fingerprint_dedup",
+    oracle=_afp_oracle(),
+    tags=("multimodal", "audio", "fingerprint", "dedup", "lsh"),
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio detection over REAL WAV content — the
+    Philips-robust-hash shape with exact integer spectral proxies:
+    every 32-sample window runs a full integer Haar decomposition
+    (multimodal.audio_fingerprints; 5 detail bands + the approximation,
+    all BIGINT adds — no FFT floats, so the fingerprint is value-exact
+    across Spark, numpy, and the SQL oracle), the band vector hashes
+    through the shared md5 twin, and clips pair through a SimHash-style
+    (window, fingerprint) inverted-index join — never all-pairs. A pair
+    is a duplicate when >= 60% of the shorter clip's windows match; the
+    fixture plants one variant clip (a single zeroed sample at i=40 —
+    one corrupted window) for every fifth audio doc, so every planted
+    pair matches at (W-1)/W and unrelated clips share nothing.
+
+    The oracle recomputes the fingerprints analytically from doc_id
+    (the clips are closed-form signals; the doc_id*i cross term keeps
+    distinct docs' signals distinct — a pure additive offset mod the
+    sample range collapsed clips into identical residue classes) and replays the same banded
+    join — any decode error (RIFF offsets, sample width) changes every
+    band and breaks the hash.
+
+    Scale: decode+fingerprint is map-only Arrow; the candidate join is
+    the LSH postings pattern — shuffle O(windows), pair mass bounded by
+    fingerprint agreement, verification rides the same aggregate."""
+    clips = _afp_fixture(spark, sf_dir)
+
     from pulsar_lunar_spark.operators.corpus import md5_int
 
     fps = M.audio_fingerprints(clips, window=_AFP_WINDOW).filter(

@@ -322,3 +322,34 @@ def test_stream_media_ingest_matches_batch_video_neardup(spark):
             int(_re.match(r"m(\d+)", k[1]).group(1)) % 3,
         )
         assert g["day_found"] == day
+
+
+def test_stream_audio_ingest_matches_batch_twin(spark):
+    """The streamed audio drain's final pair set equals the batch
+    q_audio_fingerprint_dedup result, with day_found derived from
+    (doc_id div 3) % 3 of either side."""
+    import re as _re
+
+    from pulsar_lunar_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in all_queries()["q_stream_audio_ingest"].fn(spark, sf).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r
+        for r in all_queries()["q_audio_fingerprint_dedup"].fn(
+            spark, sf
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, r in want.items():
+        g = got[k]
+        for c in ("n_match", "n_windows_a", "n_windows_b", "match_ppm"):
+            assert g[c] == r[c], (k, c)
+        day = max(
+            (int(_re.match(r"m(\d+)", k[0]).group(1)) // 3) % 3,
+            (int(_re.match(r"m(\d+)", k[1]).group(1)) // 3) % 3,
+        )
+        assert g["day_found"] == day
