@@ -136,6 +136,7 @@ HEADLINE = [
     "q_spec_decode_overlap",
     "q_stream_media_ingest",
     "q_stream_audio_ingest",
+    "q_stream_image_ingest",
 ]
 
 

@@ -34,8 +34,9 @@ named as the remaining gaps —
 - streaming MEDIA ingest near-dup dedup (``q_stream_media_ingest``
   for video, ``q_stream_audio_ingest`` for audio): the media twins of
   the text ingest lane — real AVI/WAV bytes through the envelope,
-  per-batch decode + shot-signature / window-fingerprint stores — the
-  continuous-crawl near-dup composition is literally tri-modal.
+  per-batch decode + shot-signature / window-fingerprint stores — and
+  ``q_stream_image_ingest`` for images (dHash store + Hamming verify):
+  EVERY batch near-dup modality has its streaming ingest twin.
 
 Determinism discipline: md5-portable hashing end to end, so the DuckDB
 oracle replicates the full pipelines value-exactly in SQL; every float
@@ -1386,5 +1387,197 @@ def q_stream_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "day_found long, id_a string, id_b string, n_match long,"
             " n_windows_a long, n_windows_b long, match_ppm long",
+        )
+    return spark.read.parquet(pairs).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Streaming IMAGE ingest near-dup dedup (every near-dup modality streams)
+# ---------------------------------------------------------------------------
+
+
+def _image_topic(spark: SparkSession, sf_dir: str):
+    """Produce the ``images`` topic ONCE per (process, dataset) as three
+    sequential day appends (the image lane's ids are ≡0 mod 3, so its
+    day is (doc_id div 3) % 3) from the SAME materialized fixture
+    q_image_phash_dedup decodes (real BMP bytes through the envelope)."""
+    import shutil
+
+    from pulsar_lunar_spark.queries.media import _dhash_fixture
+
+    base = os.path.join(scratch_root("pl_image_topic", sf_dir), "log")
+    log = MessageLog(spark, base)
+    marker = os.path.join(base, "_PRODUCED")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        log = MessageLog(spark, base)
+        imgs = _dhash_fixture(spark, sf_dir).withColumn(
+            "did", F.regexp_extract("media_id", "^m([0-9]+)", 1).cast("long")
+        )
+        for k in range(_INGEST_DAYS):
+            log.produce(
+                imgs.filter((F.col("did") / 3).cast("long") % _INGEST_DAYS == k),
+                topic="images",
+                payload_cols=["media_id", "content"],
+                key="media_id",
+                sequence_id="did",
+            )
+        with open(marker, "w"):
+            pass
+    return log
+
+
+def _stream_image_oracle() -> str:
+    from pulsar_lunar_spark.queries.media import _DHASH_HAMMING_MAX, _dhash_cte
+
+    ham = (
+        "BIT_COUNT(XOR(ha.b0, hb.b0)) + BIT_COUNT(XOR(ha.b1, hb.b1))"
+        " + BIT_COUNT(XOR(ha.b2, hb.b2)) + BIT_COUNT(XOR(ha.b3, hb.b3))"
+    )
+    return f"""{_dhash_cte()}, dm AS (
+        SELECT media_id, doc_id FROM clips
+    )
+    SELECT CAST(GREATEST((da.doc_id // 3) % {_INGEST_DAYS},
+                         (db.doc_id // 3) % {_INGEST_DAYS}) AS BIGINT)
+               AS day_found,
+           c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.media_id = c.id_a
+    JOIN hashes hb ON hb.media_id = c.id_b
+    JOIN dm da ON da.media_id = c.id_a
+    JOIN dm db ON db.media_id = c.id_b
+    WHERE {ham} <= {_DHASH_HAMMING_MAX}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q_stream_image_ingest",
+    oracle=_stream_image_oracle(),
+    tags=("streaming", "multimodal", "image", "dedup", "ingest"),
+)
+def q_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image ingest near-dup dedup — with the text, video, and
+    audio lanes, EVERY batch near-dup modality now has its streaming
+    ingest twin: real BMP bytes arrive day-batch by day-batch, every
+    foreachBatch dHashes its images once (multimodal.image_dhash),
+    appends the 4-band hashes to a persisted store, probes the store by
+    (band_index, band_value) postings — the q_image_phash_dedup LSH
+    unit — and emits pairs at Hamming distance <= 6 over the carried
+    64-bit hashes. Pair-found-once and id-derived day attribution follow
+    the text lane's argument; the Hamming verify needs only the two hash
+    rows, both already in the store.
+
+    Scale shape: decode+hash is map-only Arrow per batch; the store is
+    one 4-column row per image; the probe explodes 4 band postings per
+    side (shuffle O(4 x images), pair mass bounded by band agreement —
+    the band_postings stress-probe shape)."""
+    log = _image_topic(spark, sf_dir)
+    run = versioned_slot(scratch_root("pl_image_ingest", sf_dir), "run")
+    store_h = os.path.join(run, "store_hashes")
+    pairs = os.path.join(run, "pairs")
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pulsar_lunar_spark.operators import multimodal as M
+    from pulsar_lunar_spark.queries.media import _DHASH_HAMMING_MAX
+
+    payload = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        ss = bdf.sparkSession
+        imgs = bdf.select(
+            F.col("payload.media_id").alias("media_id"),
+            F.col("payload.content").alias("content"),
+            F.lit("image").alias("media_type"),
+        )
+        M.image_dhash(imgs).filter(F.col("decode_ok")).select(
+            "media_id", "b0", "b1", "b2", "b3",
+            F.lit(batch_id).cast("long").alias("bid"),
+        ).write.mode("append").parquet(store_h)
+        hs = ss.read.parquet(store_h)
+
+        def postings(df: DataFrame) -> DataFrame:
+            return df.select(
+                "media_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(k).alias("k"),
+                                F.col(f"b{k}").alias("bv"),
+                            )
+                            for k in range(4)
+                        ]
+                    )
+                ).alias("kb"),
+            ).select("media_id", "kb.k", "kb.bv")
+        cand = (
+            postings(hs.filter(F.col("bid") == batch_id))
+            .alias("a")
+            .join(
+                postings(hs).alias("b"),
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.media_id") != F.col("b.media_id")),
+            )
+            .select(
+                F.least("a.media_id", "b.media_id").alias("id_a"),
+                F.greatest("a.media_id", "b.media_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        ha = hs.select(
+            F.col("media_id").alias("id_a"),
+            *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+        )
+        hb = hs.select(
+            F.col("media_id").alias("id_b"),
+            *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+        )
+        hamming = sum(
+            F.bit_count(F.expr(f"a{k} ^ bb{k}")) for k in range(4)
+        ).cast("long")
+        day_of = lambda c: (  # noqa: E731
+            (F.regexp_extract(F.col(c), "^m([0-9]+)", 1).cast("long") / 3)
+            .cast("long") % _INGEST_DAYS
+        )
+        (
+            cand.join(ha, "id_a")
+            .join(hb, "id_b")
+            .select(
+                F.greatest(day_of("id_a"), day_of("id_b"))
+                .cast("long")
+                .alias("day_found"),
+                "id_a", "id_b", hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
+            .write.mode("append")
+            .parquet(pairs)
+        )
+
+    stream = log.subscribe(
+        "images", payload_schema=payload, max_files_per_trigger=8
+    )
+    run_available_now(
+        stream.writeStream.foreachBatch(ingest).outputMode("append"),
+        os.path.join(run, "ck"),
+        state_partitions=8,
+        no_data_batches=False,  # stateless foreachBatch pipeline
+    )
+    if not os.path.isdir(pairs) or not any(
+        f.endswith(".parquet") for f in os.listdir(pairs)
+    ):
+        return spark.createDataFrame(
+            [], "day_found long, id_a string, id_b string, hamming long"
         )
     return spark.read.parquet(pairs).orderBy("id_a", "id_b")

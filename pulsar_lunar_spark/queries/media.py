@@ -918,6 +918,26 @@ def _dhash_oracle() -> str:
     # closed-form bands: px(y, x) = 3x + 2y + ((x*y) % 16) * 8 (max 247,
     # no wraparound), sampled at x = (j*w)//9, y = (i*h)//8; bit(i, j) =
     # px(i, j) < px(i, j+1); band k packs rows 2k, 2k+1 little-endian.
+    return f"""{_dhash_cte()}
+    SELECT c.id_a, c.id_b,
+           CAST(BIT_COUNT(XOR(ha.b0, hb.b0)) + BIT_COUNT(XOR(ha.b1, hb.b1))
+                + BIT_COUNT(XOR(ha.b2, hb.b2)) + BIT_COUNT(XOR(ha.b3, hb.b3))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.media_id = c.id_a
+    JOIN hashes hb ON hb.media_id = c.id_b
+    WHERE BIT_COUNT(XOR(ha.b0, hb.b0)) + BIT_COUNT(XOR(ha.b1, hb.b1))
+          + BIT_COUNT(XOR(ha.b2, hb.b2)) + BIT_COUNT(XOR(ha.b3, hb.b3))
+          <= {_DHASH_HAMMING_MAX}
+    ORDER BY id_a, id_b
+    """
+
+
+def _dhash_cte() -> str:
+    """The shared image-dHash CTE chain (img -> clips -> bands -> hashes
+    -> cand): reused by the q_image_phash_dedup oracle and the
+    q_stream_image_ingest oracle (llm18) — one replica, no drift. clips
+    carries doc_id so day attribution can derive from it."""
     px = lambda j, i: (  # noqa: E731 — local SQL fragment builder
         f"(3 * ((({j}) * w) // 9) + 2 * ((({i}) * h) // 8)"
         f" + (((({j}) * w) // 9 * ((({i}) * h) // 8)) % 16) * 8)"
@@ -934,9 +954,10 @@ def _dhash_oracle() -> str:
         SELECT doc_id, doc_id % 31 + 2 AS w, doc_id % 17 + 2 AS h
         FROM documents WHERE doc_id % 3 = 0
     ), clips AS (
-        SELECT 'm' || doc_id AS media_id, w, h FROM img
+        SELECT doc_id, 'm' || doc_id AS media_id, w, h FROM img
         UNION ALL
-        SELECT 'm' || doc_id || 'v', w, h FROM img WHERE doc_id % 15 = 0
+        SELECT doc_id, 'm' || doc_id || 'v', w, h FROM img
+        WHERE doc_id % 15 = 0
     ), bands AS MATERIALIZED (
         SELECT media_id, k, {band} AS bv
         FROM clips,
@@ -955,19 +976,50 @@ def _dhash_oracle() -> str:
         SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
         FROM bands a JOIN bands b
           ON a.k = b.k AND a.bv = b.bv AND a.media_id < b.media_id
+    )"""
+
+
+def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared image-dHash fixture (2-D gradient BMPs + planted
+    brightness-shifted variants), materialized once per (process,
+    dataset) — consumed by q_image_phash_dedup and by the
+    q_stream_image_ingest topic producer (llm18)."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 0)
     )
-    SELECT c.id_a, c.id_b,
-           CAST(BIT_COUNT(XOR(ha.b0, hb.b0)) + BIT_COUNT(XOR(ha.b1, hb.b1))
-                + BIT_COUNT(XOR(ha.b2, hb.b2)) + BIT_COUNT(XOR(ha.b3, hb.b3))
-                AS BIGINT) AS hamming
-    FROM cand c
-    JOIN hashes ha ON ha.media_id = c.id_a
-    JOIN hashes hb ON hb.media_id = c.id_b
-    WHERE BIT_COUNT(XOR(ha.b0, hb.b0)) + BIT_COUNT(XOR(ha.b1, hb.b1))
-          + BIT_COUNT(XOR(ha.b2, hb.b2)) + BIT_COUNT(XOR(ha.b3, hb.b3))
-          <= {_DHASH_HAMMING_MAX}
-    ORDER BY id_a, id_b
-    """
+
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 31 + 2, did % 17 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                px = (3 * x + 2 * y + ((x * y) % 16) * 8).astype(np.uint8)
+                rows.append(
+                    (f"m{did}", "image", M.encode_bmp(px), "bmp",
+                     None, None, None)
+                )
+                if did % 15 == 0:
+                    rows.append(
+                        (f"m{did}v", "image", M.encode_bmp(px + 2), "bmp",
+                         None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "content", "format",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    return _materialized(
+        spark, sf_dir, "dhash",
+        lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
+    )
 
 
 @register(
@@ -997,41 +1049,7 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding pattern (shuffle O(4 bands x images); pair mass bounded by
     band agreement); verification rides broadcastable 4-column hash
     frames keyed by media_id."""
-    d = ensure_parallelism(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 3 == 0)
-    )
-
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = did % 31 + 2, did % 17 + 2
-                y, x = np.mgrid[0:h, 0:w]
-                px = (3 * x + 2 * y + ((x * y) % 16) * 8).astype(np.uint8)
-                rows.append(
-                    (f"m{did}", "image", M.encode_bmp(px), "bmp",
-                     None, None, None)
-                )
-                if did % 15 == 0:
-                    rows.append(
-                        (f"m{did}v", "image", M.encode_bmp(px + 2), "bmp",
-                         None, None, None)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "media_type", "content", "format",
-                    "width", "height", "duration_ms",
-                ],
-            )
-
-    imgs = _materialized(
-        spark, sf_dir, "dhash",
-        lambda: d.mapInPandas(_synth, schema=M.MEDIA_SCHEMA),
-    )
+    imgs = _dhash_fixture(spark, sf_dir)
     hashes = M.image_dhash(imgs).filter(F.col("decode_ok"))
     bands = hashes.select(
         "media_id",

@@ -353,3 +353,30 @@ def test_stream_audio_ingest_matches_batch_twin(spark):
             (int(_re.match(r"m(\d+)", k[1]).group(1)) // 3) % 3,
         )
         assert g["day_found"] == day
+
+
+def test_stream_image_ingest_matches_batch_twin(spark):
+    """The streamed image drain's final pair set equals the batch
+    q_image_phash_dedup result, with day_found from (doc_id div 3) % 3."""
+    import re as _re
+
+    from pulsar_lunar_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in all_queries()["q_stream_image_ingest"].fn(spark, sf).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r
+        for r in all_queries()["q_image_phash_dedup"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k, r in want.items():
+        g = got[k]
+        assert g["hamming"] == r["hamming"], k
+        day = max(
+            (int(_re.match(r"m(\d+)", k[0]).group(1)) // 3) % 3,
+            (int(_re.match(r"m(\d+)", k[1]).group(1)) // 3) % 3,
+        )
+        assert g["day_found"] == day

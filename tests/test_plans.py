@@ -376,6 +376,7 @@ EXCHANGE_BUDGETS = {
     "q_spec_decode_overlap": (5, 3),  # draft agg + scalar total + ctx head + 8-row agg
     "q_stream_media_ingest": (1, 0),  # result = pair-store scan + sort (work happens per-batch)
     "q_stream_audio_ingest": (1, 0),  # result = pair-store scan + sort (work happens per-batch)
+    "q_stream_image_ingest": (1, 0),  # result = pair-store scan + sort (work happens per-batch)
     # one qid-clustered exchange shared by the (qid,vec) agg, all three
     # rank windows, and the overlap aggregate (the nprobe-sweep lesson)
     "q_matryoshka_eval": (2, 1),
