@@ -5,7 +5,6 @@ fallback semantics."""
 
 from __future__ import annotations
 
-import itertools
 import math
 
 import pytest
