@@ -749,6 +749,45 @@ def probes(spark, sf_dir: str, mult: int):
         )
         return pairs.groupBy().count().collect()
 
+    def ingest_store_probe_shape():
+        # the streaming-ingest marginal-batch question: ONE day's batch
+        # (fixed size) probing a signature/bucket store that has grown
+        # Nx. Store rows shift ids into disjoint ranges (multiply);
+        # planted 5-item clusters as in band_postings; the batch is the
+        # UNSHIFTED 1x slice, so its collision set stays constant while
+        # the store scan grows — slope measures the probe's sensitivity
+        # to store size (locally a flat scan; bucket-partitioned pruning
+        # is the at-scale lever, SCALE.md ingest notes).
+        batch = load_table(spark, sf_dir, "documents").select("doc_id")
+        store = docs.select("doc_id")
+
+        def bands_of(df):
+            return df.select(
+                "doc_id", F.explode(F.expr("array(0, 1, 2, 3)")).alias("k")
+            ).select(
+                "doc_id",
+                "k",
+                (
+                    (F.col("doc_id") - F.col("doc_id") % 5) * 4 + F.col("k")
+                ).alias("bv"),
+            )
+
+        pairs = (
+            bands_of(batch).alias("a")
+            .join(
+                bands_of(store).alias("b"),
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        return pairs.groupBy().count().collect()
+
     return {
         "q1_scan_agg": q1_shape,
         "fact_fact_join": join_agg_shape,
@@ -771,6 +810,7 @@ def probes(spark, sf_dir: str, mult: int):
         "conformal_order_stat": conformal_order_stat_shape,
         "lr_gradient_epoch": lr_gradient_epoch_shape,
         "band_postings": band_postings_shape,
+        "ingest_store_probe": ingest_store_probe_shape,
     }
 
 
