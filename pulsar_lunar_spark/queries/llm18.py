@@ -177,7 +177,6 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _docs_topics(spark, sf_dir)
     run = versioned_slot(scratch_root("pl_ingest_dedup", sf_dir), "run")
     store_sh = os.path.join(run, "store_shingles")
-    store_bk = os.path.join(run, "store_buckets")
     pairs = os.path.join(run, "pairs")
     from pyspark.sql.types import (
         LongType,
@@ -196,28 +195,38 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("payload.doc_id").alias("__id"),
             F.col("payload.text").alias("text"),
         )
-        # 1) shingle sets -> store (the one pass that tokenizes text);
-        #    bid is probe bookkeeping only — day attribution on output
-        #    rows derives from the ids, so ANY batch split stays correct
-        docs.select(
-            "__id",
-            D.shingles(F.col("text"), 3).alias("__sh"),
+        # 1) ONE combined store row per doc: shingle set + the 32 banded
+        #    bucket ids (vectorized sig UDF over the staged base hashes —
+        #    the LSH pipeline's fast lane) — one write job per batch
+        #    instead of separate shingle/bucket sinks. bid is probe
+        #    bookkeeping only; day attribution on output rows derives
+        #    from the ids, so ANY batch split stays correct.
+        sh = docs.select(
+            "__id", D.shingles(F.col("text"), 3).alias("__sh")
+        )
+        staged = sh.select(
+            "__id", "__sh",
+            F.transform("__sh", lambda t: D._base_hash(t, "md5")).alias("__base"),
+        )
+        staged.select(
+            "__id", "__sh",
+            D._minhash_sig_udf(128, 42, bands=32)("__base").alias("__buckets"),
             F.lit(batch_id).cast("long").alias("bid"),
         ).write.mode("append").parquet(store_sh)
-        # 2) signatures/buckets from the MATERIALIZED shingles
+        # 2) probe the store with this batch's buckets + exact verify:
+        #    both sides posexplode the stored bucket arrays — no second
+        #    derived table, no recompute
         sh_all = ss.read.parquet(store_sh)
-        bk = D._banded_buckets(
-            sh_all.filter(F.col("bid") == batch_id).select("__id", "__sh"),
-            128, 32, 42, True, "md5",
-        ).withColumn("bid", F.lit(batch_id).cast("long"))
-        bk.write.mode("append").parquet(store_bk)
-        # 3) probe the store with this batch's buckets + exact verify
-        bk_all = ss.read.parquet(store_bk)
+        def bk_of(df):
+            return df.select(
+                "__id",
+                F.posexplode("__buckets").alias("band", "bucket"),
+            )
         cand = (
-            bk_all.filter(F.col("bid") == batch_id)
+            bk_of(sh_all.filter(F.col("bid") == batch_id))
             .alias("n")
             .join(
-                bk_all.alias("h"),
+                bk_of(sh_all).alias("h"),
                 (F.col("n.band") == F.col("h.band"))
                 & (F.col("n.bucket") == F.col("h.bucket"))
                 & (F.col("n.__id") != F.col("h.__id")),
