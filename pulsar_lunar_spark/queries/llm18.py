@@ -1515,22 +1515,31 @@ def q_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("append").parquet(store_h)
         hs = ss.read.parquet(store_h)
 
+        # Each image has exactly ONE store row, so the full 64-bit hash can
+        # ride the 4 band postings and the Hamming verify happens INLINE on
+        # the banding join's output — no re-join against the hash table.
+        # r11 optimization (guide §2.4/§3): the prior shape was
+        # postings⋈postings → distinct → ⋈hashes(id_a) → ⋈hashes(id_b);
+        # this one is postings⋈postings → verify → distinct: 8→4 parquet
+        # scans, 8→4 exchanges per batch (plans/r11/
+        # q_stream_image_ingest_probe_{before,after}.txt), identical pair
+        # set (hamming is a function of the pair; filter-before-distinct
+        # commutes).
         def postings(df: DataFrame) -> DataFrame:
             return df.select(
-                "media_id",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(k).alias("k"),
-                                F.col(f"b{k}").alias("bv"),
-                            )
-                            for k in range(4)
-                        ]
-                    )
-                ).alias("kb"),
-            ).select("media_id", "kb.k", "kb.bv")
-        cand = (
+                "media_id", "b0", "b1", "b2", "b3",
+                F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+            )
+
+        hamming = sum(
+            F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+            for k in range(4)
+        ).cast("long")
+        day_of = lambda c: (  # noqa: E731
+            (F.regexp_extract(F.col(c), "^m([0-9]+)", 1).cast("long") / 3)
+            .cast("long") % _INGEST_DAYS
+        )
+        (
             postings(hs.filter(F.col("bid") == batch_id))
             .alias("a")
             .join(
@@ -1542,34 +1551,16 @@ def q_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.least("a.media_id", "b.media_id").alias("id_a"),
                 F.greatest("a.media_id", "b.media_id").alias("id_b"),
+                hamming.alias("hamming"),
             )
+            .filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
             .distinct()
-        )
-        ha = hs.select(
-            F.col("media_id").alias("id_a"),
-            *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
-        )
-        hb = hs.select(
-            F.col("media_id").alias("id_b"),
-            *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
-        )
-        hamming = sum(
-            F.bit_count(F.expr(f"a{k} ^ bb{k}")) for k in range(4)
-        ).cast("long")
-        day_of = lambda c: (  # noqa: E731
-            (F.regexp_extract(F.col(c), "^m([0-9]+)", 1).cast("long") / 3)
-            .cast("long") % _INGEST_DAYS
-        )
-        (
-            cand.join(ha, "id_a")
-            .join(hb, "id_b")
             .select(
                 F.greatest(day_of("id_a"), day_of("id_b"))
                 .cast("long")
                 .alias("day_found"),
-                "id_a", "id_b", hamming.alias("hamming"),
+                "id_a", "id_b", "hamming",
             )
-            .filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
             .write.mode("append")
             .parquet(pairs)
         )
