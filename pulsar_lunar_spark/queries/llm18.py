@@ -1118,11 +1118,6 @@ def q_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    day_of = (
-        F.regexp_extract(F.col("media_id"), "^m([0-9]+)", 1).cast("long")
-        % _INGEST_DAYS
-    )
-
     def ingest(bdf: DataFrame, batch_id: int) -> None:
         ss = bdf.sparkSession
         clips = bdf.select(
@@ -1142,16 +1137,29 @@ def q_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        # 1) batch shot-signature sets -> store (the one decode pass)
+        # 1) batch shot-signature sets -> store (the one decode pass).
+        #    r11 optimization (guide §2.4): a clip's whole signature set
+        #    lands in its one day-batch, so its n_sigs is final at write
+        #    time — stamp it on the store rows (one keyed window over the
+        #    batch's distinct sigs) and the probe never needs the per-clip
+        #    aggregate or its two re-joins again (4->2 store scans, 7->3
+        #    exchanges per batch, plans/r11/
+        #    q_stream_media_ingest_probe_{before,after}.txt).
+        from pyspark.sql.window import Window
+
         starts.select(
             "media_id", "b0", "b1", "b2", "b3",
             F.lit(batch_id).cast("long").alias("bid"),
-        ).distinct().write.mode("append").parquet(store_sigs)
-        # 2) probe the store with this batch's signatures + verify
+        ).distinct().withColumn(
+            "n_sigs",
+            F.count(F.lit(1)).over(Window.partitionBy("media_id")).cast("long"),
+        ).write.mode("append").parquet(store_sigs)
+        # 2) probe the store with this batch's signatures + verify: both
+        #    sides' n_sigs ride the match join; the distinct gains two
+        #    pair-constant columns, so its cardinality (and the emitted
+        #    pair set) is unchanged.
         sg = ss.read.parquet(store_sigs)
-        nsig = sg.groupBy("media_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_sigs")
-        )
+        n_lt_h = F.col("n.media_id") < F.col("h.media_id")
         matched = (
             sg.filter(F.col("bid") == batch_id)
             .alias("n")
@@ -1166,18 +1174,22 @@ def q_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.least("n.media_id", "h.media_id").alias("id_a"),
                 F.greatest("n.media_id", "h.media_id").alias("id_b"),
+                F.when(n_lt_h, F.col("n.n_sigs"))
+                .otherwise(F.col("h.n_sigs"))
+                .cast("long")
+                .alias("n_sigs_a"),
+                F.when(n_lt_h, F.col("h.n_sigs"))
+                .otherwise(F.col("n.n_sigs"))
+                .cast("long")
+                .alias("n_sigs_b"),
                 F.col("n.b0").alias("b0"), F.col("n.b1").alias("b1"),
                 F.col("n.b2").alias("b2"), F.col("n.b3").alias("b3"),
             )
             .distinct()
         )
-        na = nsig.select(F.col("media_id").alias("id_a"), F.col("n_sigs").alias("n_sigs_a"))
-        nb = nsig.select(F.col("media_id").alias("id_b"), F.col("n_sigs").alias("n_sigs_b"))
         (
-            matched.groupBy("id_a", "id_b")
+            matched.groupBy("id_a", "id_b", "n_sigs_a", "n_sigs_b")
             .agg(F.count(F.lit(1)).cast("long").alias("shared_sigs"))
-            .join(na, "id_a")
-            .join(nb, "id_b")
             .select(
                 F.greatest(
                     F.regexp_extract(F.col("id_a"), "^m([0-9]+)", 1)
@@ -1340,6 +1352,16 @@ def q_stream_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.regexp_extract(F.col(c), "^m([0-9]+)", 1).cast("long") / 3)
             .cast("long") % _INGEST_DAYS
         )
+        # r11 optimization (guide §2.4): n_windows is a CONSTANT column on
+        # every store row of a clip (audio_fingerprints stamps it per row,
+        # and a clip's rows land in exactly one batch), so both sides'
+        # window counts ride the match join directly — the per-clip
+        # n_windows aggregate and its two re-joins are gone (4->2 store
+        # scans, 7->3 exchanges per batch, plans/r11/
+        # q_stream_audio_ingest_probe_{before,after}.txt). The distinct
+        # gains two pair-constant columns, so its cardinality is unchanged
+        # and the emitted rows are identical.
+        a_lt_b = F.col("a.clip_id") < F.col("b.clip_id")
         matched = (
             pp.filter(F.col("bid") == batch_id)
             .alias("a")
@@ -1352,20 +1374,21 @@ def q_stream_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.least("a.clip_id", "b.clip_id").alias("id_a"),
                 F.greatest("a.clip_id", "b.clip_id").alias("id_b"),
+                F.when(a_lt_b, F.col("a.n_windows"))
+                .otherwise(F.col("b.n_windows"))
+                .cast("long")
+                .alias("n_windows_a"),
+                F.when(a_lt_b, F.col("b.n_windows"))
+                .otherwise(F.col("a.n_windows"))
+                .cast("long")
+                .alias("n_windows_b"),
                 F.col("a.win").alias("win"),
             )
             .distinct()
         )
-        nw = pp.groupBy("clip_id").agg(
-            F.max("n_windows").cast("long").alias("n_windows")
-        )
-        na = nw.select(F.col("clip_id").alias("id_a"), F.col("n_windows").alias("n_windows_a"))
-        nb = nw.select(F.col("clip_id").alias("id_b"), F.col("n_windows").alias("n_windows_b"))
         (
-            matched.groupBy("id_a", "id_b")
+            matched.groupBy("id_a", "id_b", "n_windows_a", "n_windows_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
-            .join(na, "id_a")
-            .join(nb, "id_b")
             .select(
                 F.greatest(day_of("id_a"), day_of("id_b"))
                 .cast("long")
@@ -1520,8 +1543,8 @@ def q_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the banding join's output — no re-join against the hash table.
         # r11 optimization (guide §2.4/§3): the prior shape was
         # postings⋈postings → distinct → ⋈hashes(id_a) → ⋈hashes(id_b);
-        # this one is postings⋈postings → verify → distinct: 8→4 parquet
-        # scans, 8→4 exchanges per batch (plans/r11/
+        # this one is postings⋈postings → verify → distinct: 4→2 parquet
+        # scans, 4→2 exchanges per batch (plans/r11/
         # q_stream_image_ingest_probe_{before,after}.txt), identical pair
         # set (hamming is a function of the pair; filter-before-distinct
         # commutes).
