@@ -79,6 +79,56 @@ from pulsar_lunar_spark.streaming import run_available_now
 _INGEST_DAYS = 3  # ingest day = doc_id % 3 — the deterministic batch split
 
 
+def _overlap_store_probe(batch_df, store_dir: str, probe) -> None:
+    """Run a batch's store-append and store-probe CONCURRENTLY (r11
+    optimization, guide §2.6 — overlap independent jobs so the second
+    job's tasks back-fill the first's idle tail).
+
+    The sequential ingest shape was: write batch rows -> re-read the
+    store -> probe. But probe(batch x store_new) ==
+    probe(batch x (history ∪ batch)), and the history file set is
+    already committed on disk BEFORE the append starts — so pin the
+    batch's rows in memory (persist), snapshot the history's committed
+    part files by explicit path (never a directory listing that could
+    observe the concurrent append), and run the two sink jobs in two
+    driver threads. Emitted rows are identical; the two per-batch sink
+    walls overlap instead of adding. ``probe`` receives
+    (batch_frame, full_store).
+
+    Deliberate trade (measured, interleaved in-process A/B on the audio
+    lane): the two unsynchronized jobs can RACE the unfilled cache and
+    both compute a partition's decode/hash pass (the r1 self-join
+    lesson) — an occasional bounded double-compute — but an eager
+    count() to pre-fill costs one extra job per batch ALWAYS and
+    measured ~0.25 s slower per query (3.12 vs 2.86 s min-of-4); racing
+    persist wins. Correctness is unaffected either way (the cache fill
+    is idempotent)."""
+    import glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    batch_df = batch_df.persist()
+    hist = (
+        sorted(glob.glob(os.path.join(store_dir, "*.parquet")))
+        if os.path.isdir(store_dir)
+        else []
+    )
+    full = batch_df
+    if hist:
+        full = batch_df.unionByName(
+            batch_df.sparkSession.read.schema(batch_df.schema).parquet(*hist)
+        )
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            fa = ex.submit(
+                lambda: batch_df.write.mode("append").parquet(store_dir)
+            )
+            fb = ex.submit(probe, batch_df, full)
+            fa.result()
+            fb.result()
+    finally:
+        batch_df.unpersist()
+
+
 def _docs_topics(spark: SparkSession, sf_dir: str) -> MessageLog:
     """Produce the ``docs`` topic ONCE per (process, dataset) as THREE
     sequential appends — ingest day k (doc_id % 3 == k) lands as its own
@@ -190,17 +240,16 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(bdf: DataFrame, batch_id: int) -> None:
-        ss = bdf.sparkSession
         docs = bdf.select(
             F.col("payload.doc_id").alias("__id"),
             F.col("payload.text").alias("text"),
         )
-        # 1) ONE combined store row per doc: shingle set + the 32 banded
-        #    bucket ids (vectorized sig UDF over the staged base hashes —
-        #    the LSH pipeline's fast lane) — one write job per batch
-        #    instead of separate shingle/bucket sinks. bid is probe
-        #    bookkeeping only; day attribution on output rows derives
-        #    from the ids, so ANY batch split stays correct.
+        # ONE combined store row per doc: shingle set + the 32 banded
+        # bucket ids (vectorized sig UDF over the staged base hashes —
+        # the LSH pipeline's fast lane) — one store sink per batch
+        # instead of separate shingle/bucket sinks. bid is store
+        # bookkeeping only; day attribution on output rows derives
+        # from the ids, so ANY batch split stays correct.
         sh = docs.select(
             "__id", D.shingles(F.col("text"), 3).alias("__sh")
         )
@@ -208,55 +257,60 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__id", "__sh",
             F.transform("__sh", lambda t: D._base_hash(t, "md5")).alias("__base"),
         )
-        staged.select(
+        batch_rows = staged.select(
             "__id", "__sh",
             D._minhash_sig_udf(128, 42, bands=32)("__base").alias("__buckets"),
             F.lit(batch_id).cast("long").alias("bid"),
-        ).write.mode("append").parquet(store_sh)
-        # 2) probe the store with this batch's buckets + exact verify:
-        #    both sides posexplode the stored bucket arrays — no second
-        #    derived table, no recompute
-        sh_all = ss.read.parquet(store_sh)
-        def bk_of(df):
-            return df.select(
-                "__id",
-                F.posexplode("__buckets").alias("band", "bucket"),
-            )
-        cand = (
-            bk_of(sh_all.filter(F.col("bid") == batch_id))
-            .alias("n")
-            .join(
-                bk_of(sh_all).alias("h"),
-                (F.col("n.band") == F.col("h.band"))
-                & (F.col("n.bucket") == F.col("h.bucket"))
-                & (F.col("n.__id") != F.col("h.__id")),
-            )
-            .select(
-                F.least("n.__id", "h.__id").alias("id_lo"),
-                F.greatest("n.__id", "h.__id").alias("id_hi"),
-            )
-            .distinct()
         )
-        a = sh_all.select(F.col("__id").alias("id_lo"), F.col("__sh").alias("sh_a"))
-        b = sh_all.select(F.col("__id").alias("id_hi"), F.col("__sh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
-        (
-            cand.join(a, "id_lo")
-            .join(b, "id_hi")
-            .select(
-                F.greatest(
-                    F.col("id_lo") % _INGEST_DAYS,
-                    F.col("id_hi") % _INGEST_DAYS,
-                ).cast("long").alias("day_found"),
-                "id_lo",
-                "id_hi",
-                F.round(inter / union, 6).alias("jaccard"),
+
+        # probe the store with this batch's buckets + exact verify: both
+        # sides posexplode the stored bucket arrays — no second derived
+        # table, no recompute; runs CONCURRENTLY with the store append
+        # (_overlap_store_probe — batch rows pinned in memory, history
+        # from the committed files).
+        def probe(batch_b: DataFrame, sh_all: DataFrame) -> None:
+            def bk_of(df):
+                return df.select(
+                    "__id",
+                    F.posexplode("__buckets").alias("band", "bucket"),
+                )
+            cand = (
+                bk_of(batch_b)
+                .alias("n")
+                .join(
+                    bk_of(sh_all).alias("h"),
+                    (F.col("n.band") == F.col("h.band"))
+                    & (F.col("n.bucket") == F.col("h.bucket"))
+                    & (F.col("n.__id") != F.col("h.__id")),
+                )
+                .select(
+                    F.least("n.__id", "h.__id").alias("id_lo"),
+                    F.greatest("n.__id", "h.__id").alias("id_hi"),
+                )
+                .distinct()
             )
-            .filter(F.col("jaccard") >= 0.3)
-            .write.mode("append")
-            .parquet(pairs)
-        )
+            a = sh_all.select(F.col("__id").alias("id_lo"), F.col("__sh").alias("sh_a"))
+            b = sh_all.select(F.col("__id").alias("id_hi"), F.col("__sh").alias("sh_b"))
+            inter = F.size(F.array_intersect("sh_a", "sh_b"))
+            union = F.size(F.array_union("sh_a", "sh_b"))
+            (
+                cand.join(a, "id_lo")
+                .join(b, "id_hi")
+                .select(
+                    F.greatest(
+                        F.col("id_lo") % _INGEST_DAYS,
+                        F.col("id_hi") % _INGEST_DAYS,
+                    ).cast("long").alias("day_found"),
+                    "id_lo",
+                    "id_hi",
+                    F.round(inter / union, 6).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= 0.3)
+                .write.mode("append")
+                .parquet(pairs)
+            )
+
+        _overlap_store_probe(batch_rows, store_sh, probe)
 
     # one produce writes <= DEFAULT_NUM_PARTITIONS files; capping the
     # trigger at that count makes each micro-batch one day's drop under
@@ -1119,7 +1173,6 @@ def q_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     def ingest(bdf: DataFrame, batch_id: int) -> None:
-        ss = bdf.sparkSession
         clips = bdf.select(
             F.col("payload.media_id").alias("media_id"),
             F.col("payload.content").alias("content"),
@@ -1137,75 +1190,85 @@ def q_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        # 1) batch shot-signature sets -> store (the one decode pass).
-        #    r11 optimization (guide §2.4): a clip's whole signature set
-        #    lands in its one day-batch, so its n_sigs is final at write
-        #    time — stamp it on the store rows (one keyed window over the
-        #    batch's distinct sigs) and the probe never needs the per-clip
-        #    aggregate or its two re-joins again (4->2 store scans, 7->3
-        #    exchanges per batch, plans/r11/
-        #    q_stream_media_ingest_probe_{before,after}.txt).
+        # Batch shot-signature sets -> store (the one decode pass).
+        # r11 optimization (guide §2.4): a clip's whole signature set
+        # lands in its one day-batch, so its n_sigs is final at write
+        # time — stamp it on the store rows (one keyed window over the
+        # batch's distinct sigs) and the probe never needs the per-clip
+        # aggregate or its two re-joins again (4->2 store scans, 7->3
+        # exchanges per batch, plans/r11/
+        # q_stream_media_ingest_probe_{before,after}.txt); the append and
+        # the probe then run concurrently (_overlap_store_probe).
         from pyspark.sql.window import Window
 
-        starts.select(
-            "media_id", "b0", "b1", "b2", "b3",
-            F.lit(batch_id).cast("long").alias("bid"),
-        ).distinct().withColumn(
-            "n_sigs",
-            F.count(F.lit(1)).over(Window.partitionBy("media_id")).cast("long"),
-        ).write.mode("append").parquet(store_sigs)
-        # 2) probe the store with this batch's signatures + verify: both
-        #    sides' n_sigs ride the match join; the distinct gains two
-        #    pair-constant columns, so its cardinality (and the emitted
-        #    pair set) is unchanged.
-        sg = ss.read.parquet(store_sigs)
-        n_lt_h = F.col("n.media_id") < F.col("h.media_id")
-        matched = (
-            sg.filter(F.col("bid") == batch_id)
-            .alias("n")
-            .join(
-                sg.alias("h"),
-                (F.col("n.b0") == F.col("h.b0"))
-                & (F.col("n.b1") == F.col("h.b1"))
-                & (F.col("n.b2") == F.col("h.b2"))
-                & (F.col("n.b3") == F.col("h.b3"))
-                & (F.col("n.media_id") != F.col("h.media_id")),
-            )
-            .select(
-                F.least("n.media_id", "h.media_id").alias("id_a"),
-                F.greatest("n.media_id", "h.media_id").alias("id_b"),
-                F.when(n_lt_h, F.col("n.n_sigs"))
-                .otherwise(F.col("h.n_sigs"))
-                .cast("long")
-                .alias("n_sigs_a"),
-                F.when(n_lt_h, F.col("h.n_sigs"))
-                .otherwise(F.col("n.n_sigs"))
-                .cast("long")
-                .alias("n_sigs_b"),
-                F.col("n.b0").alias("b0"), F.col("n.b1").alias("b1"),
-                F.col("n.b2").alias("b2"), F.col("n.b3").alias("b3"),
+        batch_rows = (
+            starts.select(
+                "media_id", "b0", "b1", "b2", "b3",
+                F.lit(batch_id).cast("long").alias("bid"),
             )
             .distinct()
-        )
-        (
-            matched.groupBy("id_a", "id_b", "n_sigs_a", "n_sigs_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("shared_sigs"))
-            .select(
-                F.greatest(
-                    F.regexp_extract(F.col("id_a"), "^m([0-9]+)", 1)
-                    .cast("long") % _INGEST_DAYS,
-                    F.regexp_extract(F.col("id_b"), "^m([0-9]+)", 1)
-                    .cast("long") % _INGEST_DAYS,
-                ).cast("long").alias("day_found"),
-                "id_a", "id_b", "shared_sigs", "n_sigs_a", "n_sigs_b",
-                F.expr(
-                    "(1000000 * shared_sigs) div least(n_sigs_a, n_sigs_b)"
-                ).cast("long").alias("match_ppm"),
+            .withColumn(
+                "n_sigs",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("media_id"))
+                .cast("long"),
             )
-            .filter(F.col("match_ppm") >= _VDUP_MATCH_PPM)
-            .write.mode("append")
-            .parquet(pairs)
         )
+
+        # probe the store with this batch's signatures + verify: both
+        # sides' n_sigs ride the match join; the distinct gains two
+        # pair-constant columns, so its cardinality (and the emitted
+        # pair set) is unchanged.
+        def probe(batch_b: DataFrame, sg: DataFrame) -> None:
+            n_lt_h = F.col("n.media_id") < F.col("h.media_id")
+            matched = (
+                batch_b
+                .alias("n")
+                .join(
+                    sg.alias("h"),
+                    (F.col("n.b0") == F.col("h.b0"))
+                    & (F.col("n.b1") == F.col("h.b1"))
+                    & (F.col("n.b2") == F.col("h.b2"))
+                    & (F.col("n.b3") == F.col("h.b3"))
+                    & (F.col("n.media_id") != F.col("h.media_id")),
+                )
+                .select(
+                    F.least("n.media_id", "h.media_id").alias("id_a"),
+                    F.greatest("n.media_id", "h.media_id").alias("id_b"),
+                    F.when(n_lt_h, F.col("n.n_sigs"))
+                    .otherwise(F.col("h.n_sigs"))
+                    .cast("long")
+                    .alias("n_sigs_a"),
+                    F.when(n_lt_h, F.col("h.n_sigs"))
+                    .otherwise(F.col("n.n_sigs"))
+                    .cast("long")
+                    .alias("n_sigs_b"),
+                    F.col("n.b0").alias("b0"), F.col("n.b1").alias("b1"),
+                    F.col("n.b2").alias("b2"), F.col("n.b3").alias("b3"),
+                )
+                .distinct()
+            )
+            (
+                matched.groupBy("id_a", "id_b", "n_sigs_a", "n_sigs_b")
+                .agg(F.count(F.lit(1)).cast("long").alias("shared_sigs"))
+                .select(
+                    F.greatest(
+                        F.regexp_extract(F.col("id_a"), "^m([0-9]+)", 1)
+                        .cast("long") % _INGEST_DAYS,
+                        F.regexp_extract(F.col("id_b"), "^m([0-9]+)", 1)
+                        .cast("long") % _INGEST_DAYS,
+                    ).cast("long").alias("day_found"),
+                    "id_a", "id_b", "shared_sigs", "n_sigs_a", "n_sigs_b",
+                    F.expr(
+                        "(1000000 * shared_sigs) div least(n_sigs_a, n_sigs_b)"
+                    ).cast("long").alias("match_ppm"),
+                )
+                .filter(F.col("match_ppm") >= _VDUP_MATCH_PPM)
+                .write.mode("append")
+                .parquet(pairs)
+            )
+
+        _overlap_store_probe(batch_rows, store_sigs, probe)
 
     stream = log.subscribe(
         "clips", payload_schema=payload, max_files_per_trigger=8
@@ -1331,27 +1394,27 @@ def q_stream_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(bdf: DataFrame, batch_id: int) -> None:
-        ss = bdf.sparkSession
         clips = bdf.select(
             F.col("payload.media_id").alias("media_id"),
             F.col("payload.content").alias("content"),
             F.lit("audio").alias("media_type"),
         )
-        fps = M.audio_fingerprints(clips, window=_AFP_WINDOW).filter(
-            F.col("decode_ok")
+        batch_rows = (
+            M.audio_fingerprints(clips, window=_AFP_WINDOW)
+            .filter(F.col("decode_ok"))
+            .select(
+                F.col("media_id").alias("clip_id"),
+                "n_windows",
+                F.col("win_index").alias("win"),
+                md5_int(F.col("bands"), hex_chars=8).alias("fp"),
+                F.lit(batch_id).cast("long").alias("bid"),
+            )
         )
-        fps.select(
-            F.col("media_id").alias("clip_id"),
-            "n_windows",
-            F.col("win_index").alias("win"),
-            md5_int(F.col("bands"), hex_chars=8).alias("fp"),
-            F.lit(batch_id).cast("long").alias("bid"),
-        ).write.mode("append").parquet(store_pp)
-        pp = ss.read.parquet(store_pp)
         day_of = lambda c: (  # noqa: E731
             (F.regexp_extract(F.col(c), "^m([0-9]+)", 1).cast("long") / 3)
             .cast("long") % _INGEST_DAYS
         )
+
         # r11 optimization (guide §2.4): n_windows is a CONSTANT column on
         # every store row of a clip (audio_fingerprints stamps it per row,
         # and a clip's rows land in exactly one batch), so both sides'
@@ -1360,48 +1423,53 @@ def q_stream_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scans, 7->3 exchanges per batch, plans/r11/
         # q_stream_audio_ingest_probe_{before,after}.txt). The distinct
         # gains two pair-constant columns, so its cardinality is unchanged
-        # and the emitted rows are identical.
-        a_lt_b = F.col("a.clip_id") < F.col("b.clip_id")
-        matched = (
-            pp.filter(F.col("bid") == batch_id)
-            .alias("a")
-            .join(
-                pp.alias("b"),
-                (F.col("a.win") == F.col("b.win"))
-                & (F.col("a.fp") == F.col("b.fp"))
-                & (F.col("a.clip_id") != F.col("b.clip_id")),
+        # and the emitted rows are identical. The store append and this
+        # probe run concurrently (_overlap_store_probe; measured
+        # 3.9 -> 2.7 s solo for the whole query).
+        def probe(batch_b: DataFrame, pp: DataFrame) -> None:
+            a_lt_b = F.col("a.clip_id") < F.col("b.clip_id")
+            matched = (
+                batch_b
+                .alias("a")
+                .join(
+                    pp.alias("b"),
+                    (F.col("a.win") == F.col("b.win"))
+                    & (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.clip_id") != F.col("b.clip_id")),
+                )
+                .select(
+                    F.least("a.clip_id", "b.clip_id").alias("id_a"),
+                    F.greatest("a.clip_id", "b.clip_id").alias("id_b"),
+                    F.when(a_lt_b, F.col("a.n_windows"))
+                    .otherwise(F.col("b.n_windows"))
+                    .cast("long")
+                    .alias("n_windows_a"),
+                    F.when(a_lt_b, F.col("b.n_windows"))
+                    .otherwise(F.col("a.n_windows"))
+                    .cast("long")
+                    .alias("n_windows_b"),
+                    F.col("a.win").alias("win"),
+                )
+                .distinct()
             )
-            .select(
-                F.least("a.clip_id", "b.clip_id").alias("id_a"),
-                F.greatest("a.clip_id", "b.clip_id").alias("id_b"),
-                F.when(a_lt_b, F.col("a.n_windows"))
-                .otherwise(F.col("b.n_windows"))
-                .cast("long")
-                .alias("n_windows_a"),
-                F.when(a_lt_b, F.col("b.n_windows"))
-                .otherwise(F.col("a.n_windows"))
-                .cast("long")
-                .alias("n_windows_b"),
-                F.col("a.win").alias("win"),
+            (
+                matched.groupBy("id_a", "id_b", "n_windows_a", "n_windows_b")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+                .select(
+                    F.greatest(day_of("id_a"), day_of("id_b"))
+                    .cast("long")
+                    .alias("day_found"),
+                    "id_a", "id_b", "n_match", "n_windows_a", "n_windows_b",
+                    F.expr(
+                        "(1000000L * n_match) div least(n_windows_a, n_windows_b)"
+                    ).cast("long").alias("match_ppm"),
+                )
+                .filter(F.col("match_ppm") >= _AFP_MATCH_PPM)
+                .write.mode("append")
+                .parquet(pairs)
             )
-            .distinct()
-        )
-        (
-            matched.groupBy("id_a", "id_b", "n_windows_a", "n_windows_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
-            .select(
-                F.greatest(day_of("id_a"), day_of("id_b"))
-                .cast("long")
-                .alias("day_found"),
-                "id_a", "id_b", "n_match", "n_windows_a", "n_windows_b",
-                F.expr(
-                    "(1000000L * n_match) div least(n_windows_a, n_windows_b)"
-                ).cast("long").alias("match_ppm"),
-            )
-            .filter(F.col("match_ppm") >= _AFP_MATCH_PPM)
-            .write.mode("append")
-            .parquet(pairs)
-        )
+
+        _overlap_store_probe(batch_rows, store_pp, probe)
 
     stream = log.subscribe(
         "audio", payload_schema=payload, max_files_per_trigger=8
@@ -1526,17 +1594,15 @@ def q_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(bdf: DataFrame, batch_id: int) -> None:
-        ss = bdf.sparkSession
         imgs = bdf.select(
             F.col("payload.media_id").alias("media_id"),
             F.col("payload.content").alias("content"),
             F.lit("image").alias("media_type"),
         )
-        M.image_dhash(imgs).filter(F.col("decode_ok")).select(
+        batch_rows = M.image_dhash(imgs).filter(F.col("decode_ok")).select(
             "media_id", "b0", "b1", "b2", "b3",
             F.lit(batch_id).cast("long").alias("bid"),
-        ).write.mode("append").parquet(store_h)
-        hs = ss.read.parquet(store_h)
+        )
 
         # Each image has exactly ONE store row, so the full 64-bit hash can
         # ride the 4 band postings and the Hamming verify happens INLINE on
@@ -1547,7 +1613,8 @@ def q_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scans, 4→2 exchanges per batch (plans/r11/
         # q_stream_image_ingest_probe_{before,after}.txt), identical pair
         # set (hamming is a function of the pair; filter-before-distinct
-        # commutes).
+        # commutes). The store append and the probe run concurrently
+        # (_overlap_store_probe).
         def postings(df: DataFrame) -> DataFrame:
             return df.select(
                 "media_id", "b0", "b1", "b2", "b3",
@@ -1562,31 +1629,35 @@ def q_stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.regexp_extract(F.col(c), "^m([0-9]+)", 1).cast("long") / 3)
             .cast("long") % _INGEST_DAYS
         )
-        (
-            postings(hs.filter(F.col("bid") == batch_id))
-            .alias("a")
-            .join(
-                postings(hs).alias("b"),
-                (F.col("a.k") == F.col("b.k"))
-                & (F.col("a.bv") == F.col("b.bv"))
-                & (F.col("a.media_id") != F.col("b.media_id")),
+
+        def probe(batch_b: DataFrame, hs: DataFrame) -> None:
+            (
+                postings(batch_b)
+                .alias("a")
+                .join(
+                    postings(hs).alias("b"),
+                    (F.col("a.k") == F.col("b.k"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col("a.media_id") != F.col("b.media_id")),
+                )
+                .select(
+                    F.least("a.media_id", "b.media_id").alias("id_a"),
+                    F.greatest("a.media_id", "b.media_id").alias("id_b"),
+                    hamming.alias("hamming"),
+                )
+                .filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
+                .distinct()
+                .select(
+                    F.greatest(day_of("id_a"), day_of("id_b"))
+                    .cast("long")
+                    .alias("day_found"),
+                    "id_a", "id_b", "hamming",
+                )
+                .write.mode("append")
+                .parquet(pairs)
             )
-            .select(
-                F.least("a.media_id", "b.media_id").alias("id_a"),
-                F.greatest("a.media_id", "b.media_id").alias("id_b"),
-                hamming.alias("hamming"),
-            )
-            .filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
-            .distinct()
-            .select(
-                F.greatest(day_of("id_a"), day_of("id_b"))
-                .cast("long")
-                .alias("day_found"),
-                "id_a", "id_b", "hamming",
-            )
-            .write.mode("append")
-            .parquet(pairs)
-        )
+
+        _overlap_store_probe(batch_rows, store_h, probe)
 
     stream = log.subscribe(
         "images", payload_schema=payload, max_files_per_trigger=8
