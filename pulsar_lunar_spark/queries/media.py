@@ -1427,8 +1427,16 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(feat_slot)
     ff = spark.read.parquet(feat_slot)
-    starts = ff.filter(F.col("frame_index") == 0).unionByName(
-        ff.filter(
+    # r11 optimization (guide §2.4): shot starts as ONE disjunctive filter
+    # (the two union branches were disjoint predicates — same rows, one
+    # spool scan instead of two), and n_sigs as a keyed window over the
+    # distinct signature table instead of a separate per-clip aggregate
+    # re-joined onto the (much larger, ~31 k-row) pair stream twice.
+    # Value-identical (exceptAll 0/0 both ways); join phase measured
+    # 2.5-4.6 -> 1.0-1.3 s noop, plans/r11/q_video_neardup_{before,after}.
+    starts = ff.filter(
+        (F.col("frame_index") == 0)
+        | (
             (F.col("frame_index") >= 1)
             & (
                 F.col("delta_sum")
@@ -1438,11 +1446,17 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sigs = starts.select("media_id", "b0", "b1", "b2", "b3").distinct()
-    nsig = sigs.groupBy("media_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sigs")
+    from pyspark.sql.window import Window
+
+    sigs = (
+        starts.select("media_id", "b0", "b1", "b2", "b3")
+        .distinct()
+        .withColumn(
+            "n_sigs",
+            F.count(F.lit(1)).over(Window.partitionBy("media_id")).cast("long"),
+        )
     )
-    shared = (
+    return (
         sigs.alias("sa")
         .join(
             sigs.alias("sb"),
@@ -1455,14 +1469,10 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("sa.media_id").alias("id_a"),
             F.col("sb.media_id").alias("id_b"),
+            F.col("sa.n_sigs").alias("n_sigs_a"),
+            F.col("sb.n_sigs").alias("n_sigs_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_sigs"))
-    )
-    na = nsig.select(F.col("media_id").alias("id_a"), F.col("n_sigs").alias("n_sigs_a"))
-    nb = nsig.select(F.col("media_id").alias("id_b"), F.col("n_sigs").alias("n_sigs_b"))
-    return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
         .select(
             "id_a", "id_b", "shared_sigs", "n_sigs_a", "n_sigs_b",
             F.expr("(1000000 * shared_sigs) div least(n_sigs_a, n_sigs_b)")
