@@ -166,6 +166,16 @@ def main() -> None:
     import gc
 
     for qi, name in enumerate(HEADLINE):
+        # r11 harness hygiene (matches tools/perfcmp.py, which has GC'd
+        # between entries since round 6): drop the PREVIOUS queries'
+        # garbage before this one is timed. With the gc only every 5th
+        # query, heap pressure from neighbors produced 16-21 s in-suite
+        # blowups on allocation-heavy entries (q_quality_gopher reads
+        # ~1 s solo) in 2 of 3 round-11 baseline captures. The gc runs
+        # OUTSIDE the timed region; the timing methodology (one untimed
+        # warmup, best-of-2 timed collect) is unchanged.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         # Per-query guard: one broken query must cost one row, not the whole
         # round's numbers.
         try:
@@ -186,14 +196,6 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-        if qi % 5 == 4:
-            # localCheckpoint-heavy queries (row-ids, pagerank, semdedup,
-            # dedup-cluster) leave storage blocks behind until the driver
-            # GCs their RDD handles and the ContextCleaner reaps them;
-            # untended, eviction churn inflates later queries' timings.
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail goes to a repo-root artifact; the stdout line
