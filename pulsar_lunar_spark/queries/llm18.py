@@ -609,8 +609,14 @@ def q_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of the (small) pair table semi-joined back to documents —
     at 100 TB the pair table is the already-persisted dedup artifact and
     this query is a single pass over it plus one corpus aggregate."""
+    from pulsar_lunar_spark.queries.llm import minhash_pairs_spool
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3, hasher="md5")
+    # r11: the pair table is the process-shared dedup artifact (one LSH
+    # pipeline build per (session, dataset), not one per call) — this
+    # query is now the single pass over it + one corpus aggregate its
+    # docstring describes. 17 -> 3 shuffle exchanges in the plan.
+    pairs = minhash_pairs_spool(spark, sf_dir)
     is_eval_a = F.col("id_a") % _SPLIT_EVAL_MOD == _SPLIT_EVAL_RES
     is_eval_b = F.col("id_b") % _SPLIT_EVAL_MOD == _SPLIT_EVAL_RES
     leaky = (

@@ -686,26 +686,23 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror each other (syndication, scraping loops, re-crawls) before any
     rows are dropped.
 
-    Plan: the verified pair list (dedup OUTPUT — tiny on a healthy
-    corpus) is spooled once to a per-call tmpfs slot and COUNTED, and the
-    two source-lookup joins broadcast it only while the count stays under
-    _PAIR_BROADCAST_CAP; above the cap (the adversarial case this view
-    exists to surface — a syndication-heavy crawl where pairs grow toward
-    O(n·dup_rate)) the hints are dropped and the joins run shuffled, so
-    the driver can never be asked to broadcast an unbounded pair list
-    (VERDICT r6 watch item). The expensive part remains the one shared
-    LSH pipeline (O(docs·bands), the q_dedup_minhash plan); the 16x16
+    Plan: the verified pair list is the PROCESS-SHARED dedup artifact
+    (llm.minhash_pairs_spool — one LSH pipeline build per (session,
+    dataset), the persisted-dedup-output shape at 100 TB; r11 —
+    previously a fresh per-call pipeline + per-call spool) and is
+    COUNTED; the two source-lookup joins broadcast it only while the
+    count stays under _PAIR_BROADCAST_CAP; above the cap (the
+    adversarial case this view exists to surface — a syndication-heavy
+    crawl where pairs grow toward O(n·dup_rate)) the hints are dropped
+    and the joins run shuffled, so the driver can never be asked to
+    broadcast an unbounded pair list (VERDICT r6 watch item). The 16x16
     aggregate is bounded either way. max_jaccard (order-safe), never an
     avg of floats. Oracle: the full md5-portable LSH SQL replica + the
     same two joins."""
-    from pulsar_lunar_spark.operators import dedup as D
-    from pulsar_lunar_spark.session import scratch_root, versioned_slot
+    from pulsar_lunar_spark.queries.llm import minhash_pairs_spool
 
     d = load_table(spark, sf_dir, "documents")
-    raw = D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.3, hasher="md5")
-    slot = versioned_slot(scratch_root("pulsar_lunar_srcmat", sf_dir), "pairs")
-    raw.write.mode("overwrite").parquet(slot)
-    pairs = spark.read.parquet(slot)
+    pairs = minhash_pairs_spool(spark, sf_dir)
     small = pairs.count() <= _PAIR_BROADCAST_CAP
     hint = F.broadcast if small else (lambda df: df)
     src = d.select("doc_id", "source")
