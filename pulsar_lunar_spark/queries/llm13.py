@@ -1598,82 +1598,64 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: votes are exact BIGINT edge-weight sums; the argmax is a
     deterministic (votes DESC, label ASC) rank — no floats anywhere.
-    Plan: the directed edge table is graph.trade_edges — the 4-join
-    fact pipeline shared with q_pagerank_trade/q_hits_scores, built
-    once per (dataset, process) and spooled to tmpfs; symmetrization is
-    a union+re-aggregate of that ≤|V|² table, checkpointed once per
-    call (round-9: the per-call spool write is gone). Each round is one
-    broadcast join of the ~|V| label table onto the edges + one (node,
-    label) aggregate + one argmax window — at 100 TB edge volume the
-    per-round shuffle is keyed on dst, the label side always
-    broadcasts."""
+
+    Plan (r11 rewrite, guide §1.2 — the q_hits_scores pattern): the
+    data-scale work is graph.trade_edges — the 4-join fact pipeline
+    shared with q_pagerank_trade/q_hits_scores, built once per
+    (dataset, process) and spooled to tmpfs. The nation graph it yields
+    is SCHEMA-bounded (|V| <= 25, |E| <= 600 aggregate rows at any
+    corpus size), so symmetrization and the three clamped vote rounds
+    are exact integer arithmetic on a bounded table: collect it once
+    and iterate on the driver — zero cluster jobs for 25-node argmax
+    math. The previous distributed form (per-round broadcast joins +
+    argmax windows + localCheckpoints, in git history here) solo'd
+    1.8-3.9 s across the r11 baseline captures; the brute-force pytest
+    IS this loop, and the distributed min-label machinery survives in
+    operators/graph.py (connected_components / cc_star) where the graph
+    really is unbounded."""
     import pulsar_lunar_spark.operators.graph as G
 
     na = load_table(spark, sf_dir, "nation")
-    raw = G.trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    edges = (
-        raw.select("src", "dst", "w")
-        .unionByName(
-            raw.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
+    raw = (
+        G.trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .collect()
+    )
+    edges: dict[tuple[int, int], int] = {}
+    for e in raw:
+        edges[(e.src, e.dst)] = edges.get((e.src, e.dst), 0) + e.w
+        edges[(e.dst, e.src)] = edges.get((e.dst, e.src), 0) + e.w
+    node_ids = [int(r.n_nationkey) for r in na.select("n_nationkey").collect()]
+    labels: dict[int, int | None] = {
+        int(r.n_nationkey): (
+            int(r.n_regionkey) if r.n_nationkey < _LP_SEEDS else None
         )
-        .groupBy("src", "dst")
-        .agg(F.sum("w").cast("long").alias("w"))
-        # one eager checkpoint so the 3 vote rounds re-read materialized
-        # rows instead of re-running the union+agg per round
-        .localCheckpoint(eager=True)
-    )
-    labels = na.select(
-        F.col("n_nationkey").cast("long").alias("node"),
-        F.when(
-            F.col("n_nationkey") < _LP_SEEDS,
-            F.col("n_regionkey").cast("long"),
-        ).alias("label"),
-    )
-    from pyspark.sql.window import Window
+        for r in na.select("n_nationkey", "n_regionkey").collect()
+    }
+    from collections import Counter
 
     for _ in range(_LP_ITERATIONS):
-        votes = (
-            edges.join(
-                F.broadcast(
-                    labels.filter(F.col("label").isNotNull()).select(
-                        F.col("node").alias("src"),
-                        F.col("label").alias("nlabel"),
-                    )
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"), F.col("nlabel"))
-            .agg(F.sum("w").cast("long").alias("votes"))
-        )
-        w_rank = Window.partitionBy("node").orderBy(
-            F.desc("votes"), F.asc("nlabel")
-        )
-        best = (
-            votes.select(
-                "node", "nlabel", F.row_number().over(w_rank).alias("rn")
-            )
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("nlabel").alias("mlabel"))
-        )
-        labels = (
-            labels.join(F.broadcast(best), "node", "left")
-            .select(
-                "node",
-                F.when(F.col("node") < _LP_SEEDS, F.col("label"))
-                .otherwise(F.coalesce(F.col("mlabel"), F.col("label")))
-                .alias("label"),
-            )
-            # truncate lineage per round (the CC/kmeans loop precedent):
-            # votes and best both re-read labels, so an unbroken plan
-            # doubles per iteration and re-scans the spool each time
-            .localCheckpoint(eager=True)
-        )
+        votes: dict[int, Counter] = {}
+        for (src, dst), w in edges.items():
+            lab = labels[src]
+            if lab is not None:
+                votes.setdefault(dst, Counter())[lab] += w
+        new: dict[int, int | None] = {}
+        for node, lab in labels.items():
+            if node < _LP_SEEDS:
+                new[node] = lab
+            elif node in votes:
+                new[node] = min(
+                    votes[node], key=lambda l: (-votes[node][l], l)
+                )
+            else:
+                new[node] = lab
+        labels = new
+    out = spark.createDataFrame(
+        [(n, labels[n]) for n in node_ids], "node long, label long"
+    )
     return (
-        labels.join(
-            F.broadcast(na), labels.node == na.n_nationkey
-        )
+        out.join(F.broadcast(na), out.node == na.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
             F.col("label").cast("long").alias("label"),
@@ -1775,87 +1757,58 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (authorities). All-integer; Σw·h ≤ total_edge_weight·1e6 stays in
     int64 out to ~9e12 lineitems.
 
-    Plan: the edge table is graph.trade_edges — the 4-join fact pipeline
+    Plan (r11 rewrite, guide §1.2 first-principles): the DATA-scale work
+    is the edge AGGREGATE — graph.trade_edges, the 4-join fact pipeline
     shared with q_pagerank_trade/q_label_propagation, built once per
-    (dataset, process) and spooled to tmpfs (round-9: per-call spool
-    replaced by the shared artifact); each half-round is one broadcast of
-    the |V|-bounded score vector onto the edges + one node aggregate + a
-    1-row max (the scalar-frame crossJoin precedent), with per-round
-    localCheckpoints keeping the plan constant-size. The oracle unrolls
-    the iterations as MATERIALIZED CTEs (DuckDB inlines plain CTEs per
-    reference — the q_label_propagation lesson)."""
+    (dataset, process) and spooled to tmpfs. The nation graph it yields
+    is SCHEMA-bounded (|V| <= 25 nations, |E| <= 600 aggregate rows at
+    any corpus size), so the mutual-reinforcement rounds are exact
+    integer arithmetic on a bounded table: collect the aggregate ONCE
+    (the kmeans-centroid / LR-gradient bounded-collect class) and
+    iterate on the driver — zero cluster jobs for 25-row vector math.
+    The previous form ran 6 half-round Spark jobs (|V|-bounded score
+    broadcasts onto the edges + node aggregates + per-round
+    localCheckpoints; its r10 conf-scoping A/B and checkpoint A/B live
+    in git history at llm13.py _hits_body): solo median 2.1-3.2 s across
+    the r11 baseline captures -> 1.14 s (measured under suite
+    contention; the remaining wall is the edge-spool read + collect +
+    the final 25-row join), identical integers — the brute-force pytest
+    IS this loop. The oracle unrolls the iterations as MATERIALIZED
+    CTEs."""
     import pulsar_lunar_spark.operators.graph as G
 
-    na = load_table(spark, sf_dir, "nation")
     # Self-loop filter on the shared aggregate == the pre-aggregate
     # filter (the group keys determine the predicate).
-    edges = G.trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    nodes = na.select(F.col("n_nationkey").cast("long").alias("node"))
-    # NEGATIVE RESULT (r10): a per-call conf-scoped run (shuffle
-    # partitions 4 + localized collect, the triangle pattern) measured
-    # FASTER in an ordered A/B (2.51 -> 2.09) but SLOWER in the
-    # interleaved one (3.43 vs 3.15 same-session medians) — flipping the
-    # conf per call invalidates cached plans/codegen, and the ordered
-    # comparison was warmup-contaminated. The triangle precedent works
-    # because ITS conf flip pays off inside one heavy build; here the 6
-    # half-round jobs re-plan each call. Keep the plain body; the wall
-    # is the iterative job-floor class (the judge's "6 scheduler floors
-    # on a 25-node graph" adjudication).
-    return _hits_body(spark, na, edges, nodes)
-
-
-def _hits_body(spark, na, edges, nodes) -> DataFrame:
-
-    def _half_round(scores, score_col, from_col, to_col, checkpoint):
-        """One HITS half-round: fold `scores` (keyed on from_col's node)
-        through the edges into to_col-side raw sums, then max-normalize
-        to ppm. Only the h half-round checkpoints (A/B: 3.52 -> 3.12 s
-        solo median) — the a-side subtree is one broadcast join off the
-        previous CHECKPOINT, so its two consumers (the next h and the
-        final output) re-evaluate something bounded, while checkpointing
-        h keeps the round-over-round lineage constant-size."""
-        raw_sums = (
-            nodes.join(
-                edges.join(
-                    F.broadcast(
-                        scores.select(
-                            F.col("node").alias(from_col),
-                            F.col(score_col).alias("__s"),
-                        )
-                    ),
-                    from_col,
-                ).select(F.col(to_col).alias("node"), (F.col("w") * F.col("__s")).alias("ws")),
-                "node",
-                "left",
-            )
-            .groupBy("node")
-            .agg(F.coalesce(F.sum("ws"), F.lit(0)).cast("long").alias("raw"))
-        )
-        mx = raw_sums.agg(
-            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
-        )
-        out = raw_sums.crossJoin(F.broadcast(mx)).select(
-            "node",
-            F.expr("(1000000L * raw) div mx").alias(score_col),
-        )
-        return out.localCheckpoint(eager=True) if checkpoint else out
-
-    h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
-    a = None
+    edge_rows = (
+        G.trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .collect()
+    )
+    na = load_table(spark, sf_dir, "nation")
+    node_ids = [int(r.n_nationkey) for r in na.select("n_nationkey").collect()]
+    h = {n: 1_000_000 for n in node_ids}
+    a: dict[int, int] = {}
     for _ in range(_HITS_ITERATIONS):
-        a = _half_round(
-            h.selectExpr("node", "h AS s"), "s", "src", "dst", False
-        ).selectExpr("node", "s AS a")
-        h = _half_round(
-            a.selectExpr("node", "a AS s"), "s", "dst", "src", True
-        ).selectExpr("node", "s AS h")
+        raw = {n: 0 for n in node_ids}
+        for e in edge_rows:
+            raw[e.dst] += e.w * h[e.src]
+        mx = max(max(raw.values()), 1)
+        a = {n: (1_000_000 * v) // mx for n, v in raw.items()}
+        raw = {n: 0 for n in node_ids}
+        for e in edge_rows:
+            raw[e.src] += e.w * a[e.dst]
+        mx = max(max(raw.values()), 1)
+        h = {n: (1_000_000 * v) // mx for n, v in raw.items()}
+    scores = spark.createDataFrame(
+        [(n, h[n], a[n]) for n in node_ids],
+        "node long, hub_ppm long, auth_ppm long",
+    )
     return (
-        h.join(a, "node")
-        .join(F.broadcast(na), F.col("node") == F.col("n_nationkey"))
+        scores.join(F.broadcast(na), F.col("node") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
-            F.col("h").alias("hub_ppm"),
-            F.col("a").alias("auth_ppm"),
+            "hub_ppm",
+            "auth_ppm",
         )
         .orderBy("nation")
     )

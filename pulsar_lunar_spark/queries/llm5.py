@@ -447,13 +447,34 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-9 rewrite (r8 VERDICT's one actionable weak entry): the edge
     table comes from graph.trade_edges — the 4-join fact pipeline shared
     with q_hits_scores/q_label_propagation, built once per (dataset,
-    process) and spooled to tmpfs — and the operator skips its edge
-    checkpoint (the edges are already a materialized table)."""
+    process) and spooled to tmpfs.
+
+    r11 rewrite (guide §1.2 first-principles, the q_hits_scores
+    pattern): the nation graph is SCHEMA-bounded (|V| <= 25, |E| <= 625
+    aggregate rows at any corpus size), so after the one data-scale
+    pass (the spooled edge aggregate) the 3 damped-update rounds are
+    exact integer arithmetic on a bounded table — collect it once (the
+    kmeans-centroid bounded-collect class) and iterate on the driver
+    instead of running per-round broadcast-join jobs. Identical
+    integers: update replicated verbatim (BIGINT multiply + floor
+    division on non-negatives == DIV); the distributed operator
+    (graph.pagerank) remains the unbounded-graph API, pinned by its own
+    pytests."""
     na = load_table(spark, sf_dir, "nation")
-    edges = G.trade_edges(spark, sf_dir)
-    nodes = na.select(F.col("n_nationkey").alias("node"))
-    ranks = G.pagerank(
-        nodes, edges, iterations=3, damping_pct=85, checkpoint_edges=False
+    edge_rows = G.trade_edges(spark, sf_dir).collect()
+    node_ids = [int(r.n_nationkey) for r in na.select("n_nationkey").collect()]
+    out_w: dict[int, int] = {}
+    for e in edge_rows:
+        out_w[e.src] = out_w.get(e.src, 0) + e.w
+    base = (100 - 85) * G.MICRO // 100
+    rank = {n: G.MICRO for n in node_ids}
+    for _ in range(3):
+        inc = {n: 0 for n in node_ids}
+        for e in edge_rows:
+            inc[e.dst] += rank[e.src] * e.w // out_w[e.src]
+        rank = {n: base + 85 * inc[n] // 100 for n in node_ids}
+    ranks = spark.createDataFrame(
+        [(n, rank[n]) for n in node_ids], "node long, rank long"
     )
     return (
         ranks.join(F.broadcast(na), ranks.node == na.n_nationkey)
