@@ -1652,7 +1652,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new[node] = lab
         labels = new
     out = spark.createDataFrame(
-        [(n, labels[n]) for n in node_ids], "node long, label long"
+        spark.sparkContext.parallelize(
+            [(n, labels[n]) for n in node_ids], 1
+        ),
+        "node long, label long",
     )
     return (
         out.join(F.broadcast(na), out.node == na.n_nationkey)
@@ -1799,8 +1802,13 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw[e.src] += e.w * a[e.dst]
         mx = max(max(raw.values()), 1)
         h = {n: (1_000_000 * v) // mx for n, v in raw.items()}
+    # one-slice literal frame (the q_triangle_count r8 A/B: a bare
+    # createDataFrame slices 25 rows into defaultParallelism pickled
+    # partitions — a 32-task job)
     scores = spark.createDataFrame(
-        [(n, h[n], a[n]) for n in node_ids],
+        spark.sparkContext.parallelize(
+            [(n, h[n], a[n]) for n in node_ids], 1
+        ),
         "node long, hub_ppm long, auth_ppm long",
     )
     return (

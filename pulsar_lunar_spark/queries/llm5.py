@@ -474,7 +474,10 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             inc[e.dst] += rank[e.src] * e.w // out_w[e.src]
         rank = {n: base + 85 * inc[n] // 100 for n in node_ids}
     ranks = spark.createDataFrame(
-        [(n, rank[n]) for n in node_ids], "node long, rank long"
+        spark.sparkContext.parallelize(
+            [(n, rank[n]) for n in node_ids], 1
+        ),
+        "node long, rank long",
     )
     return (
         ranks.join(F.broadcast(na), ranks.node == na.n_nationkey)
