@@ -56,10 +56,14 @@ _LR_CLAMP = 13_000_000  # micro-logit clamp: exp(13)*1e6 ~ 4.4e11 << int64
 # Per-(process, spool) train-split size — a property of the spooled
 # feature table, counted once, not once per call.
 _LR_NTRAIN_CACHE: dict[str, int] = {}
-# Trained epoch weights per (process, spool slot): training is
-# bit-reproducible from the spooled feature table (exact integer GD), so
-# the model caches like the KN model spool — train once, evaluate many.
-_LR_WEIGHTS_CACHE: dict[str, list[list[int]]] = {}
+# Trained-model ARTIFACT per (process, spool slot), for downstream
+# CONSUMERS only (q_distill_threshold_eval reads the epoch-4 weights the
+# way the minhash-pairs consumers read the spooled pair table).
+# q_train_quality_lr itself NEVER reads this — it passes force_train and
+# re-runs the 4 gradient epochs on every call (r12: the r11 warm-skip
+# was adjudicated as gaming — the timed region of a query whose declared
+# computation is training must train; VERDICT r11 item 1).
+_LR_MODEL_ARTIFACT: dict[str, list[list[int]]] = {}
 
 
 def _lr_p_ppm_sql(lg: str) -> str:
@@ -209,12 +213,18 @@ def _lr_oracle() -> str:
     return "".join(parts)
 
 
-def lr_model(spark: SparkSession, sf_dir: str):
+def lr_model(spark: SparkSession, sf_dir: str, *, force_train: bool = False):
     """The shared trainable-LR pipeline: spooled hashed-feature table +
-    the four trained epoch weight vectors (exact integer GD, cached per
-    (process, spool slot) — train once, consume many). Factored out so
-    q_train_quality_lr and q_distill_threshold_eval (llm18) share one
-    pipeline instead of drifting copies (the r9 factoring rule).
+    the four trained epoch weight vectors (exact integer GD). Factored
+    out so q_train_quality_lr and q_distill_threshold_eval (llm18) share
+    one pipeline instead of drifting copies (the r9 factoring rule).
+
+    ``force_train=True`` (q_train_quality_lr — the training operator
+    itself) re-runs the 4 gradient epochs unconditionally and refreshes
+    the model artifact; the default consumer path (the distill eval)
+    reads the artifact and trains only when it is absent — the
+    dedup-operator/pair-table-consumer split the r11 verdict endorsed
+    for the minhash family.
 
     Returns (feats DataFrame, n_train, epoch_weights, logit_agg) where
     logit_agg(weights, name) is the 65-literal-array logit aggregate
@@ -301,7 +311,9 @@ def lr_model(spark: SparkSession, sf_dir: str):
         ") as long))"
     )
     weights = [0] * (_LR_BUCKETS + 1)
-    epoch_weights = _LR_WEIGHTS_CACHE.get(spool_tag)
+    epoch_weights = (
+        None if force_train else _LR_MODEL_ARTIFACT.get(spool_tag)
+    )
     if epoch_weights is not None:
         epoch_weights = [list(w) for w in epoch_weights]
     epoch_weights = epoch_weights if epoch_weights is not None else []
@@ -353,7 +365,7 @@ def lr_model(spark: SparkSession, sf_dir: str):
             ]
             epoch_weights.append(list(weights))
 
-        _LR_WEIGHTS_CACHE[spool_tag] = [list(w) for w in epoch_weights]
+        _LR_MODEL_ARTIFACT[spool_tag] = [list(w) for w in epoch_weights]
     return feats, n_train, epoch_weights, logit_agg
 
 
@@ -395,15 +407,22 @@ def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, beyond which shard-and-average the gradient (documented
     deviation).
 
-    Round 11 (the r10 verdict's shave item): the trained epoch weights
-    are a DETERMINISTIC function of the spooled feature table
-    (bit-reproducible training, proven by the parity oracle), so they
-    cache per (process, spool slot) exactly like the KN model spool —
-    train once, evaluate many. Warm calls pay only the eval pass (the
-    4 sequential gradient-job floors were the whole 2.2-3.2 s band);
-    folding the eval INTO epoch 4 is impossible — epoch-4 weights exist
-    only after its own gradient collect returns."""
-    feats, n_train, epoch_weights, logit_agg = lr_model(spark, sf_dir)
+    Round 12 (VERDICT r11 item 1): the r11 cross-call weight
+    memoisation is GONE from this query — every call re-runs the four
+    gradient epochs (``force_train``); the bench's timed reps pay the
+    full declared training, and the weights dict survives only as the
+    model ARTIFACT q_distill_threshold_eval consumes (the
+    dedup-operator/pair-table-consumer split). The r10-suggested
+    eval-into-epoch-4 fold is provably impossible: the eval pass scores
+    per-doc logits under the epoch-4 weights, which exist only after
+    epoch 4's own 65-row gradient collect returns — the five jobs (4
+    gradient passes + 1 scoring pass) are a true sequential chain, and
+    piggybacking epoch t-1's accuracies on epoch t's pass still leaves
+    a final w4+fixed pass, so the job count cannot drop below five.
+    Per-call accept band re-measured r12 (BASELINE.md)."""
+    feats, n_train, epoch_weights, logit_agg = lr_model(
+        spark, sf_dir, force_train=True
+    )
 
     w_fixed = [
         int(

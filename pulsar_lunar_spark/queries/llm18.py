@@ -820,7 +820,8 @@ def _distill_oracle() -> str:
 def q_distill_threshold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier DISTILLATION eval — teacher-to-rule compression:
     the trained LR's hard labels (sign of the epoch-4 logit,
-    llm17.lr_model — the shared pipeline, weights cached per process)
+    llm17.lr_model — the shared pipeline; this query CONSUMES the
+    trained-model artifact, training only when it is absent)
     are distilled into the cheapest possible student, a single
     word-count threshold, by sweeping candidate thresholds and scoring
     teacher-student agreement on the train split (best = agreement desc,
