@@ -102,7 +102,17 @@ def _overlap_store_probe(batch_df, store_dir: str, probe) -> None:
     count() to pre-fill costs one extra job per batch ALWAYS and
     measured ~0.25 s slower per query (3.12 vs 2.86 s min-of-4); racing
     persist wins. Correctness is unaffected either way (the cache fill
-    is idempotent)."""
+    is idempotent).
+
+    CALLER CONTRACT (ADVICE r11): because the two jobs can race the
+    unfilled cache and each compute a partition of ``batch_df``
+    independently, every transform upstream of ``batch_df`` MUST be
+    deterministic (same rows on recompute). All four ingest lanes
+    qualify today — decode/hash stages are pure functions of the
+    payload bytes. A lane that ever introduces a non-deterministic
+    batch transform (sampling, rand(), wall-clock stamps) must
+    eager-fill the cache (count() before submitting) or drop the
+    overlap."""
     import glob
     from concurrent.futures import ThreadPoolExecutor
 
@@ -268,6 +278,19 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table, no recompute; runs CONCURRENTLY with the store append
         # (_overlap_store_probe — batch rows pinned in memory, history
         # from the committed files).
+        #
+        # r12 NEGATIVE RESULT (VERDICT r11 item 3): the image-lane
+        # inline-verify pattern was ported here and measured a clear
+        # REGRESSION — carrying the shingle payload on every one of the
+        # 32 band postings (even as 60-bit hash arrays) inflates the
+        # Generate/join input far past what the two pair-keyed re-joins
+        # cost. Interleaved noop A/B on a static day-3 store at sf0.1:
+        # this shape 0.61 s med vs 3.22 s (string arrays carried) vs
+        # 1.23 s (hashed arrays carried); whole-lane cross-process A/B
+        # med 4.09 vs 4.75 s. The pattern pays only when the carried
+        # payload is a few ints (image dHash bands); plan dumps of the
+        # rejected form in plans/r12/. The distinct-then-join shape is
+        # KEPT deliberately.
         def probe(batch_b: DataFrame, sh_all: DataFrame) -> None:
             def bk_of(df):
                 return df.select(
@@ -1083,7 +1106,17 @@ def _clips_topic(spark: SparkSession, sf_dir: str):
     sequential day appends (day = base doc_id % 3; a clip's planted
     variants land the same day) from the SAME materialized vdup fixture
     q_video_neardup decodes — real AVI bytes ride the envelope payload
-    (base64 through the JSON serde, lossless)."""
+    (base64 through the JSON serde, lossless).
+
+    INVARIANT (ADVICE r11): each clip is exactly ONE topic row — its
+    whole AVI (and therefore its whole shot-signature set) arrives in a
+    single envelope in a single day-batch. q_stream_media_ingest's
+    store rows stamp ``n_sigs`` from the batch-local window, which
+    equals the global per-clip aggregate ONLY under this one-row-per-
+    clip producer invariant; a producer that ever split a clip across
+    envelope rows would make stored n_sigs values disagree between
+    batches and split the (id_a, id_b, n_sigs_a, n_sigs_b) pair
+    groups."""
     import shutil
 
     from pulsar_lunar_spark.queries.media import _vdup_fixture

