@@ -361,9 +361,13 @@ def q_geo_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pulsar_lunar_spark.session import scratch_at_exit, scratch_root
+    from pulsar_lunar_spark.session import (
+        scratch_at_exit,
+        scratch_root,
+        spool_base_dir,
+    )
 
-    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    root = spool_base_dir()
     # the source topic is read-only under replication, so it is produced
     # once per (process, sf) and reused (marker-file + per-PID pattern,
     # same as _shared_log); only the replicas are fresh per call

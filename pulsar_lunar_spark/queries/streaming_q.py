@@ -32,11 +32,12 @@ from pulsar_lunar_spark.streaming import run_available_now, stateful_sessionize
 
 def _tmp_root() -> str:
     """Prefer tmpfs (/dev/shm) for the log + checkpoints: the streaming
-    harness is IO-bound on tiny files, and none of it needs durability."""
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
-    return tempfile.gettempdir()
+    harness is IO-bound on tiny files, and none of it needs durability.
+    Honors the SPARK_GRAFT_SPOOL_DIR cluster override (r12) — root
+    selection lives in session.spool_base_dir."""
+    from pulsar_lunar_spark.session import spool_base_dir
+
+    return spool_base_dir()
 
 
 def _sf_tag(sf_dir: str) -> str:

@@ -157,16 +157,40 @@ def scratch_at_exit(path: str) -> str:
     return path
 
 
-def scratch_root(kind: str, sf_dir: str | None = None) -> str:
-    """The per-(kind, dataset, process) tmpfs scratch directory, registered
-    for removal at process exit: ``/dev/shm/<kind>/<sf_cache_tag>`` (falls
-    back to the system tempdir when /dev/shm is unwritable). The single
-    home of the root-selection + scratch_at_exit + tag idiom that fixture
-    caches share — fix root selection here, not at call sites."""
+def spool_base_dir() -> str:
+    """Root directory for every derived artifact the engine spools
+    (fixture caches, artifact spools, streaming logs/stores/checkpoints).
+
+    ``SPARK_GRAFT_SPOOL_DIR`` (r12, VERDICT r11 item 6) is the cluster
+    lever: in local mode every executor IS the driver process, so
+    driver-local tmpfs is readable by every task — but on a real cluster
+    executors cannot read the driver's /dev/shm, so spool consumers
+    (trade_edges, the KN model, the minhash pair table, the ingest
+    stores) must land on storage all nodes mount (NFS/EFS/object-store
+    FUSE). Point the override at that mount; see SCALE.md. Local
+    default: /dev/shm (tmpfs), falling back to the system tempdir."""
     import os
     import tempfile
 
-    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    override = os.environ.get("SPARK_GRAFT_SPOOL_DIR")
+    if override:
+        return override
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
+def scratch_root(kind: str, sf_dir: str | None = None) -> str:
+    """The per-(kind, dataset, process) scratch directory, registered
+    for removal at process exit: ``$SPARK_GRAFT_SPOOL_DIR/<kind>/<tag>``
+    when the override is set, else ``/dev/shm/<kind>/<tag>`` (falling
+    back to the system tempdir when /dev/shm is unwritable). The single
+    home of the root-selection + scratch_at_exit + tag idiom that fixture
+    caches share — fix root selection here, not at call sites.
+
+    Root selection (incl. the ``SPARK_GRAFT_SPOOL_DIR`` cluster
+    override) lives in :func:`spool_base_dir`."""
+    import os
+
+    root = spool_base_dir()
     parts = [root, kind]
     if sf_dir is not None:
         parts.append(sf_cache_tag(sf_dir))
