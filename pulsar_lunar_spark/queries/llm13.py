@@ -1637,7 +1637,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_LP_ITERATIONS):
         votes: dict[int, Counter] = {}
         for (src, dst), w in edges.items():
-            lab = labels[src]
+            # .get: a source outside the node table contributes nothing,
+            # matching the replaced distributed join (ADVICE r11); votes
+            # keyed by an outside dst are ignored by the labels loop.
+            lab = labels.get(src)
             if lab is not None:
                 votes.setdefault(dst, Counter())[lab] += w
         new: dict[int, int | None] = {}
@@ -1794,12 +1797,16 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_HITS_ITERATIONS):
         raw = {n: 0 for n in node_ids}
         for e in edge_rows:
-            raw[e.dst] += e.w * h[e.src]
+            # endpoint-outside-nodes edges drop, matching the replaced
+            # distributed joins' behavior (ADVICE r11)
+            if e.dst in raw and e.src in h:
+                raw[e.dst] += e.w * h[e.src]
         mx = max(max(raw.values()), 1)
         a = {n: (1_000_000 * v) // mx for n, v in raw.items()}
         raw = {n: 0 for n in node_ids}
         for e in edge_rows:
-            raw[e.src] += e.w * a[e.dst]
+            if e.src in raw and e.dst in a:
+                raw[e.src] += e.w * a[e.dst]
         mx = max(max(raw.values()), 1)
         h = {n: (1_000_000 * v) // mx for n, v in raw.items()}
     # one-slice literal frame (the q_triangle_count r8 A/B: a bare

@@ -471,7 +471,12 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         inc = {n: 0 for n in node_ids}
         for e in edge_rows:
-            inc[e.dst] += rank[e.src] * e.w // out_w[e.src]
+            # edges with an endpoint outside the node table are DROPPED,
+            # exactly as the replaced distributed plan's joins dropped
+            # them (ADVICE r11 — trade_edges keys on c/s_nationkey so
+            # none exist today, but the degradation must match)
+            if e.src in rank and e.dst in inc:
+                inc[e.dst] += rank[e.src] * e.w // out_w[e.src]
         rank = {n: base + 85 * inc[n] // 100 for n in node_ids}
     ranks = spark.createDataFrame(
         spark.sparkContext.parallelize(
