@@ -32,6 +32,48 @@ _SHINGLES3 = f"""
 """
 
 
+# Arrow fast lane for the Gopher repetition counters (r12, guide §4.2 +
+# VERDICT r11 item 4): tokenization stays in the JVM (split over the
+# shared normalize_text, codegen), but the per-doc counting moves to ONE
+# Arrow-batched pandas UDF — C-backed Counter/set over the words array.
+# The JVM HOF twin (corpus.repetition_counts: array_sort + a struct-
+# accumulator fold + a 2-gram transform, all interpreted CodegenFallback
+# expressions) allocated per element on the executor HEAP; that
+# allocation storm was the source of the 16-21 s in-suite blowups the
+# r11 bench's per-query GC papered over. Moving the counting into the
+# Python workers removes the JVM garbage at the source AND measures
+# faster solo (interleaved noop A/B at sf0.1: med 0.83 vs 1.11 s).
+# The JVM twin stays in operators/corpus.py as the value-identity
+# verification twin (tests/test_corpus.py pins both paths equal).
+@F.pandas_udf(
+    "total_words int, distinct_words int, top_word_count int,"
+    " total_2grams int, distinct_2grams int"
+)
+def _repetition_counts_arrow(words):  # pd.Series of word arrays
+    import pandas as pd
+    from collections import Counter
+
+    tw, dw, top, t2, d2 = [], [], [], [], []
+    for w in words:
+        lst = list(w)
+        c = Counter(lst)
+        n = len(lst)
+        tw.append(n)
+        dw.append(len(c))
+        top.append(max(c.values()) if c else 0)
+        t2.append(n - 1 if n >= 2 else 0)
+        d2.append(len(set(zip(lst, lst[1:]))) if n >= 2 else 0)
+    return pd.DataFrame(
+        {
+            "total_words": tw,
+            "distinct_words": dw,
+            "top_word_count": top,
+            "total_2grams": t2,
+            "distinct_2grams": d2,
+        }
+    )
+
+
 @register(
     "q_quality_gopher",
     oracle=f"""
@@ -66,14 +108,18 @@ _SHINGLES3 = f"""
 )
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters aggregated per language: duplicate-word
-    mass, top-word share, duplicate-2gram mass. Per-doc counters are integer
-    JVM HOFs; corpus metrics are ratios of integer sums (order-independent),
-    so the scan can be scaled out freely."""
+    mass, top-word share, duplicate-2gram mass. Per-doc counters are exact
+    integers computed in one Arrow-batched pass over the JVM-tokenized
+    words (see _repetition_counts_arrow — the r12 allocation-storm fix);
+    corpus metrics are ratios of integer sums (order-independent), so the
+    scan can be scaled out freely."""
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    cnt = C.repetition_counts(F.col("text"))
+    words = F.split(normalize_text(F.col("text")), " ")
     per_doc = d.select(
-        "lang", *[v.alias(k) for k, v in cnt.items()]
-    )
+        "lang", _repetition_counts_arrow(words).alias("__c")
+    ).select("lang", "__c.*")
     return (
         per_doc.groupBy("lang")
         .agg(

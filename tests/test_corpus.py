@@ -36,6 +36,28 @@ def test_repetition_counts_crafted(spark):
     assert rows[3]["total_2grams"] == 0 and rows[3]["distinct_2grams"] == 0
 
 
+def test_repetition_counts_arrow_matches_jvm_twin(spark, sf_dir):
+    """The r12 Arrow counting lane (llm3._repetition_counts_arrow) must
+    produce the exact integers of the JVM HOF twin on the real corpus —
+    the value-identity pin for the q_quality_gopher rewrite."""
+    from pulsar_lunar_spark.operators.dedup import normalize_text
+    from pulsar_lunar_spark.queries.llm3 import _repetition_counts_arrow
+    from pulsar_lunar_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = C.repetition_counts(F.col("text"))
+    jvm = d.select(
+        "doc_id", *[v.alias(k) for k, v in cnt.items()]
+    )
+    words = F.split(normalize_text(F.col("text")), " ")
+    arrow = d.select(
+        "doc_id", _repetition_counts_arrow(words).alias("__c")
+    ).select("doc_id", "__c.*")
+    jvm_rows = {r["doc_id"]: tuple(r)[1:] for r in jvm.collect()}
+    arrow_rows = {r["doc_id"]: tuple(r)[1:] for r in arrow.collect()}
+    assert jvm_rows == arrow_rows
+
+
 def test_connected_components_known_graph(spark):
     # components: {1,2,3,4} (chain), {5,6}, {7} isolated
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")

@@ -67,6 +67,10 @@ PYTHON_OK = {
     "q_unigram_encode",
     # round-11: vectorized Arrow minhash signatures (q_dedup_minhash lane)
     "q_neardup_safe_split",
+    # round-12: Gopher repetition counters moved to the Arrow counting
+    # lane (the interpreted-HOF allocation storm was the r11 in-suite
+    # blowup source; JVM twin kept in operators/corpus.py for identity)
+    "q_quality_gopher",
 }
 
 # Bounded cross joins by design (5-row region table / single-row query vec).
